@@ -1,0 +1,62 @@
+"""SparkSession factory.
+
+Reference parity: the reference hand-tunes Postgres sessions
+(`STEP 2 - Transform Raw Telemetry/02_raw_telemetry_transform.py:67-88`:
+work_mem, synchronous_commit, parallel workers). In Spark all of that
+collapses into a handful of session confs: AQE (runtime re-planning ≈
+ANALYZE-driven planning), shuffle partition sizing (≈
+max_parallel_workers_per_gather), and Arrow for the Python boundary.
+
+Everything here is plain public Apache Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "datamine_v2_0_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine's SparkSession.
+
+    Defaults are sized for ``local[$SPARK_GRAFT_CPUS]`` test runs but
+    every choice is the one you'd also make on a 1000-executor
+    cluster: AQE on (coalesce + skew-join), Arrow on, UTC session
+    timezone (the reference stores TIMESTAMPTZ and renders in UTC),
+    shuffle partitions ~ cores locally (on a real cluster leave the
+    default / let AQE coalesce).
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    shuffle_partitions = shuffle_partitions or int(
+        os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus))
+    )
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
+        # parquet scans: pushdown + pruning are on by default; pin them
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
