@@ -1,0 +1,1152 @@
+"""Driver-contract queries: one entry per implemented operator
+(SURVEY.md §2), each paired with a DuckDB oracle SQL string.
+
+Conventions (cross-engine determinism):
+- every computed column is aliased identically in Spark and SQL;
+- integer outputs are BIGINT both sides (Spark casts, DuckDB casts
+  HUGEINT sums);
+- float aggregates are rounded (4-6 dp) on BOTH sides;
+- timestamps/dates in outputs are rendered as strings;
+- all window/rank orderings carry a unique tiebreak column;
+- time deltas use exact integer microseconds / 1e6, never epoch-double
+  subtraction.
+
+Queries whose Spark implementation is not SQL-expressible (xxhash64-based
+LSH, SimHash, PELT, Savitzky-Golay) have oracle=None → the driver records
+a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datamine_v2_0_spark.functions.scalars import (
+    bool_from_text,
+    clamp,
+    device_date,
+    json_string_literal,
+    null_if_outside,
+    parse_position,
+    pg_timestamptz_text,
+    raw_event_hash_id,
+    validate_json,
+)
+from datamine_v2_0_spark.operators import aggregates as agg
+from datamine_v2_0_spark.operators import dedup as dd
+from datamine_v2_0_spark.operators import filters as flt
+from datamine_v2_0_spark.operators import joins as jn
+from datamine_v2_0_spark.operators import sets as st
+from datamine_v2_0_spark.operators import similarity as sim
+from datamine_v2_0_spark.operators import smoothing as sm
+from datamine_v2_0_spark.operators import text as tx
+from datamine_v2_0_spark.operators import windows as win
+from datamine_v2_0_spark.pipeline import cpd
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata table; normalize the events nanosecond timestamp.
+
+    The driver's ``events.parquet`` stores ``ts`` as parquet
+    TIMESTAMP(NANOS), which Spark's vectorized reader rejects. Read it as
+    a long (legacy conf) and truncate to microseconds with integer
+    division (a double division would lose precision above 2^53 ns).
+    """
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_window():
+    return win.ordered_window(["user_id"], ["ts", "event_id"])
+
+
+# DuckDB rendering of pg_timestamptz_text (same trim rules)
+_PG_TS_SQL = (
+    r"regexp_replace(regexp_replace(strftime({c}, '%Y-%m-%d %H:%M:%S.%f'),"
+    r" '(\.\d*?)0+$', '\1'), '\.$', '') || '+00'"
+)
+
+# ---------------------------------------------------------------- aggregates
+
+def q_agg_global_stats(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return agg.global_stats(df, "l_extendedprice", "l_orderkey")
+
+
+SQL_AGG_GLOBAL_STATS = """
+SELECT COUNT(*) AS row_count, MIN(l_extendedprice) AS min_val,
+       MAX(l_extendedprice) AS max_val,
+       COUNT(DISTINCT l_orderkey) AS distinct_count
+FROM lineitem
+"""
+
+
+def q_agg_grouped_stats(spark, sf_dir):
+    return agg.grouped_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_quantity"
+    )
+
+
+SQL_AGG_GROUPED_STATS = """
+SELECT l_returnflag, COUNT(*) AS n,
+       ROUND(AVG(l_quantity), 4) AS avg_val,
+       ROUND(STDDEV(l_quantity), 4) AS stddev_val,
+       MIN(l_quantity) AS min_val, MAX(l_quantity) AS max_val
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_conditional(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    return agg.conditional_counts(
+        df,
+        ["o_orderpriority"],
+        {
+            "n_open": F.col("o_orderstatus") == "O",
+            "n_high_value": F.col("o_totalprice") > 150000.0,
+        },
+    )
+
+
+SQL_AGG_CONDITIONAL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       COUNT(*) FILTER (WHERE o_totalprice > 150000.0) AS n_high_value
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_agg_percentiles(spark, sf_dir):
+    out = agg.exact_percentiles(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
+    )
+    cols = [F.col("l_returnflag")] + [
+        F.round(F.col(c), 4).alias(c) for c in ("p25", "p50", "p75", "p95")
+    ]
+    return out.select(*cols)
+
+
+SQL_AGG_PERCENTILES = """
+SELECT l_returnflag,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.25), 4) AS p25,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.50), 4) AS p50,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.75), 4) AS p75,
+       ROUND(QUANTILE_CONT(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_agg_date_distribution(spark, sf_dir):
+    out = agg.date_distribution(_t(spark, sf_dir, "orders"), "o_orderdate")
+    return out.select(F.col("day").cast("string").alias("day"), "n")
+
+
+SQL_AGG_DATE_DISTRIBUTION = """
+SELECT CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS day, COUNT(*) AS n
+FROM orders GROUP BY 1
+"""
+
+
+def q_agg_freq_topk(spark, sf_dir):
+    return agg.frequency_topk(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag", "l_linestatus"], 20
+    )
+
+
+SQL_AGG_FREQ_TOPK = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2
+ORDER BY n DESC, l_returnflag, l_linestatus LIMIT 20
+"""
+
+
+def q_agg_hourly_profile(spark, sf_dir):
+    out = agg.hourly_profile(_t(spark, sf_dir, "events"), "ts")
+    return out.select(F.col("day").cast("string").alias("day"), "hour", "dow", "n")
+
+
+SQL_AGG_HOURLY_PROFILE = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+       CAST(hour(ts) AS INT) AS hour,
+       CAST(dayofweek(ts) + 1 AS INT) AS dow,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2, 3
+"""
+
+
+def q_agg_having(spark, sf_dir):
+    return agg.having(_t(spark, sf_dir, "events"), ["user_id"], 10)
+
+
+SQL_AGG_HAVING = """
+SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id HAVING COUNT(*) >= 10
+"""
+
+
+def q_agg_tumbling(spark, sf_dir):
+    out = agg.tumbling_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "5 minutes",
+        [
+            F.round(F.avg("value"), 6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select(
+        F.col("bucket_start").cast("string").alias("bucket_start"), "avg_value", "n"
+    )
+
+
+SQL_AGG_TUMBLING = """
+SELECT CAST(time_bucket(INTERVAL '5 minutes', ts) AS VARCHAR) AS bucket_start,
+       ROUND(AVG(value), 6) AS avg_value, COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_agg_ordered_array(spark, sf_dir):
+    out = agg.ordered_array_agg(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "event_type"
+    )
+    return out.select("user_id", F.array_join("vals", ",").alias("type_seq"))
+
+
+SQL_AGG_ORDERED_ARRAY = """
+SELECT user_id,
+       STRING_AGG(event_type, ',' ORDER BY ts, event_type) AS type_seq
+FROM events GROUP BY user_id
+"""
+
+
+def q_agg_distinct(spark, sf_dir):
+    return agg.distinct_sorted(_t(spark, sf_dir, "events"), "event_type")
+
+
+SQL_AGG_DISTINCT = "SELECT DISTINCT event_type FROM events ORDER BY 1"
+
+
+def q_agg_integrity(spark, sf_dir):
+    return agg.integrity_report(
+        _t(spark, sf_dir, "events"), "event_id", ["user_id", "value"]
+    )
+
+
+SQL_AGG_INTEGRITY = """
+SELECT COUNT(*) AS row_count, COUNT(DISTINCT event_id) AS distinct_keys,
+       COUNT(*) FILTER (WHERE user_id IS NULL) AS null_user_id,
+       COUNT(*) FILTER (WHERE value IS NULL) AS null_value
+FROM events
+"""
+
+
+def q_agg_fraction(spark, sf_dir):
+    return jn.fraction_of_total(_t(spark, sf_dir, "orders"), ["o_orderstatus"])
+
+
+SQL_AGG_FRACTION = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(COUNT(*) * 100.0 / (SELECT COUNT(*) FROM orders), 4) AS pct
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+def q_agg_pivot(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = agg.crosstab_pivot(df, "day", "event_type", types)
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).cast("long").alias(t) for t in types]
+    )
+
+
+SQL_AGG_PIVOT = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+       COUNT(*) FILTER (WHERE event_type = 'error') AS error,
+       COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+       COUNT(*) FILTER (WHERE event_type = 'view') AS view
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ windows
+
+def q_win_lag_delta(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    micros = F.unix_micros(F.col("ts"))
+    delta = (micros - F.lag(micros, 1).over(w)).cast("double") / F.lit(1_000_000.0)
+    return df.select(
+        "event_id",
+        "user_id",
+        win.lag_col("value", w).alias("prev_value"),
+        delta.alias("delta_s"),
+    )
+
+
+SQL_WIN_LAG_DELTA = """
+SELECT event_id, user_id,
+       LAG(value) OVER w AS prev_value,
+       CAST(date_diff('microsecond', LAG(ts) OVER w, ts) AS DOUBLE)
+           / 1000000.0 AS delta_s
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_win_rolling(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    return df.select(
+        "event_id",
+        F.round(win.rolling_mean("value", w, 2, 2), 6).alias("rmean5"),
+        F.round(win.rolling_stddev("value", w, 4, 0), 6).alias("rstd5_trail"),
+    )
+
+
+SQL_WIN_ROLLING = """
+SELECT event_id,
+       ROUND(AVG(value) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 6)
+           AS rmean5,
+       ROUND(STDDEV(value) OVER (w ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 6)
+           AS rstd5_trail
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_win_blocks(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    with_block = df.withColumn("block_id", win.block_id("event_type", w))
+    w2 = win.ordered_window(["user_id", "block_id"], ["ts", "event_id"])
+    return with_block.select(
+        "event_id",
+        "block_id",
+        win.persistence_counter(w2).alias("run_pos"),
+    )
+
+
+SQL_WIN_BLOCKS = """
+WITH flagged AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN LAG(event_type) OVER w IS NULL
+               OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), blocks AS (
+  SELECT event_id, user_id, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS block_id
+  FROM flagged
+)
+SELECT event_id, block_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY user_id, block_id
+                               ORDER BY ts, event_id) AS INT) AS run_pos
+FROM blocks
+"""
+
+
+def q_win_partition_stddev(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    sd = F.round(win.partition_agg(F.stddev("value"), ["user_id"]), 4)
+    return (
+        df.select("user_id", sd.alias("sd"))
+        .withColumn("has_high_var", F.col("sd") > 140.0)
+        .distinct()
+    )
+
+
+SQL_WIN_PARTITION_STDDEV = """
+SELECT user_id, ROUND(STDDEV(value), 4) AS sd,
+       ROUND(STDDEV(value), 4) > 140.0 AS has_high_var
+FROM events GROUP BY user_id
+"""
+
+
+def q_win_running_sum(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    return df.select(
+        "event_id", F.round(win.running_sum("value", w), 6).alias("rsum")
+    )
+
+
+SQL_WIN_RUNNING_SUM = """
+SELECT event_id,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS rsum
+FROM events
+"""
+
+
+def q_win_diff_shift(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    return df.select(
+        "event_id",
+        win.diff("value", w, 10).alias("diff10"),
+        F.lag("event_type", 2).over(w).alias("shift2"),
+        win.lag_default_current(F.col("value"), w).alias("lag_or_current"),
+    )
+
+
+SQL_WIN_DIFF_SHIFT = """
+SELECT event_id,
+       value - LAG(value, 10) OVER w AS diff10,
+       LAG(event_type, 2) OVER w AS shift2,
+       COALESCE(LAG(value, 1) OVER w, value) AS lag_or_current
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_win_ffill(spark, sf_dir):
+    df = _t(spark, sf_dir, "events").withColumn(
+        "v_sparse",
+        F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("value")),
+    )
+    w = _events_window()
+    return df.select(
+        "event_id", F.round(win.ffill("v_sparse", w), 6).alias("v_filled")
+    )
+
+
+SQL_WIN_FFILL = """
+SELECT event_id,
+       ROUND(LAST_VALUE(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             6) AS v_filled
+FROM events
+"""
+
+
+# -------------------------------------------------------------------- joins
+
+def q_join_equi_revenue(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    joined = jn.equi_join(
+        jn.equi_join(li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"),
+        c.withColumnRenamed("c_custkey", "o_custkey"),
+        "o_custkey",
+        broadcast_right=True,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+SQL_JOIN_EQUI_REVENUE = """
+SELECT c_mktsegment,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    return jn.anti_join(c, o, "c_custkey").select("c_custkey", "c_name")
+
+
+SQL_JOIN_ANTI = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+"""
+
+
+def q_join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    return jn.semi_join(c, o, "c_custkey").groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_JOIN_SEMI = """
+SELECT c_mktsegment, COUNT(*) AS n FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+GROUP BY c_mktsegment
+"""
+
+
+def q_join_interval(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    iv = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderpriority"),
+        F.col("o_orderdate").alias("iv_start"),
+        F.expr("o_orderdate + INTERVAL 7 DAYS").alias("iv_end"),
+    )
+    joined = jn.interval_contain_join(
+        li,
+        iv,
+        [("l_orderkey", "o_orderkey")],
+        "l_shipdate",
+        "iv_start",
+        "iv_end",
+        how="inner",
+    )
+    return joined.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_JOIN_INTERVAL = """
+SELECT o_orderpriority, COUNT(*) AS n
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate BETWEEN o_orderdate AND o_orderdate + INTERVAL 7 DAY
+GROUP BY o_orderpriority
+"""
+
+
+def q_join_asof(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    matched = jn.asof_nearest_join(
+        errors,
+        purchases,
+        [("user_id", "p_user_id")],
+        "ts",
+        "p_ts",
+        3600.0,
+        "event_id",
+    )
+    delta = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("p_ts"))
+    ).cast("double") / F.lit(1_000_000.0)
+    return matched.select("event_id", "p_event_id", delta.alias("delta_s"))
+
+
+SQL_JOIN_ASOF = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+     j AS (
+       SELECT e.event_id, p.p_event_id, e.ts, p.p_ts,
+              ABS(CAST(date_diff('microsecond', p.p_ts, e.ts) AS DOUBLE))
+                  / 1000000.0 AS absd
+       FROM e JOIN p ON e.user_id = p.user_id
+       WHERE ABS(CAST(date_diff('microsecond', p.p_ts, e.ts) AS DOUBLE))
+             / 1000000.0 <= 3600.0
+     )
+SELECT event_id, p_event_id,
+       CAST(date_diff('microsecond', p_ts, ts) AS DOUBLE) / 1000000.0 AS delta_s
+FROM j
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY absd, p_ts) = 1
+"""
+
+
+def q_join_overlap(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.select(
+        F.col("o_custkey").alias("a_cust"),
+        F.col("o_orderkey").alias("a_key"),
+        F.col("o_orderdate").alias("a_start"),
+        F.expr("o_orderdate + INTERVAL 7 DAYS").alias("a_end"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("b_cust"),
+        F.col("o_orderkey").alias("b_key"),
+        F.col("o_orderdate").alias("b_start"),
+        F.expr("o_orderdate + INTERVAL 7 DAYS").alias("b_end"),
+    )
+    pairs = jn.overlap_join(
+        a, b, [("a_cust", "b_cust")], "a_start", "a_end", "b_start", "b_end"
+    ).filter(F.col("a_key") < F.col("b_key"))
+    return pairs.groupBy(F.col("a_cust").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_overlaps")
+    )
+
+
+SQL_JOIN_OVERLAP = """
+SELECT a.o_custkey AS custkey, COUNT(*) AS n_overlaps
+FROM orders a JOIN orders b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND a.o_orderdate < b.o_orderdate + INTERVAL 7 DAY
+ AND b.o_orderdate < a.o_orderdate + INTERVAL 7 DAY
+GROUP BY 1
+"""
+
+
+def q_join_upsert(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    current = ev.filter(F.col("event_id") % 2 == 0)
+    updates = ev.filter(F.col("event_id") % 2 == 1)
+    latest = jn.upsert(
+        current,
+        updates,
+        ["user_id", "event_type"],
+        F.struct(F.col("ts"), F.col("event_id")),
+    )
+    return latest.select("user_id", "event_type", "event_id")
+
+
+SQL_JOIN_UPSERT = """
+SELECT user_id, event_type, event_id FROM events
+QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+EVENT_CATEGORY = {
+    "click": "interaction",
+    "view": "interaction",
+    "purchase": "transaction",
+    "signup": "account",
+    "error": "fault",
+}
+
+
+def q_join_lookup(spark, sf_dir):
+    out = jn.lookup_join(
+        _t(spark, sf_dir, "events"), EVENT_CATEGORY, "event_type", "category"
+    )
+    return out.groupBy("category").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_JOIN_LOOKUP = """
+SELECT CASE LOWER(TRIM(COALESCE(event_type, 'unknown')))
+         WHEN 'click' THEN 'interaction'
+         WHEN 'view' THEN 'interaction'
+         WHEN 'purchase' THEN 'transaction'
+         WHEN 'signup' THEN 'account'
+         WHEN 'error' THEN 'fault'
+         ELSE 'unknown' END AS category,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------------ filters
+
+def q_filt_project_range(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    df = flt.time_range(df, "ts", "2024-01-05 00:00:00", "2024-01-20 00:00:00")
+    df = flt.like_filter(df, "event_type", "%i%")
+    return flt.project(df, ["event_id", "event_type", "value"])
+
+
+SQL_FILT_PROJECT_RANGE = """
+SELECT event_id, event_type, value FROM events
+WHERE ts IS NOT NULL
+  AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-20 00:00:00'
+  AND event_type LIKE '%i%'
+"""
+
+
+def q_filt_clamp(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return df.agg(
+        F.round(F.avg(clamp(F.col("l_quantity"), 5.0, 45.0)), 6).alias("avg_clamped"),
+        F.count(null_if_outside(F.col("l_discount"), 0.02, 0.08)).alias(
+            "n_mid_discount"
+        ),
+    )
+
+
+SQL_FILT_CLAMP = """
+SELECT ROUND(AVG(LEAST(GREATEST(l_quantity, 5.0), 45.0)), 6) AS avg_clamped,
+       COUNT(CASE WHEN l_discount BETWEEN 0.02 AND 0.08 THEN 1 END)
+           AS n_mid_discount
+FROM lineitem
+"""
+
+
+def q_filt_sample_mod(spark, sf_dir):
+    df = flt.deterministic_sample(_t(spark, sf_dir, "lineitem"), "l_orderkey", 97)
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 6).alias("sum_qty"),
+    )
+
+
+SQL_FILT_SAMPLE_MOD = """
+SELECT COUNT(*) AS n, ROUND(SUM(l_quantity), 6) AS sum_qty
+FROM lineitem WHERE l_orderkey % 97 = 0
+"""
+
+
+def q_filt_between_isin(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    df = flt.between(df, "l_quantity", 10.0, 20.0)
+    df = flt.isin_filter(df, "l_returnflag", ["A", "R"])
+    df = flt.date_eq(
+        df.withColumn("ship_day", F.to_date("l_shipdate")), "l_shipdate", "1996-03-13"
+    )
+    return df.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_FILT_BETWEEN_ISIN = """
+SELECT l_returnflag, COUNT(*) AS n FROM lineitem
+WHERE l_quantity BETWEEN 10.0 AND 20.0
+  AND l_returnflag IN ('A', 'R')
+  AND CAST(l_shipdate AS DATE) = DATE '1996-03-13'
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------- sorts/sets
+
+def q_sort_topk(spark, sf_dir):
+    return st.topk(
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        [F.desc("o_totalprice"), F.asc("o_orderkey")],
+        20,
+    )
+
+
+SQL_SORT_TOPK = """
+SELECT o_orderkey, o_totalprice FROM orders
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+"""
+
+
+def q_set_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    open_n = o.filter(F.col("o_orderstatus") == "O").agg(
+        F.lit("open").alias("bucket"), F.count(F.lit(1)).alias("n")
+    )
+    done_n = o.filter(F.col("o_orderstatus") == "F").agg(
+        F.lit("done").alias("bucket"), F.count(F.lit(1)).alias("n")
+    )
+    return st.union_all([open_n, done_n])
+
+
+SQL_SET_UNION = """
+SELECT 'open' AS bucket, COUNT(*) AS n FROM orders WHERE o_orderstatus = 'O'
+UNION ALL
+SELECT 'done' AS bucket, COUNT(*) AS n FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_set_intersect(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    buyers = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return st.intersect(buyers, erring)
+
+
+SQL_SET_INTERSECT = """
+SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+INTERSECT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+def q_set_except(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    all_users = ev.select("user_id").distinct()
+    erring = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    return st.except_all(all_users, erring)
+
+
+SQL_SET_EXCEPT = """
+SELECT DISTINCT user_id FROM events
+EXCEPT
+SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+"""
+
+
+# ------------------------------------------------------------------ scalars
+
+def q_scalar_hash_id(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    dev = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    return df.select(
+        "event_id",
+        raw_event_hash_id(dev, F.col("ts")).alias("hash_id"),
+        pg_timestamptz_text(F.col("ts")).alias("ts_text"),
+    )
+
+
+SQL_SCALAR_HASH_ID = f"""
+SELECT event_id,
+       sha256('u' || CAST(user_id AS VARCHAR) || '|' ||
+              {_PG_TS_SQL.format(c='ts')}) AS hash_id,
+       {_PG_TS_SQL.format(c='ts')} AS ts_text
+FROM events
+"""
+
+
+def q_scalar_silver(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    dev = F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    flag_text = F.when(F.col("value") > 50.0, F.lit("t")).otherwise(F.lit("f"))
+    return df.select(
+        "event_id",
+        device_date(dev, F.col("ts")).alias("device_date"),
+        validate_json(F.col("props")).alias("extras"),
+        bool_from_text(flag_text).alias("engaged"),
+        json_string_literal(F.col("event_type")).alias("type_json"),
+    )
+
+
+SQL_SCALAR_SILVER = """
+SELECT event_id,
+       'u' || CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d')
+           AS device_date,
+       props AS extras,
+       value > 50.0 AS engaged,
+       CAST(to_json(event_type) AS VARCHAR) AS type_json
+FROM events
+"""
+
+
+def q_scalar_position(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    lat_v = F.col("value") % F.lit(80.0)
+    lon_v = F.col("value") % F.lit(170.0)
+    pos_text = F.concat(
+        F.lit("{"),
+        lat_v.cast("string"),
+        F.lit(","),
+        lon_v.cast("string"),
+        F.lit(",100.0}"),
+    )
+    pos = parse_position(pos_text)
+    return df.select(
+        "event_id",
+        pos["latitude"].alias("lat"),
+        pos["longitude"].alias("lon"),
+        pos["altitude"].alias("alt"),
+    )
+
+
+SQL_SCALAR_POSITION = """
+SELECT event_id,
+       value % 80.0 AS lat,
+       value % 170.0 AS lon,
+       CAST(100.0 AS DOUBLE) AS alt
+FROM events
+"""
+
+
+# --------------------------------------------------------------- text / LLM
+
+def q_text_tokens(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        F.length(c).cast("long").alias("n_chars"),
+        tx.token_count_ws(c).cast("long").alias("n_tokens_ws"),
+        tx.token_count_bpe(c).cast("long").alias("n_tokens_bpe"),
+        F.round(tx.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(c), 6).alias("stopword_ratio_en"),
+        tx.quality_score(c).alias("quality"),
+    )
+
+
+_SW_EN = r"\b(the|and|of|to|is|in|that|it|for|with)\b"
+
+SQL_TEXT_TOKENS = f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+            ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT)
+           AS n_tokens_ws,
+       CAST(LEN(regexp_extract_all(text, '[A-Za-z]+'))
+          + LEN(regexp_extract_all(text, '\\d+'))
+          + LEN(regexp_extract_all(text, '[^\\sA-Za-z0-9]')) AS BIGINT)
+           AS n_tokens_bpe,
+       ROUND(CASE WHEN LENGTH(text) > 0
+             THEN LEN(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
+                  / CAST(LENGTH(text) AS DOUBLE) ELSE 0.0 END, 6) AS punct_ratio,
+       ROUND(CASE WHEN (CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) > 0
+             THEN LEN(regexp_extract_all(LOWER(text), '{_SW_EN}'))
+                  / CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                     ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END
+                     AS DOUBLE)
+             ELSE 0.0 END, 6) AS stopword_ratio_en,
+       ROUND((
+         LEAST(CAST(LENGTH(text) AS DOUBLE) / 500.0, 1.0)
+       + LEAST((CASE WHEN (CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                  ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END) > 0
+             THEN LEN(regexp_extract_all(LOWER(text), '{_SW_EN}'))
+                  / CAST(CASE WHEN text IS NULL OR TRIM(text) = '' THEN 0
+                     ELSE LEN(regexp_split_to_array(TRIM(text), '\\s+')) END
+                     AS DOUBLE)
+             ELSE 0.0 END) * 4.0, 1.0)
+       + GREATEST(0.0, 1.0 - (CASE WHEN LENGTH(text) > 0
+             THEN LEN(regexp_extract_all(text, '[^\\sA-Za-z0-9]'))
+                  / CAST(LENGTH(text) AS DOUBLE) ELSE 0.0 END) * 4.0)
+       ) / 3.0, 6) AS quality
+FROM documents
+"""
+
+_PROFILES_SQL = {
+    "en": _SW_EN,
+    "de": r"\b(der|die|und|das|ist|nicht|ein|mit|für|von)\b",
+    "fr": r"\b(le|la|les|et|est|une|pour|dans|que|pas)\b",
+    "es": r"\b(el|la|los|que|es|una|por|con|para|del)\b",
+}
+
+
+def q_text_lang(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+SQL_TEXT_LANG = f"""
+WITH s AS (
+  SELECT doc_id,
+         LEN(regexp_extract_all(LOWER(text), '{_PROFILES_SQL["en"]}')) AS s_en,
+         LEN(regexp_extract_all(LOWER(text), '{_PROFILES_SQL["de"]}')) AS s_de,
+         LEN(regexp_extract_all(LOWER(text), '{_PROFILES_SQL["fr"]}')) AS s_fr,
+         LEN(regexp_extract_all(LOWER(text), '{_PROFILES_SQL["es"]}')) AS s_es
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN GREATEST(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_fr = GREATEST(s_en, s_de, s_fr, s_es) THEN 'fr'
+            WHEN s_es = GREATEST(s_en, s_de, s_fr, s_es) THEN 'es'
+            WHEN s_en = GREATEST(s_en, s_de, s_fr, s_es) THEN 'en'
+            ELSE 'de' END AS lang_pred
+FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.select("doc_id", tx.fingerprint(F.col("text")).alias("fingerprint"))
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       sha256(array_to_string(list_sort(list_distinct(
+           string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), ' ')
+       )), ' ')) AS fingerprint
+FROM documents
+"""
+
+
+def q_dedup_exact(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(dd.content_hash(F.col("text"))).alias("n_unique_hash"),
+        F.countDistinct(tx.fingerprint(F.col("text"))).alias("n_unique_fp"),
+        F.count(F.lit(1)).alias("n_total"),
+    ).select("n_docs", "n_unique_hash", "n_unique_fp")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT COUNT(*) AS n_docs,
+       COUNT(DISTINCT sha256(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g'))))
+           AS n_unique_hash,
+       COUNT(DISTINCT sha256(array_to_string(list_sort(list_distinct(
+           string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')), ' ')
+       )), ' '))) AS n_unique_fp
+FROM documents
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
+
+
+def q_dedup_jaccard(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    cands = dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
+    out = dd.ngram_jaccard_pairs(cands, df, "text", "doc_id", threshold=0.2)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dedup_simhash(spark, sf_dir):
+    return dd.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+def q_sim_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return sim.cosine_topk(emb, queries, "embedding", "vec_id", k=5)
+
+
+SQL_SIM_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+           FROM embeddings ORDER BY vec_id LIMIT 5)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id <> q.query_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 6) DESC,
+             e.vec_id) <= 5
+"""
+
+
+def q_sim_bucketed_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return sim.bucketed_topk(emb, queries, "embedding", "vec_id", "label", k=3)
+
+
+SQL_SIM_BUCKETED_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label
+           FROM embeddings ORDER BY vec_id LIMIT 5)
+SELECT q.query_id, e.vec_id AS neighbor_id,
+       ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                    CAST(q.qe AS DOUBLE[])), 6) AS cos_sim
+FROM embeddings e JOIN q ON e.label = q.label
+WHERE e.vec_id <> q.query_id
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY q.query_id
+    ORDER BY ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qe AS DOUBLE[])), 6) DESC,
+             e.vec_id) <= 3
+"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return sim.lsh_topk(emb, queries, "embedding", "vec_id", dim=64, k=5)
+
+
+def q_mm_features(spark, sf_dir):
+    from datamine_v2_0_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_documents(_t(spark, sf_dir, "documents"))
+    out = mm.extract_media_features(media)
+    return out.select("media_id", "media_type", "n_bytes", "content_sha256")
+
+
+SQL_MM_FEATURES = """
+SELECT doc_id AS media_id, 'image' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       sha256(text) AS content_sha256
+FROM documents
+"""
+
+
+def q_cpd_candidates(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "ukey", F.concat(F.lit("u"), F.col("user_id").cast("string"))
+    )
+    return cpd.cpd_pipeline(
+        ev,
+        "ukey",
+        "ts",
+        ["value"],
+        "event_id",
+        duration="6 hours",
+        penalty=1000.0,
+        min_size=4,
+    ).select(
+        "partition_key",
+        "signal_name",
+        F.col("bucket_ts").cast("string").alias("bucket_ts"),
+        F.col("bucket_id").cast("string").alias("bucket_id"),
+    )
+
+
+def q_win_savgol(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    out = sm.savgol_smooth(
+        ev, ["user_id"], "ts", "value", out_col="smoothed", window=11, polyorder=2
+    )
+    return out.select("event_id", F.round("smoothed", 6).alias("smoothed"))
+
+
+# ---------------------------------------------------------------- registry
+
+QUERIES: dict[str, tuple] = {
+    # aggregates (A1-A14)
+    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
+    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
+    "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
+    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
+    "agg_date_distribution": (q_agg_date_distribution, SQL_AGG_DATE_DISTRIBUTION),
+    "agg_freq_topk": (q_agg_freq_topk, SQL_AGG_FREQ_TOPK),
+    "agg_hourly_profile": (q_agg_hourly_profile, SQL_AGG_HOURLY_PROFILE),
+    "agg_having": (q_agg_having, SQL_AGG_HAVING),
+    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
+    "agg_ordered_array": (q_agg_ordered_array, SQL_AGG_ORDERED_ARRAY),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "agg_integrity": (q_agg_integrity, SQL_AGG_INTEGRITY),
+    "agg_fraction": (q_agg_fraction, SQL_AGG_FRACTION),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    # windows (W1-W15)
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
+    "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
+    "win_partition_stddev": (q_win_partition_stddev, SQL_WIN_PARTITION_STDDEV),
+    "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
+    "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
+    "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
+    "win_savgol": (q_win_savgol, None),
+    # joins (J1-J10)
+    "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
+    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
+    "join_lookup": (q_join_lookup, SQL_JOIN_LOOKUP),
+    # filters (P1-P10)
+    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
+    "filt_clamp": (q_filt_clamp, SQL_FILT_CLAMP),
+    "filt_sample_mod": (q_filt_sample_mod, SQL_FILT_SAMPLE_MOD),
+    "filt_between_isin": (q_filt_between_isin, SQL_FILT_BETWEEN_ISIN),
+    # sorts / sets (O1-O4, U1-U3)
+    "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
+    "set_union": (q_set_union, SQL_SET_UNION),
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    # scalar families (§2.8, F1/F2)
+    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
+    "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
+    "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
+    # LLM-data operators
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_lang": (q_text_lang, SQL_TEXT_LANG),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_jaccard": (q_dedup_jaccard, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
+    "sim_lsh_topk": (q_sim_lsh_topk, None),
+    "mm_features": (q_mm_features, SQL_MM_FEATURES),
+    # CPD (F4) — the flagship applyInPandas stage
+    "cpd_candidates": (q_cpd_candidates, None),
+}

@@ -8,6 +8,8 @@ from datamine_v2_0_spark.functions.scalars import (  # noqa: F401
     parse_position,
     enum_decode,
     validate_json,
+    json_string_literal,
     clamp,
     null_if_outside,
+    bool_from_text,
 )

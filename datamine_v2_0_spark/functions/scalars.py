@@ -37,8 +37,13 @@ def pg_timestamptz_text(ts: Column) -> Column:
 
 
 def raw_event_hash_id(device_id: Column, ts: Column) -> Column:
-    """sha256(device_id || '|' || timestamptz::text) as 64-char hex."""
-    return F.sha2(F.concat_ws("|", device_id, pg_timestamptz_text(ts)), 256)
+    """sha256(device_id || '|' || timestamptz::text) as 64-char hex.
+
+    Null-propagating like Postgres ``||``: a NULL device_id or timestamp
+    yields NULL, not a hash of the surviving operand (``concat`` propagates
+    NULL; ``concat_ws`` would silently skip it).
+    """
+    return F.sha2(F.concat(device_id, F.lit("|"), pg_timestamptz_text(ts)), 256)
 
 
 def device_date(device_id: Column, ts: Column) -> Column:
@@ -75,13 +80,25 @@ def enum_decode(col: Column, mapping: dict[str, str], default: str = ENUM_DEFAUL
     return (expr.otherwise(default) if expr is not None else F.lit(default))
 
 
+def json_string_literal(col: Column) -> Column:
+    """Render a string column as a JSON string literal (quoted + escaped),
+    matching Postgres ``to_jsonb(text)`` semantics for plain text.
+
+    ``to_json`` rejects bare StringType, so wrap in a one-field struct,
+    serialize, and strip the wrapper — all JVM-side.
+    """
+    wrapped = F.to_json(F.struct(col.alias("v")))
+    return F.regexp_extract(wrapped, r'^\{"v":(.*)\}$', 1)
+
+
 def validate_json(col: Column) -> Column:
     """TEXT→validated-JSON-text: NULL/blank → NULL; looks-like-JSON passes
-    through; anything else is wrapped as a JSON string literal."""
+    through; anything else is wrapped as a JSON string literal (the
+    reference's ``to_jsonb(text)`` fallback)."""
     looks_json = col.rlike(r"^\s*\{.*\}\s*$") | col.rlike(r"^\s*\[.*\]\s*$")
     return F.when(col.isNull() | (F.trim(col) == ""), F.lit(None)).when(
         looks_json, col
-    ).otherwise(F.to_json(col))
+    ).otherwise(json_string_literal(col))
 
 
 def clamp(col: Column, lo: float | None = None, hi: float | None = None) -> Column:

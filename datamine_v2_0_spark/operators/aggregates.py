@@ -1,0 +1,196 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A14).
+
+Behavioral reference: ckpronto/datamine_v2.0 EDA + CPD aggregates
+(``STEP 3 - EDA Analysis/debug_notebook_corrected.py:113-170``,
+``STEP 5 - CPD/05_cpd_orchestrator_polars.py:262-276``).
+
+Scale notes:
+- Every groupBy here benefits from Spark's partial (map-side) aggregation
+  automatically; no custom combiners needed.
+- Exact percentiles require a full sort-per-group — exposed for oracle
+  parity, with `approx_percentile` as the 100 TB default.
+- The 5 s tumbling bucket is the algorithmic prerequisite that keeps PELT
+  tractable (10× row reduction before the O(n^2) kernel).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def global_stats(df: DataFrame, col: str, distinct_col: str | None = None) -> DataFrame:
+    """A1: COUNT/MIN/MAX/COUNT(DISTINCT) in one pass
+    (01_ingest_raw_telemetry.py:319-326)."""
+    aggs = [
+        F.count(F.lit(1)).alias("row_count"),
+        F.min(col).alias("min_val"),
+        F.max(col).alias("max_val"),
+    ]
+    if distinct_col is not None:
+        aggs.append(F.countDistinct(distinct_col).alias("distinct_count"))
+    return df.agg(*aggs)
+
+
+def grouped_stats(
+    df: DataFrame, keys: Sequence[str], value: str, round_to: int = 4
+) -> DataFrame:
+    """A2: per-group count/avg/stddev/min/max with ROUND
+    (debug_notebook_corrected.py:113-133)."""
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(value), round_to).alias("avg_val"),
+        F.round(F.stddev(value), round_to).alias("stddev_val"),
+        F.min(value).alias("min_val"),
+        F.max(value).alias("max_val"),
+    )
+
+
+def conditional_counts(
+    df: DataFrame, keys: Sequence[str], conditions: dict[str, Column]
+) -> DataFrame:
+    """A3: ``COUNT(*) FILTER (WHERE cond)`` — one output column per named
+    condition (05_load_candidates_to_db.py:244-252)."""
+    aggs = [F.count(F.lit(1)).alias("n")]
+    aggs += [
+        F.count(F.when(cond, F.lit(1))).alias(name)
+        for name, cond in conditions.items()
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def exact_percentiles(
+    df: DataFrame, keys: Sequence[str], value: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+) -> DataFrame:
+    """A4 (exact): ``PERCENTILE_CONT(q) WITHIN GROUP`` parity — Spark's
+    ``percentile`` uses the same linear interpolation
+    (debug_notebook_corrected.py:167-170)."""
+    aggs = [
+        F.percentile(F.col(value), F.lit(q)).alias(f"p{int(q * 100)}")
+        for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def approx_percentiles(
+    df: DataFrame, keys: Sequence[str], value: str,
+    quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    accuracy: int = 10000,
+) -> DataFrame:
+    """A4 (approx): the 100 TB default — single-pass KLL-style sketch, no
+    per-group sort."""
+    aggs = [
+        F.approx_percentile(F.col(value), F.lit(q), F.lit(accuracy)).alias(
+            f"p{int(q * 100)}"
+        )
+        for q in quantiles
+    ]
+    return df.groupBy(*keys).agg(*aggs)
+
+
+def date_distribution(df: DataFrame, ts: str) -> DataFrame:
+    """A5: per-day row counts for batch planning
+    (02_raw_telemetry_transform.py:206-263)."""
+    return (
+        df.groupBy(F.to_date(ts).alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("day")
+    )
+
+
+def frequency_topk(df: DataFrame, keys: Sequence[str], k: int = 20) -> DataFrame:
+    """A6: multi-dim frequency cube, top-k by count (checkpoint nb cell 19)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), *keys)
+        .limit(k)
+    )
+
+
+def hourly_profile(df: DataFrame, ts: str) -> DataFrame:
+    """A7: activity by (day, hour, dow) (checkpoint nb cell 24).
+
+    dow follows ISO via ``dayofweek`` (1=Sunday, Spark/ANSI semantics) —
+    callers needing Postgres DOW (0=Sunday) subtract 1."""
+    return df.groupBy(
+        F.to_date(ts).alias("day"),
+        F.hour(ts).alias("hour"),
+        F.dayofweek(ts).alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+def having(df: DataFrame, keys: Sequence[str], min_count: int) -> DataFrame:
+    """A8: ``GROUP BY ... HAVING COUNT(*) >= n`` (05_cpd_pipeline.sql:39-43)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )
+
+
+def ordered_array_agg(
+    df: DataFrame, keys: Sequence[str], order_col: str, value: str
+) -> DataFrame:
+    """A9: ``ARRAY_AGG(x ORDER BY ts)`` — collect (order, value) structs,
+    sort by order key, project the values (05_cpd_pipeline.sql:28-43).
+
+    Scale note: materializes each group as one array — only for bounded
+    groups (a device-day). The CPD path avoids this entirely via
+    applyInPandas."""
+    return df.groupBy(*keys).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(order_col, value))),
+            lambda s: s[value],
+        ).alias("vals")
+    )
+
+
+def distinct_sorted(df: DataFrame, col: str) -> DataFrame:
+    """A10: ``SELECT DISTINCT x ORDER BY 1`` (04_feature_engineering.py:86-103)."""
+    return df.select(col).distinct().orderBy(col)
+
+
+def tumbling_agg(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    aggs: Sequence[Column],
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """A11: tumbling-window time aggregation, left-closed buckets —
+    ``group_by_dynamic(every='5s', closed='left')`` parity
+    (05_cpd_orchestrator_polars.py:262-276).
+
+    Emits ``bucket_start`` (the window's inclusive left edge)."""
+    win = F.window(ts, duration)
+    return (
+        df.groupBy(*extra_keys, win.alias("w"))
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def crosstab_pivot(df: DataFrame, row_key: str, col_key: str, values: Sequence[str]) -> DataFrame:
+    """A13: ``groupby(a,b).size().unstack()`` — pivot with an explicit value
+    list (always pass `values`: it skips the extra distinct-scan Spark
+    otherwise runs, and pins output columns)."""
+    return df.groupBy(row_key).pivot(col_key, list(values)).count()
+
+
+def integrity_report(df: DataFrame, key: str, not_null_cols: Sequence[str]) -> DataFrame:
+    """A14: post-load integrity aggregates — total, distinct-key, per-column
+    null counts (05_load_candidates_to_db.py:197-259)."""
+    aggs = [
+        F.count(F.lit(1)).alias("row_count"),
+        F.countDistinct(key).alias("distinct_keys"),
+    ]
+    aggs += [
+        F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
+        for c in not_null_cols
+    ]
+    return df.agg(*aggs)

@@ -1,0 +1,204 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the four
+standard document-dedup families (Broder 1997 resemblance/minhash; Charikar
+2002 simhash; banded LSH per Leskovec/Rajaraman/Ullman, "Mining of Massive
+Datasets" ch.3). Everything except SimHash bit-voting is pure JVM-side
+Column algebra (split / transform / xxhash64 / array_min), so dedup of a
+100 TB corpus runs inside whole-stage codegen with exactly one shuffle per
+stage (the groupBy on hash / band bucket).
+
+Candidate generation NEVER does all-pairs: pairs come from equality
+buckets (exact hash or LSH band bucket), so the join is an equi shuffle
+join on the bucket key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonical text form for dedup: lowercase, collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+
+
+def content_hash(col: Column) -> Column:
+    """sha256 of the normalized text — the exact-dedup key."""
+    return F.sha2(normalize_text(col), 256)
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Exact near-duplicate removal: keep the lowest id per content hash.
+
+    One shuffle (groupBy hash); at 100 TB the hash groupBy is the minimal
+    possible plan and AQE handles bucket skew (e.g. empty docs)."""
+    h = content_hash(F.col(text_col)).alias("__h")
+    keep = (
+        df.select(h, F.col(id_col))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col))
+    )
+    return df.join(keep, id_col, "left_semi")
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>, JVM-side:
+    split → sliding windows via transform(sequence(...))."""
+    words = F.split(normalize_text(col), " ")
+    k = F.size(words) - F.lit(n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    return F.array_distinct(grams)
+
+
+def _salted_hash(salt: str):
+    # Closure factory: PySpark inspects lambda arity, so a `lambda s, i=i`
+    # default-arg capture is treated as the 2-arg (element, index) form and
+    # the index Column shadows the captured value.
+    return lambda s: F.xxhash64(F.concat(s, F.lit(salt)))
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature: per hash function i, min over shingles of
+    xxhash64(shingle ++ '#i'). Empty shingle sets → nulls."""
+    sigs = [
+        F.array_min(F.transform(shingles, _salted_hash(f"#{i}"))).alias(f"mh{i}")
+        for i in range(num_hashes)
+    ]
+    return F.array(*sigs)
+
+
+def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
+    """Band the signature: array of (band_id, band_hash) structs. Docs
+    sharing ANY band bucket are candidate pairs (banding amplifies the
+    Jaccard s-curve: P(candidate) = 1-(1-s^r)^b)."""
+    entries = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.element_at(signature, b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ],
+                )
+            ).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    return F.array(*entries)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs via banded MinHash-LSH.
+
+    Plan shape: scan → signature (map-only) → explode bands → self equi-join
+    on (band, bucket) → distinct pairs. The join key is the band bucket, so
+    this is shuffle-on-bucket — never a cross join. Returns (id_a, id_b)
+    with id_a < id_b."""
+    sig = df.select(
+        F.col(id_col),
+        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
+            "__sig"
+        ),
+    )
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"),
+    ).select(id_col, "bb.band", "bb.bucket")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    candidates: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Verify candidate pairs with exact n-gram Jaccard similarity
+    (JVM-side array_intersect/array_union on shingle arrays)."""
+    sh = docs.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    out = (
+        candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed(id_col, "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .drop("sh_a", "sh_b")
+    )
+    return out.filter(F.col("jaccard") >= threshold)
+
+
+def simhash_from_hashes(hashes: Column) -> Column:
+    """64-bit SimHash from a precomputed array<long> of shingle hashes,
+    fully JVM-side: per bit position, sum sign contributions and take the
+    majority sign. Expressed with aggregate() — no Python UDF.
+
+    Project the hash array into its own column first so the shingle
+    transform is evaluated once, not 64 times."""
+    def _bit_vote(bit: int):
+        # closure factory, not a default-arg lambda (arity matters — see
+        # _salted_hash): aggregate's merge fn must be exactly 2-arg
+        def merge(acc, h):
+            set_bit = F.shiftright(h, bit).bitwiseAND(F.lit(1)) == 1
+            return acc + F.when(set_bit, 1).otherwise(-1)
+
+        return merge
+
+    bits = []
+    for bit in range(64):
+        # +1 if bit set else -1, summed across shingles
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(bit))
+        bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
+    expr = F.lit(0).cast("long")
+    for bit, bcol in enumerate(bits):
+        expr = expr + F.shiftleft(bcol, bit)
+    return expr
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+) -> DataFrame:
+    """(id, simhash) table; near-dups = signatures within small Hamming
+    distance, found by banding the 64 bits into 4×16-bit keys (any equal
+    16-bit block ⇒ candidate, catches Hamming distance <= 3)."""
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        ).alias("__hashes"),
+    )
+    return hashed.select(
+        F.col(id_col), simhash_from_hashes(F.col("__hashes")).alias("simhash")
+    )

@@ -1,0 +1,74 @@
+"""Projection / filter / predicate operators (SURVEY.md §2.2, P1-P10).
+
+All of these are thin declarative wrappers — the value is that each one is
+expressed so Catalyst pushes it into the parquet scan (check
+``.explain``'s PushedFilters / ReadSchema). Reference behaviors:
+ckpronto/datamine_v2.0 STEP 2/3/4 predicates (see per-function cites).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+from datetime import date
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def project(df: DataFrame, cols: Sequence[str | Column]) -> DataFrame:
+    """P1: explicit projection list — drives parquet column pruning."""
+    return df.select(*cols)
+
+
+def time_range(
+    df: DataFrame, ts: str, start=None, end=None, require_not_null: bool = True
+) -> DataFrame:
+    """P2: time-range + NOT NULL predicates
+    (02_raw_telemetry_transform.py:338-343). Bounds are inclusive."""
+    c = F.col(ts)
+    cond = F.lit(True)
+    if require_not_null:
+        cond = cond & c.isNotNull()
+    if start is not None:
+        cond = cond & (c >= F.lit(start))
+    if end is not None:
+        cond = cond & (c <= F.lit(end))
+    return df.filter(cond)
+
+
+def isin_filter(df: DataFrame, col: str, values: Sequence) -> DataFrame:
+    """P3: ``col IN (...)`` — partition pruning when col is a partition key
+    (04_worker_script.sql:16)."""
+    return df.filter(F.col(col).isin(list(values)))
+
+
+def like_filter(df: DataFrame, col: str, pattern: str, negate: bool = False) -> DataFrame:
+    """P4: LIKE / NOT LIKE (database_pipeline.py:122-127)."""
+    pred = F.col(col).like(pattern)
+    return df.filter(~pred if negate else pred)
+
+
+def date_eq(df: DataFrame, ts: str, day: date | str) -> DataFrame:
+    """P5: ``ts::date = X`` (02.1.1:174-185)."""
+    return df.filter(F.to_date(F.col(ts)) == F.lit(day))
+
+
+def between(df: DataFrame, col: str, lo, hi) -> DataFrame:
+    """P6: BETWEEN, inclusive both ends."""
+    return df.filter(F.col(col).between(lo, hi))
+
+
+def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int = 0) -> DataFrame:
+    """P10 (deterministic variant): keep rows where ``key % modulus == keep``.
+
+    The reference samples with ``ORDER BY RANDOM() LIMIT n`` (EDA
+    notebooks); for oracle-checkable and re-runnable pipelines a hash/mod
+    sample is the right primitive at scale. For statistical sampling use
+    ``df.sample(fraction, seed)``."""
+    return df.filter((F.col(key) % modulus) == keep)
+
+
+def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
+    """P10: Bernoulli sample — scan-level, no global sort (replaces
+    ``ORDER BY RANDOM() LIMIT n``, which is a full shuffle at scale)."""
+    return df.sample(fraction=fraction, seed=seed)

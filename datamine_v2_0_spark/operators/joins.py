@@ -1,0 +1,199 @@
+"""Join operators (SURVEY.md §2.3, J1-J10).
+
+Behavioral reference: ckpronto/datamine_v2.0 —
+spatial zone join (``STEP 4 - Feature Engineering/04_worker_script.sql:12-16``),
+anti-join dedup (``STEP 2 .../02_raw_telemetry_transform.py:367-378``),
+interval label join (``STEP 2.1 .../02.1.2_...label_recombine.py:358-399``),
+as-of nearest join (``claudeinstructions.md:60-84``),
+overlap join (``STEP 5 - CPD/_archive/05_cpd_algorithm_tuning.py:121-139``).
+
+Scale notes:
+- Small sides (zones: 7 rows; labels: thousands) are broadcast explicitly —
+  never shuffle 100 TB against a dimension table.
+- Interval / as-of / overlap joins are range joins: Spark executes them as
+  BroadcastNestedLoopJoin when one side is broadcast — correct and fast for
+  small interval sets. For big-big range joins, pre-bucket both sides on a
+  coarse time bucket (equi key) and range-filter within the bucket.
+- The as-of join is the decorrelated window-rank rewrite: Catalyst will NOT
+  decorrelate an ORDER BY ... LIMIT 1 scalar subquery, so this operator IS
+  the optimization.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def equi_join(
+    left: DataFrame, right: DataFrame, on: str | Sequence[str], how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """J2/J3: hash-key or composite-key equi join."""
+    r = F.broadcast(right) if broadcast_right else right
+    return left.join(r, on=on, how=how)
+
+
+def anti_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J5: ``NOT EXISTS`` incremental dedup — rows of `left` with no match."""
+    return left.join(right, on=on, how="left_anti")
+
+
+def semi_join(left: DataFrame, right: DataFrame, on: str | Sequence[str]) -> DataFrame:
+    """J9: driving-table restriction — rows of `left` with >=1 match."""
+    return left.join(right, on=on, how="left_semi")
+
+
+def upsert(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str | Sequence[str],
+    order_col: str | Column,
+) -> DataFrame:
+    """J6: merge/upsert without Delta — union + keep newest per key
+    (``INSERT ... ON CONFLICT DO UPDATE`` parity,
+    02_raw_telemetry_transform.py:345-365).
+
+    `order_col` breaks ties: the row with the greatest value wins."""
+    keys = [key] if isinstance(key, str) else list(key)
+    unioned = current.unionByName(updates, allowMissingColumns=True)
+    oc = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*keys).orderBy(F.desc(oc))
+    return (
+        unioned.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def interval_contain_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_keys: Sequence[tuple[str, str]],
+    ts: str,
+    start: str,
+    end: str,
+    how: str = "left",
+    broadcast_intervals: bool = True,
+) -> DataFrame:
+    """J4: point-in-interval containment join — label each point row with
+    any interval containing its timestamp (02.1.2:358-399).
+
+    `point_keys` is [(point_col, interval_col), ...] equi conditions."""
+    iv = F.broadcast(intervals) if broadcast_intervals else intervals
+    cond = None
+    for p, i in point_keys:
+        c = points[p] == iv[i]
+        cond = c if cond is None else (cond & c)
+    rng = points[ts].between(iv[start], iv[end])
+    cond = rng if cond is None else (cond & rng)
+    return points.join(iv, cond, how)
+
+
+def resolve_priority(
+    df: DataFrame, key: str | Sequence[str], priority: Column, label: str
+) -> DataFrame:
+    """J4 follow-up: when a point falls in multiple intervals, keep the
+    max-priority label per key (load > dump > background, 02.1.2:381-399)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(F.desc(priority), F.col(label))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def asof_nearest_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[tuple[str, str]],
+    left_ts: str,
+    right_ts: str,
+    tolerance_seconds: float,
+    left_id: str,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """J7: nearest-neighbor-in-time join — for each left row, the single
+    right row minimizing |t_l - t_r| within tolerance
+    (claudeinstructions.md:60-84, rewritten to window rank-1).
+
+    Ties break on the right timestamp then remaining right columns being
+    ordered by right_ts — deterministic given unique right timestamps."""
+    r = F.broadcast(right) if broadcast_right else right
+    cond = None
+    for lk, rk in keys:
+        c = left[lk] == r[rk]
+        cond = c if cond is None else (cond & c)
+    diff = F.abs(
+        F.unix_micros(left[left_ts]) - F.unix_micros(r[right_ts])
+    ).cast("double") / F.lit(1_000_000.0)
+    rng = diff <= F.lit(tolerance_seconds)
+    cond = rng if cond is None else (cond & rng)
+    joined = left.join(r, cond, "inner").withColumn("__absdiff", diff)
+    w = Window.partitionBy(left[left_id]).orderBy("__absdiff", r[right_ts])
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__absdiff")
+    )
+
+
+def overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[tuple[str, str]],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    how: str = "inner",
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """J8: interval-interval overlap join — ``max(starts) < min(ends)``
+    (05_cpd_algorithm_tuning.py:121-139)."""
+    r = F.broadcast(right) if broadcast_right else right
+    cond = None
+    for lk, rk in keys:
+        c = left[lk] == r[rk]
+        cond = c if cond is None else (cond & c)
+    ovl = (left[left_start] < r[right_end]) & (r[right_start] < left[left_end])
+    cond = ovl if cond is None else (cond & ovl)
+    return left.join(r, cond, how)
+
+
+def fraction_of_total(
+    df: DataFrame, keys: Sequence[str], round_to: int = 4
+) -> DataFrame:
+    """J10: scalar-subquery percentage — per-group count over global count
+    (debug_notebook_corrected.py:137-147). Window-over-empty-partition form:
+    one extra exchange, no crossJoin."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    total = F.sum("n").over(Window.partitionBy())
+    return counts.withColumn(
+        "pct", F.round(F.col("n") / total * 100.0, round_to)
+    )
+
+
+def lookup_join(
+    df: DataFrame,
+    mapping: dict[str, str],
+    col: str,
+    out: str,
+    default: str = "unknown",
+) -> DataFrame:
+    """Data-driven enum decode as a broadcast lookup join (the testable
+    alternative to a CASE chain, 02_raw_telemetry_transform.py:282-327)."""
+    spark = df.sparkSession
+    lut = spark.createDataFrame(
+        [(k, v) for k, v in mapping.items()], schema=f"__k string, {out} string"
+    )
+    norm = F.lower(F.trim(F.coalesce(F.col(col), F.lit(default))))
+    return (
+        df.withColumn("__k", norm)
+        .join(F.broadcast(lut), "__k", "left")
+        .withColumn(out, F.coalesce(F.col(out), F.lit(default)))
+        .drop("__k")
+    )

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+The decode step is STUBBED (no image/audio libs in this container): the
+Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
+is real and tested, and `decode_stub=True` swaps in a deterministic fake
+(byte-statistics features) so the dataflow is exercised end-to-end.
+Swap `_decode_image` for a real PIL/opencv call on a cluster with the libs.
+
+Scale notes: binary payloads ride in Arrow record batches; cap
+`spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of blobs fits in
+executor memory, and repartition by a content-size bucket when blob sizes
+are heavily skewed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, DoubleType, LongType, StringType, StructField, StructType,
+)
+
+from datamine_v2_0_spark.shipping import ship_by_value
+
+# _extract closures reference this module's own helpers (_fake_features,
+# FEATURE_SCHEMA) — ship them by value so workers need no package install
+ship_by_value(sys.modules[__name__])
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),  # image|audio|video
+        StructField("payload", StringType()),  # binary in real data; see note
+        StructField("width", LongType()),
+        StructField("height", LongType()),
+        StructField("sample_rate", LongType()),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("n_bytes", LongType()),
+        StructField("content_sha256", StringType()),
+        StructField("features", ArrayType(DoubleType())),
+    ]
+)
+
+
+def _decode_image(payload: bytes) -> np.ndarray:
+    """Real decoder goes here (PIL.Image.open etc.)."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv — not available in this container; "
+        "use decode_stub=True for the deterministic fake"
+    )
+
+
+def _fake_features(payload: bytes, k: int = 8) -> list[float]:
+    """Deterministic fake 'embedding': byte histogram moments. Stands in
+    for a real decode+featurize so the distributed plumbing is testable."""
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+    if arr.size == 0:
+        return [0.0] * k
+    feats = [
+        float(arr.mean()),
+        float(arr.std()),
+        float(arr.min()),
+        float(arr.max()),
+        float(np.median(arr)),
+        float(arr.size),
+        float((arr > 127).mean()),
+        float(np.diff(arr).mean() if arr.size > 1 else 0.0),
+    ]
+    return [round(v, 6) for v in feats[:k]]
+
+
+def extract_media_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    type_col: str = "media_type",
+    decode_stub: bool = True,
+) -> DataFrame:
+    """mapInPandas feature extraction over binary media payloads.
+
+    Each Arrow batch is processed vectorized-per-row in Python; output is a
+    narrow typed feature table (the wide blob column does NOT survive the
+    operator — project early, keep the shuffle narrow)."""
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for _, r in pdf.iterrows():
+                payload = r[payload_col]
+                if isinstance(payload, str):
+                    payload = payload.encode("utf-8")
+                payload = payload or b""
+                if decode_stub:
+                    feats = _fake_features(payload)
+                else:
+                    feats = _decode_image(payload).ravel()[:8].tolist()
+                rows.append(
+                    {
+                        "media_id": r[id_col],
+                        "media_type": r[type_col],
+                        "n_bytes": len(payload),
+                        "content_sha256": hashlib.sha256(payload).hexdigest(),
+                        "features": feats,
+                    }
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in FEATURE_SCHEMA.fields])
+
+    return df.mapInPandas(_extract, schema=FEATURE_SCHEMA)
+
+
+def media_table_from_documents(docs: DataFrame) -> DataFrame:
+    """Build a synthetic media table from the documents fixture: the text
+    payload plays the role of the blob. Lets the multimodal plumbing run
+    against driver testdata without real binaries."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("media_type"),
+        F.col("text").alias("payload"),
+        F.length("text").cast("long").alias("width"),
+        F.lit(1).cast("long").alias("height"),
+        F.lit(0).cast("long").alias("sample_rate"),
+    )

@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two tiers, per the standard ANN playbook:
+- `cosine_topk`: brute-force exact top-k — the correctness baseline.
+  Dot products are JVM-side (`zip_with` + `aggregate`), ranking is a
+  window rank over (query, candidate) pairs.
+- `lsh_topk`: random-hyperplane LSH (Charikar 2002) — sign-bit signatures
+  bucket the corpus; only same-bucket pairs are scored. This is the
+  100 TB path: candidate generation is an equi join on the bucket key,
+  never all-pairs.
+
+The hyperplanes are deterministic (seeded NumPy), generated driver-side
+(KB of data), and inlined as literals — the same pattern as broadcasting.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """JVM-side dot product of two array<float/double> columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Queries are broadcast (small side); the corpus streams map-side, so the
+    only shuffle is the per-query top-k window. Scores are rounded before
+    ranking (with id tiebreak) for cross-engine determinism.
+
+    Returns (query_id, neighbor_id, cos_sim) excluding self-matches."""
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
+        )
+    )
+    pairs = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+    ).crossJoin(q)
+    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def bucketed_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    bucket_col: str,
+    k: int = 3,
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF-style partitioned ANN: score only candidates in the query's
+    bucket (a coarse-quantizer cell / cluster id). The probe is an equi
+    join on the bucket key — the canonical 100 TB layout: partition the
+    corpus by bucket, broadcast the queries, never all-pairs."""
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(bucket_col).alias("__bkt"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            F.col(bucket_col).alias("__bkt"),
+        )
+    )
+    pairs = c.join(q, "__bkt").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def hyperplane_signature(
+    vec: Column, planes: np.ndarray
+) -> Column:
+    """Sign-bit LSH signature: one bit per hyperplane, packed into a long.
+    `planes` is (num_planes<=63, dim)."""
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        plane = F.array(*[F.lit(float(v)) for v in p])
+        bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + F.shiftleft(bit, i)
+    return sig
+
+
+def make_hyperplanes(dim: int, num_planes: int = 12, seed: int = 42) -> np.ndarray:
+    return np.random.RandomState(seed).standard_normal((num_planes, dim))
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 5,
+    num_planes: int = 10,
+    seed: int = 42,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate top-k: score only candidates sharing the query's LSH
+    bucket. Bucket join is an equi join — the scale path. Recall is tuned
+    by num_planes (fewer planes → bigger buckets → higher recall)."""
+    planes = make_hyperplanes(dim, num_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qvec"),
+            hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+        )
+    )
+    pairs = c.join(q, "__bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,121 @@
+"""Text-analysis operators for training-data pipelines.
+
+Language ID (stopword-profile heuristic), quality scoring (length / punct /
+stopword ratios), token counting (whitespace + BPE-ish regex), and document
+fingerprinting (normalize → sort distinct tokens → hash; the classic
+key-collision fingerprint). All pure JVM-side Column algebra — these run
+inside whole-stage codegen over a 100 TB corpus with zero Python cost.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Minimal high-frequency stopword profiles. Scoring = count of profile-word
+# occurrences; the language with the max score wins ('und' = undetermined).
+_LANG_PROFILES: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "für", "von"],
+    "fr": ["le", "la", "les", "et", "est", "une", "pour", "dans", "que", "pas"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+}
+
+
+def token_count_ws(col: Column) -> Column:
+    """Whitespace token count; empty/NULL → 0."""
+    t = F.trim(col)
+    return F.when(
+        t.isNull() | (t == ""), F.lit(0)
+    ).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def token_count_bpe(col: Column) -> Column:
+    """BPE-ish subword proxy: count word chunks, digits runs, and
+    punctuation marks separately (a deterministic stand-in for a real
+    tokenizer's token count; gpt-2-style pre-tokenizer split classes)."""
+    return (
+        F.coalesce(F.regexp_count(col, F.lit(r"[A-Za-z]+")), F.lit(0))
+        + F.coalesce(F.regexp_count(col, F.lit(r"\d+")), F.lit(0))
+        + F.coalesce(F.regexp_count(col, F.lit(r"[^\sA-Za-z0-9]")), F.lit(0))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    n = F.length(col)
+    return F.when(n > 0, F.regexp_count(col, F.lit(r"[^\sA-Za-z0-9]")) / n).otherwise(
+        F.lit(0.0)
+    )
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    words = _LANG_PROFILES[lang]
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    total = token_count_ws(col)
+    hits = F.regexp_count(F.lower(col), F.lit(pattern))
+    return F.when(total > 0, hits / total).otherwise(F.lit(0.0))
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: rewards reasonable length and
+    stopword presence, penalizes punctuation soup. Deterministic, tunable;
+    the shape (length/punct/stopword signals) follows standard corpus
+    quality-filter practice (e.g. C4/Gopher rules)."""
+    n = F.length(col).cast("double")
+    length_term = F.least(n / F.lit(500.0), F.lit(1.0))
+    sw_term = F.least(stopword_ratio(col) * 4.0, F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(col) * 4.0)
+    return F.round((length_term + sw_term + punct_pen) / 3.0, 6)
+
+
+def lang_scores(col: Column) -> list[Column]:
+    out = []
+    for lang, words in _LANG_PROFILES.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        out.append(
+            F.coalesce(F.regexp_count(F.lower(col), F.lit(pattern)), F.lit(0)).alias(
+                f"score_{lang}"
+            )
+        )
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """Argmax language over the stopword profiles; 'und' when no profile
+    matches at all."""
+    lower = F.lower(col)
+    scores = []
+    for lang, words in _LANG_PROFILES.items():
+        pattern = r"\b(" + "|".join(words) + r")\b"
+        scores.append(
+            F.struct(
+                F.coalesce(F.regexp_count(lower, F.lit(pattern)), F.lit(0)).alias("s"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.greatest(*scores) if len(scores) > 1 else scores[0]
+    return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(col: Column) -> Column:
+    """Key-collision fingerprint: lowercase → split → distinct → sort →
+    join → sha256. Word-order-insensitive duplicate key."""
+    t = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
+    words = F.array_sort(F.array_distinct(F.split(t, " ")))
+    return F.sha2(F.array_join(words, " "), 256)
+
+
+def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One-pass text-analysis projection: token counts, ratios, quality,
+    language, fingerprint."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars"),
+        token_count_ws(c).alias("n_tokens_ws"),
+        token_count_bpe(c).alias("n_tokens_bpe"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio_en"),
+        quality_score(c).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fingerprint"),
+    )

@@ -1,0 +1,177 @@
+"""Window-function operators (SURVEY.md §2.5, W1-W15).
+
+Behavioral reference: the Postgres named window ``PARTITION BY device_id,
+device_date ORDER BY timestamp`` used throughout
+``STEP 4 - Feature Engineering/04_worker_script.sql:4-68`` in
+ckpronto/datamine_v2.0. All wrappers are generic: callers pass partition /
+order columns, so the same operators run on the TPC-H-ish testdata.
+
+Scale notes:
+- A window over ``partitionBy(keys)`` shuffles once on the keys; every
+  additional window with the SAME partitioning reuses that exchange, so
+  compose many features over one Window spec (Catalyst collapses them into
+  a single Window physical node per frame).
+- Whole-partition windows (no ORDER BY) keep the partition in memory per
+  key — fine for device-day-sized groups (~90k rows), a skew risk for
+  unbounded keys; prefer groupBy+join for those.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def ordered_window(
+    partition_by: Sequence[str | Column], order_by: Sequence[str | Column]
+) -> WindowSpec:
+    """The canonical ``PARTITION BY ... ORDER BY ...`` spec (reference: named
+    window ``w`` at 04_worker_script.sql:27)."""
+    return Window.partitionBy(*partition_by).orderBy(*order_by)
+
+
+# --- W1/W2: lag ---------------------------------------------------------
+
+def lag_col(col: str | Column, w: WindowSpec, offset: int = 1) -> Column:
+    """W1: ``LAG(col, offset) OVER w``."""
+    return F.lag(col, offset).over(w)
+
+
+def lag_default_current(col: Column, w: WindowSpec, offset: int = 1) -> Column:
+    """W2: Postgres 3-arg ``LAG(col, 1, col)`` whose default references the
+    current row's value — Spark's lag default must be a literal, so emulate
+    with coalesce (04_worker_script.sql:23)."""
+    return F.coalesce(F.lag(col, offset).over(w), col)
+
+
+# --- W3/W4/W11: rolling frames ------------------------------------------
+
+def rolling_mean(col: str | Column, w: WindowSpec, before: int, after: int) -> Column:
+    """W3/W11: ROWS-frame rolling mean; centered 5-pt smooth is
+    ``before=2, after=2`` (04_worker_script.sql:25)."""
+    return F.avg(col).over(w.rowsBetween(-before, after))
+
+
+def rolling_stddev(col: str | Column, w: WindowSpec, before: int, after: int) -> Column:
+    """W11: trailing/centered rolling sample stddev."""
+    return F.stddev(col).over(w.rowsBetween(-before, after))
+
+
+def range_frame_mean(
+    col: str | Column,
+    partition_by: Sequence[str | Column],
+    ts_seconds: Column,
+    preceding_seconds: int,
+) -> Column:
+    """W4: ``RANGE BETWEEN INTERVAL 'n seconds' PRECEDING AND CURRENT ROW``
+    over a numeric epoch-seconds ordering (STEP 4 README:68-74)."""
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(ts_seconds)
+        .rangeBetween(-preceding_seconds, 0)
+    )
+    return F.avg(col).over(w)
+
+
+# --- W5: whole-partition aggregate as window ----------------------------
+
+def partition_agg(agg: Column, partition_by: Sequence[str | Column]) -> Column:
+    """W5: e.g. ``STDDEV(load_weight) OVER (PARTITION BY device_id)``
+    (04_worker_script.sql:62). Pass the aggregate expression unevaluated:
+    ``partition_agg(F.stddev("x"), ["device_id"])``."""
+    return agg.over(Window.partitionBy(*partition_by))
+
+
+# --- W6/W7: gaps-and-islands + running sums -----------------------------
+
+def change_flag(col: str | Column, w: WindowSpec) -> Column:
+    """W10: 1 where the value differs from the previous row (null-safe on
+    the first row of each partition)."""
+    c = F.col(col) if isinstance(col, str) else col
+    prev = F.lag(c, 1).over(w)
+    return F.when(prev.isNull() | (c != prev), F.lit(1)).otherwise(F.lit(0))
+
+
+def block_id(col: str | Column, w: WindowSpec) -> Column:
+    """W6: gaps-and-islands block id — running sum of change flags
+    (04_worker_script.sql:30-37)."""
+    return F.sum(change_flag(col, w)).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+
+def running_sum(col: str | Column, w: WindowSpec) -> Column:
+    """W7: running sum within partition, e.g. time-in-state
+    (04_worker_script.sql:63-66)."""
+    return F.sum(col).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+# --- W8: inter-row time delta -------------------------------------------
+
+def time_delta_seconds(ts: str | Column, w: WindowSpec) -> Column:
+    """W8: ``EXTRACT(EPOCH FROM ts - LAG(ts))`` (04_worker_script.sql:24).
+
+    Uses microsecond-precision ``unix_micros`` so sub-second telemetry
+    cadence (~2 Hz) survives."""
+    c = F.col(ts) if isinstance(ts, str) else ts
+    micros = F.unix_micros(c)
+    return (micros - F.lag(micros, 1).over(w)).cast("double") / F.lit(1_000_000.0)
+
+
+# --- W9: per-group min/max as window ------------------------------------
+
+def group_min_max(
+    col: str | Column, partition_by: Sequence[str | Column]
+) -> tuple[Column, Column]:
+    """W9: event start/end (event_boundary_analysis.py:73-77)."""
+    w = Window.partitionBy(*partition_by)
+    return F.min(col).over(w), F.max(col).over(w)
+
+
+# --- W12/W13: differences & shifts --------------------------------------
+
+def diff(col: str | Column, w: WindowSpec, periods: int = 1) -> Column:
+    """W12: k-step difference ``col - lag(col, k)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c - F.lag(c, periods).over(w)
+
+
+def second_diff(col: str | Column, w: WindowSpec) -> Column:
+    """W12: ``diff().diff()`` — difference of the 1-step difference."""
+    d1 = diff(col, w, 1)
+    return d1 - F.lag(d1, 1).over(w)
+
+
+# --- W14: persistence counter -------------------------------------------
+
+def persistence_counter(w: WindowSpec) -> Column:
+    """W14: ``cumcount()+1`` within (partition, block) — plain row_number."""
+    return F.row_number().over(w)
+
+
+# --- W15: rank-1 nearest ------------------------------------------------
+
+def keep_rank1(
+    df: DataFrame, partition_by: Sequence[str | Column], order_by: Sequence[Column]
+) -> DataFrame:
+    """W15: ``row_number() == 1`` filter — the decorrelated rewrite of the
+    reference's ORDER BY ABS(...) LIMIT 1 correlated subquery
+    (claudeinstructions.md:74-84)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --- forward fill (smoothing family, §2.8) ------------------------------
+
+def ffill(col: str | Column, w: WindowSpec) -> Column:
+    """Forward-fill nulls: ``last(col, ignorenulls=True)`` over an
+    unbounded-preceding frame (database_pipeline.py:207-217)."""
+    return F.last(col, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    )

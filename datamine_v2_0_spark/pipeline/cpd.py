@@ -1,0 +1,156 @@
+"""Change-point detection stage (gold part 2) — SURVEY.md §3.3 / §2.10 F4.
+
+Re-expression of the reference's three-script CPD pipeline
+(``STEP 5 - CPD/05_export_features_to_parquet.py`` →
+``05_cpd_orchestrator_polars.py`` → ``05_load_candidates_to_db.py``,
+ckpronto/datamine_v2.0) as ONE Spark job:
+
+    5 s tumbling downsample (A11)  →  groupBy(partition_key).applyInPandas(PELT)
+
+The ProcessPoolExecutor(90)+temp-parquet orchestration collapses into
+Spark's task scheduler; the CSV/string-typed hop disappears because the
+DataFrame stays typed end-to-end.
+
+Scale notes:
+- The downsample (mean per 5 s bucket, `first` hash id) runs BEFORE the
+  Python stage — a 10× row reduction ahead of the O(n²)-ish kernel, the
+  reference's own algorithmic key (05_cpd_orchestrator_polars.py:262-276).
+- One Arrow batch per partition key (device_date): bounded group size
+  (~9k rows post-downsample). Skewed/oversized days are the critical path;
+  cap with `max_group_rows` (tail-truncate, logged in output).
+- Dual-signal branch: devices without a reliable payload signal fall back
+  to two PELT passes (speed + altitude) unioned
+  (05_cpd_orchestrator_polars.py:205-222,291-390).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from datamine_v2_0_spark.functions import signal as _signal
+from datamine_v2_0_spark.functions.signal import pelt_l2
+from datamine_v2_0_spark.shipping import ship_by_value
+
+ship_by_value(_signal)
+
+CANDIDATE_SCHEMA = (
+    "partition_key string, signal_name string, bucket_ts timestamp, "
+    "bucket_id string"
+)
+
+# reference parameters: 05_cpd_orchestrator_polars.py:66-70
+PEN = 0.05
+MIN_SIZE = 10
+JUMP = 1
+
+
+def downsample(
+    df: DataFrame,
+    partition_col: str,
+    ts: str,
+    signal_cols: list[str],
+    id_col: str,
+    duration: str = "5 seconds",
+) -> DataFrame:
+    """Left-closed tumbling mean per signal + first id per bucket
+    (group_by_dynamic parity, 05_cpd_orchestrator_polars.py:262-276)."""
+    aggs = [F.avg(c).alias(c) for c in signal_cols]
+    aggs.append(F.min_by(id_col, ts).alias(id_col))
+    return (
+        df.groupBy(partition_col, F.window(ts, duration).alias("w"))
+        .agg(*aggs)
+        .withColumn("bucket_ts", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def detect_change_points(
+    downsampled: DataFrame,
+    partition_col: str,
+    signal_cols: list[str],
+    id_col: str,
+    penalty: float = PEN,
+    min_size: int = MIN_SIZE,
+    jump: int = JUMP,
+    dual_threshold_stddev: float | None = None,
+    max_group_rows: int | None = 200_000,
+) -> DataFrame:
+    """Per-partition PELT via applyInPandas.
+
+    If ``dual_threshold_stddev`` is set, a partition whose FIRST signal's
+    stddev falls below it is treated as payload-unreliable and PELT runs on
+    each REMAINING signal instead (the 775G dual-signal branch,
+    05_cpd_orchestrator_polars.py:291-390); otherwise only signal_cols[0]
+    is analyzed.
+
+    Output: one row per detected change point:
+    (partition_key, signal_name, bucket_ts, bucket_id).
+    """
+    primary, *fallbacks = signal_cols
+
+    def _detect(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        if max_group_rows is not None and len(pdf) > max_group_rows:
+            pdf = pdf.iloc[:max_group_rows]
+        key = pdf[partition_col].iloc[0] if len(pdf) else None
+        out = []
+
+        def run(signal_name: str):
+            sig = pdf[signal_name].astype("float64").to_numpy()
+            mask = ~pd.isna(sig)
+            sub = pdf[mask]
+            vals = sig[mask]
+            for b in pelt_l2(vals, penalty, min_size=min_size, jump=jump):
+                out.append(
+                    {
+                        "partition_key": key,
+                        "signal_name": signal_name,
+                        "bucket_ts": sub["bucket_ts"].iloc[b],
+                        "bucket_id": sub[id_col].iloc[b],
+                    }
+                )
+
+        use_fallback = False
+        if dual_threshold_stddev is not None and fallbacks:
+            sd = pdf[primary].astype("float64").std()
+            use_fallback = not (sd == sd) or sd < dual_threshold_stddev
+        if use_fallback:
+            for c in fallbacks:
+                run(c)
+        else:
+            run(primary)
+        cols = ["partition_key", "signal_name", "bucket_ts", "bucket_id"]
+        return pd.DataFrame(out, columns=cols)
+
+    # bucket_id is declared string in CANDIDATE_SCHEMA; cast JVM-side so the
+    # Arrow batch arriving in Python already matches (int ids otherwise fail
+    # the pandas→Arrow conversion on output).
+    downsampled = downsampled.withColumn(id_col, F.col(id_col).cast("string"))
+    return downsampled.groupBy(partition_col).applyInPandas(
+        _detect, schema=CANDIDATE_SCHEMA
+    )
+
+
+def cpd_pipeline(
+    df: DataFrame,
+    partition_col: str,
+    ts: str,
+    signal_cols: list[str],
+    id_col: str,
+    duration: str = "5 seconds",
+    penalty: float = PEN,
+    min_size: int = MIN_SIZE,
+    dual_threshold_stddev: float | None = None,
+) -> DataFrame:
+    """Full CPD stage: downsample → per-partition PELT → candidate events."""
+    ds = downsample(df, partition_col, ts, signal_cols, id_col, duration)
+    return detect_change_points(
+        ds,
+        partition_col,
+        signal_cols,
+        id_col,
+        penalty=penalty,
+        min_size=min_size,
+        dual_threshold_stddev=dual_threshold_stddev,
+    )

@@ -38,6 +38,10 @@ def get_spark(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus))
     )
 
+    # NOTE: spark.driver.memory only takes effect at first JVM launch; it is
+    # silently ignored by getOrCreate() on an existing session, so set it via
+    # SPARK_DRIVER_MEM / spark-submit for the first session only.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,10 +55,11 @@ def get_spark(
         # parquet scans: pushdown + pruning are on by default; pin them
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if driver_mem and SparkSession.getActiveSession() is None:
+        builder = builder.config("spark.driver.memory", driver_mem)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
