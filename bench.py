@@ -1,0 +1,67 @@
+"""Headline benchmark: run the engine's flagship queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line.
+
+Each query is forced end-to-end with a noop sink (full computation, no
+driver-side collect cost). Times are per-query wall seconds; `value` is
+the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from datamine_v2_0_spark.contract import QUERIES  # noqa: E402
+from datamine_v2_0_spark.session import get_spark  # noqa: E402
+
+# Representative of every operator family; ordered cheap → expensive.
+HEADLINE = [
+    "agg_grouped_stats",     # grouped agg (TPC-H Q1 shape)
+    "agg_tumbling",          # 5s-style tumbling window downsample
+    "agg_percentiles",       # exact percentiles (sort-heavy)
+    "win_rolling",           # window functions over events
+    "win_blocks",            # gaps-and-islands two-pass window
+    "join_equi_revenue",     # 3-table join + agg
+    "join_asof",             # as-of nearest join (window rank-1)
+    "join_overlap",          # interval overlap self-join
+    "filt_project_range",    # pushdown scan
+    "scalar_hash_id",        # sha256 + pg timestamp rendering
+    "text_tokens",           # text analysis over documents
+    "dedup_minhash_lsh",     # MinHash+LSH candidate pairs
+    "sim_cosine_topk",       # brute-force cosine top-k
+    "cpd_candidates",        # downsample + applyInPandas PELT
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark("bench")
+    # warm the JVM/session with a trivial job so q1 isn't charged startup
+    spark.range(1000).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _sql = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    out = {
+        "metric": "headline_query_total",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

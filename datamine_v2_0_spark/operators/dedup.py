@@ -54,18 +54,30 @@ def word_shingles(col: Column, n: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
-def _salted_hash(salt: str):
-    # Closure factory: PySpark inspects lambda arity, so a `lambda s, i=i`
-    # default-arg capture is treated as the 2-arg (element, index) form and
-    # the index Column shadows the captured value.
-    return lambda s: F.xxhash64(F.concat(s, F.lit(salt)))
+def _rehash(i: int):
+    # i-th MinHash function: xxhash64 of (base_hash, i) — fixed-width
+    # native hashing of an 8-byte value, no per-function pass over the
+    # text, and no long arithmetic (ANSI mode throws on wraparound).
+    return lambda h: F.xxhash64(h, F.lit(i))
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 64) -> Column:
-    """MinHash signature: per hash function i, min over shingles of
-    xxhash64(shingle ++ '#i'). Empty shingle sets → nulls."""
+def shingle_hashes(shingles: Column) -> Column:
+    """Base 64-bit hash per distinct shingle (computed once per doc)."""
+    return F.transform(shingles, lambda s: F.xxhash64(s))
+
+
+def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
+    """MinHash signature from precomputed shingle hashes: per hash function
+    i, min over shingles of ``xxhash64(h, i)``. Empty sets → nulls.
+
+    Callers MUST materialize ``hashes`` as its own projected column first
+    (e.g. ``.select(..., shingle_hashes(...).alias("__h"))``): referencing
+    an inline expression here would duplicate the whole shingle pipeline
+    into each of the num_hashes branches (Catalyst's CollapseProject keeps
+    a multiply-referenced non-cheap alias materialized, so the two-step
+    select is what makes this single-pass)."""
     sigs = [
-        F.array_min(F.transform(shingles, _salted_hash(f"#{i}"))).alias(f"mh{i}")
+        F.array_min(F.transform(hashes, _rehash(i))).alias(f"mh{i}")
         for i in range(num_hashes)
     ]
     return F.array(*sigs)
@@ -107,11 +119,12 @@ def minhash_lsh_candidates(
     on (band, bucket) → distinct pairs. The join key is the band bucket, so
     this is shuffle-on-bucket — never a cross join. Returns (id_a, id_b)
     with id_a < id_b."""
-    sig = df.select(
+    hashed = df.select(
         F.col(id_col),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias(
-            "__sig"
-        ),
+        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("__h"),
+    )
+    sig = hashed.select(
+        F.col(id_col), minhash_signature(F.col("__h"), num_hashes).alias("__sig")
     )
     rows_per_band = num_hashes // bands
     banded = sig.select(
