@@ -56,9 +56,11 @@ def parse_position(pos_text: Column) -> Column:
     struct<longitude,latitude,altitude>; malformed/NULL → NULL struct."""
     stripped = F.regexp_replace(F.trim(pos_text), r"[{}\[\]()]", "")
     parts = F.split(stripped, r"\s*,\s*")
-    lat = parts.getItem(0).cast("double")
-    lon = parts.getItem(1).cast("double")
-    alt = parts.getItem(2).cast("double")
+    # get() + try_cast: malformed/short input must yield NULL, not an ANSI
+    # runtime error (getItem throws INVALID_ARRAY_INDEX, cast CAST_INVALID_INPUT)
+    lat = F.get(parts, 0).try_cast("double")
+    lon = F.get(parts, 1).try_cast("double")
+    alt = F.get(parts, 2).try_cast("double")
     ok = lat.isNotNull() & lon.isNotNull() & lat.between(-90, 90) & lon.between(-180, 180)
     return F.when(
         ok, F.struct(lon.alias("longitude"), lat.alias("latitude"), alt.alias("altitude"))

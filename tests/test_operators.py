@@ -1,0 +1,198 @@
+"""Spark-level operator tests on tiny in-memory frames: windows,
+dedup, joins, smoothing, multimodal plumbing."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datamine_v2_0_spark.operators import dedup as dd
+from datamine_v2_0_spark.operators import joins as jn
+from datamine_v2_0_spark.operators import multimodal as mm
+from datamine_v2_0_spark.operators import smoothing as sm
+from datamine_v2_0_spark.operators import spatial as sp
+from datamine_v2_0_spark.operators import windows as win
+from datamine_v2_0_spark.schemas import ZONES
+
+
+def _ts(s):
+    return datetime.fromisoformat(s).replace(tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    rows = [
+        Row(dev="a", ts=_ts(f"2025-01-01 00:00:{i:02d}"), state=s, v=float(v))
+        for i, (s, v) in enumerate(
+            [("idle", 1), ("idle", 2), ("move", 3), ("move", 4), ("idle", 5)]
+        )
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_block_id_gaps_and_islands(spark, seq_df):
+    w = win.ordered_window(["dev"], ["ts"])
+    got = seq_df.select("state", win.block_id("state", w).alias("b")).collect()
+    assert [r["b"] for r in got] == [1, 1, 2, 2, 3]
+
+
+def test_ffill(spark):
+    rows = [
+        Row(dev="a", i=1, v=1.0), Row(dev="a", i=2, v=None),
+        Row(dev="a", i=3, v=None), Row(dev="a", i=4, v=4.0),
+    ]
+    df = spark.createDataFrame(rows, "dev string, i int, v double")
+    w = win.ordered_window(["dev"], ["i"])
+    got = df.select(win.ffill("v", w).alias("f")).orderBy("i").collect()
+    assert [r["f"] for r in got] == [1.0, 1.0, 1.0, 4.0]
+
+
+def test_lag_default_current(spark, seq_df):
+    w = win.ordered_window(["dev"], ["ts"])
+    got = seq_df.select(win.lag_default_current(F.col("v"), w).alias("l")).orderBy(
+        "ts"
+    ).collect()
+    # first row has no predecessor -> its own value
+    assert [r["l"] for r in got] == [1.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_time_delta_seconds(spark, seq_df):
+    w = win.ordered_window(["dev"], ["ts"])
+    got = seq_df.select(win.time_delta_seconds("ts", w).alias("d")).orderBy(
+        "ts"
+    ).collect()
+    assert got[0]["d"] is None
+    assert [r["d"] for r in got[1:]] == [1.0, 1.0, 1.0, 1.0]
+
+
+def test_keep_rank1(spark, seq_df):
+    got = win.keep_rank1(seq_df, ["dev"], [F.desc("v")]).collect()
+    assert len(got) == 1 and got[0]["v"] == 5.0
+
+
+def test_exact_dedup_keeps_lowest_id(spark):
+    rows = [
+        Row(doc_id=1, text="Hello  world"),
+        Row(doc_id=2, text="hello world"),   # same after normalization
+        Row(doc_id=3, text="different"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = sorted(r["doc_id"] for r in dd.exact_dedup(df, "text", "doc_id").collect())
+    assert got == [1, 3]
+
+
+def test_minhash_identical_docs_identical_signature(spark):
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    df = spark.createDataFrame([Row(doc_id=1, text=txt), Row(doc_id=2, text=txt)])
+    hashed = df.select(
+        "doc_id", dd.shingle_hashes(dd.word_shingles(F.col("text"))).alias("h")
+    )
+    sigs = hashed.select(
+        "doc_id", dd.minhash_signature(F.col("h"), 16).alias("sig")
+    ).collect()
+    assert sigs[0]["sig"] == sigs[1]["sig"]
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "spark is a unified analytics engine for large scale data processing " * 3
+    rows = [
+        Row(doc_id=1, text=base),
+        Row(doc_id=2, text=base + " tiny suffix change"),
+        Row(doc_id=3, text="completely unrelated words about cooking pasta dishes"),
+    ]
+    df = spark.createDataFrame(rows)
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dd.minhash_lsh_candidates(
+            df, "text", "doc_id", num_hashes=32, bands=8
+        ).collect()
+    }
+    assert (1, 2) in pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_ngram_jaccard_identical_is_one(spark):
+    txt = "a b c d e f g h i j"
+    df = spark.createDataFrame([Row(doc_id=1, text=txt), Row(doc_id=2, text=txt)])
+    cands = spark.createDataFrame([Row(id_a=1, id_b=2)])
+    got = dd.ngram_jaccard_pairs(cands, df, "text", "doc_id").collect()
+    assert got[0]["jaccard"] == pytest.approx(1.0)
+
+
+def test_simhash_close_for_near_dups(spark):
+    base = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=base + " eleven"),
+         Row(doc_id=3, text="totally different content about other topics entirely")]
+    )
+    got = {r["doc_id"]: r["simhash"] for r in
+           dd.simhash_signatures(df, "text", "doc_id").collect()}
+    ham12 = bin(got[1] ^ got[2]).count("1")
+    ham13 = bin(got[1] ^ got[3]).count("1")
+    assert ham12 < ham13
+
+
+def test_interval_contain_join(spark):
+    left = spark.createDataFrame(
+        [Row(k=1, ts=_ts("2025-01-01 00:05:00")),
+         Row(k=1, ts=_ts("2025-01-01 01:00:00"))]
+    )
+    iv = spark.createDataFrame(
+        [Row(ik=1, s=_ts("2025-01-01 00:00:00"), e=_ts("2025-01-01 00:10:00"),
+             label="x")]
+    )
+    got = jn.interval_contain_join(
+        left, iv, [("k", "ik")], "ts", "s", "e", how="left"
+    ).orderBy("ts").collect()
+    assert got[0]["label"] == "x" and got[1]["label"] is None
+
+
+def test_asof_nearest_join_picks_closest(spark):
+    left = spark.createDataFrame([Row(id=1, k="a", ts=_ts("2025-01-01 00:01:00"))])
+    right = spark.createDataFrame(
+        [Row(rid=10, rk="a", rts=_ts("2025-01-01 00:00:00")),
+         Row(rid=11, rk="a", rts=_ts("2025-01-01 00:01:30")),
+         Row(rid=12, rk="a", rts=_ts("2025-01-01 03:00:00"))]
+    )
+    got = jn.asof_nearest_join(
+        left, right, [("k", "rk")], "ts", "rts", 3600.0, "id"
+    ).collect()
+    assert len(got) == 1 and got[0]["rid"] == 11
+
+
+def test_point_in_polygon_join(spark):
+    df = spark.createDataFrame(
+        [Row(lon=-97.83007, lat=33.25793), Row(lon=-97.0, lat=33.0)]
+    )
+    got = sp.point_in_polygon_join(df, "lon", "lat", ZONES).orderBy("lon").collect()
+    assert got[0]["location_type"] == "Crusher"
+    assert got[1]["location_type"] == "Haul Road / Other"
+
+
+def test_savgol_smooth_grouped(spark):
+    rows = [
+        Row(g="a", i=i, v=3.0 + 0.5 * i - 0.02 * i * i) for i in range(30)
+    ]
+    df = spark.createDataFrame(rows, "g string, i int, v double")
+    got = sm.savgol_smooth(df, ["g"], "i", "v", window=11, polyorder=3).orderBy(
+        "i"
+    ).collect()
+    for r in got:
+        assert r["smoothed"] == pytest.approx(r["v"], abs=1e-6)
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abc"), Row(doc_id=2, text="")],
+        "doc_id long, text string",
+    )
+    media = mm.media_table_from_documents(docs)
+    got = {r["media_id"]: r for r in mm.extract_media_features(media).collect()}
+    import hashlib
+
+    assert got[1]["n_bytes"] == 3
+    assert got[1]["content_sha256"] == hashlib.sha256(b"abc").hexdigest()
+    assert got[2]["n_bytes"] == 0
+    assert len(got[1]["features"]) == 8
