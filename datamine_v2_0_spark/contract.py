@@ -41,7 +41,10 @@ from datamine_v2_0_spark.operators import similarity as sim
 from datamine_v2_0_spark.operators import smoothing as sm
 from datamine_v2_0_spark.operators import text as tx
 from datamine_v2_0_spark.operators import windows as win
+from datamine_v2_0_spark.operators.joins import resolve_priority
 from datamine_v2_0_spark.pipeline import cpd
+from datamine_v2_0_spark.pipeline.features import build_features
+from datamine_v2_0_spark.pipeline.silver import silver_transform
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -1085,6 +1088,315 @@ def q_win_savgol(spark, sf_dir):
     return out.select("event_id", F.round("smoothed", 6).alias("smoothed"))
 
 
+# ------------------------------------------------------- pipeline stages
+
+def _raw_from_events(df: DataFrame) -> DataFrame:
+    """Shape the generic events table like the 11-column raw telemetry CSV
+    so the full silver chain runs on driver testdata."""
+    state = F.element_at(
+        F.array(F.lit("idle"), F.lit("loadToDump"), F.lit("JUNK")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    prndl = F.element_at(
+        F.array(F.lit("p"), F.lit("drive"), F.lit("x")),
+        (F.col("event_id") % 3 + 1).cast("int"),
+    )
+    lat_v = F.col("value") % F.lit(80.0)
+    lon_v = F.col("value") % F.lit(170.0)
+    pos = F.concat(
+        F.lit("{"), lat_v.cast("string"), F.lit(","), lon_v.cast("string"),
+        F.lit(",100.0}"),
+    )
+    return df.select(
+        F.col("event_id"),
+        F.col("ts").cast("string").alias("timestamp"),
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("device_id"),
+        state.alias("state"),
+        F.col("event_type").alias("software_state"),
+        F.when(F.col("value") > 50.0, F.lit("t")).otherwise(F.lit("f")).alias(
+            "system_engaged"
+        ),
+        (F.col("value") % F.lit(10.0)).alias("current_speed"),
+        pos.alias("current_position"),
+        (F.col("value") * 1000.0).alias("load_weight"),
+        prndl.alias("prndl"),
+        F.lit("f").alias("parking_brake_applied"),
+        F.col("props").alias("extras"),
+    )
+
+
+def q_pipeline_silver(spark, sf_dir):
+    raw = _raw_from_events(_t(spark, sf_dir, "events"))
+    out = silver_transform(
+        raw, ingested_at=F.lit(None).cast("timestamp"), passthrough=["event_id"]
+    )
+    return out.select(
+        "event_id",
+        "raw_event_hash_id",
+        "device_date",
+        "state",
+        "prndl",
+        "system_engaged",
+        F.round(F.col("current_position.latitude"), 6).alias("lat"),
+        "extras",
+    )
+
+
+SQL_PIPELINE_SILVER = f"""
+SELECT event_id,
+       sha256('u' || CAST(user_id AS VARCHAR) || '|' ||
+              {_PG_TS_SQL.format(c='ts')}) AS raw_event_hash_id,
+       'u' || CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d')
+           AS device_date,
+       CASE event_id % 3 WHEN 0 THEN 'idle' WHEN 1 THEN 'hauling'
+            ELSE 'unknown' END AS state,
+       CASE event_id % 3 WHEN 0 THEN 'park' WHEN 1 THEN 'drive'
+            ELSE 'unknown' END AS prndl,
+       value > 50.0 AS system_engaged,
+       ROUND(value % 80.0, 6) AS lat,
+       props AS extras
+FROM events
+"""
+
+
+def q_pipeline_features(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    silver = ev.select(
+        "event_id",
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("device_id"),
+        F.concat(
+            F.lit("u"), F.col("user_id").cast("string"), F.lit("_"),
+            F.date_format("ts", "yyyy-MM-dd"),
+        ).alias("device_date"),
+        F.col("ts").alias("timestamp"),
+        (F.col("value") % F.lit(10.0)).alias("current_speed"),
+        (F.col("value") * 1000.0).alias("load_weight"),
+        F.lit(None).cast(
+            "struct<longitude:double,latitude:double,altitude:double>"
+        ).alias("current_position"),
+        F.when(F.col("event_id") % 2 == 0, "drive").otherwise("park").alias(
+            "prndl"
+        ),
+    )
+    feats = build_features(silver)
+    return feats.select(
+        "event_id",
+        "location_type",
+        "is_stationary",
+        F.col("stationary_block_id").cast("long").alias("stationary_block_id"),
+        F.round("speed_rolling_avg_5s", 6).alias("speed_rolling_avg_5s"),
+        F.round("load_weight_rate_of_change", 6).alias("lw_roc"),
+        F.round("time_in_stationary_state", 6).alias("time_in_stat"),
+        "has_reliable_payload",
+        "prndl_drive",
+        "is_heavy_load",
+    )
+
+
+SQL_PIPELINE_FEATURES = """
+WITH silver AS (
+  SELECT event_id,
+         'u' || CAST(user_id AS VARCHAR) AS device_id,
+         'u' || CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d')
+             AS device_date,
+         ts, value % 10.0 AS speed, value * 1000.0 AS lw,
+         CASE WHEN event_id % 2 = 0 THEN 'drive' ELSE 'park' END AS prndl
+  FROM events
+), p1 AS (
+  SELECT *,
+         speed < 0.5 AS is_stationary,
+         CAST(date_diff('microsecond', LAG(ts) OVER w, ts) AS DOUBLE)
+             / 1000000.0 AS time_delta_s,
+         AVG(speed) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             AS speed_rolling_avg_5s,
+         AVG(lw) OVER (w ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+             AS lw_smoothed
+  FROM silver
+  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY ts)
+), p1b AS (
+  SELECT *,
+         lw_smoothed - COALESCE(LAG(lw_smoothed) OVER w, lw_smoothed) AS lw_roc,
+         CASE WHEN LAG(is_stationary) OVER w IS NULL
+               OR LAG(is_stationary) OVER w <> is_stationary
+              THEN 1 ELSE 0 END AS chg,
+         STDDEV(lw) OVER (PARTITION BY device_id) > 1000.0
+             AS has_reliable_payload
+  FROM p1
+  WINDOW w AS (PARTITION BY device_id, device_date ORDER BY ts)
+), p2 AS (
+  SELECT *,
+         SUM(chg) OVER (PARTITION BY device_id, device_date ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS stationary_block_id
+  FROM p1b
+), p3 AS (
+  SELECT *,
+         SUM(COALESCE(time_delta_s, 0.0))
+             OVER (PARTITION BY device_id, device_date, stationary_block_id
+                   ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS run_stat
+  FROM p2
+)
+SELECT event_id,
+       'Haul Road / Other' AS location_type,
+       is_stationary,
+       stationary_block_id,
+       ROUND(speed_rolling_avg_5s, 6) AS speed_rolling_avg_5s,
+       ROUND(lw_roc, 6) AS lw_roc,
+       ROUND(CASE WHEN is_stationary THEN run_stat ELSE 0.0 END, 6)
+           AS time_in_stat,
+       has_reliable_payload,
+       prndl = 'drive' AS prndl_drive,
+       lw_smoothed > 50000.0 AS is_heavy_load
+FROM p3
+"""
+
+
+def q_agg_rollup(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return (
+        df.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        )
+    )
+
+
+SQL_AGG_ROLLUP = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_agg_cube(spark, sf_dir):
+    df = _t(spark, sf_dir, "orders")
+    return df.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_AGG_CUBE = """
+SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+def q_win_range_frame(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    out = df.withColumn(
+        "rmean_300s",
+        win.range_frame_mean(F.col("value"), ["user_id"], epoch, 300),
+    )
+    return out.select("event_id", F.round("rmean_300s", 6).alias("rmean_300s"))
+
+
+SQL_WIN_RANGE_FRAME = """
+SELECT event_id,
+       ROUND(AVG(value) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 300 PRECEDING AND CURRENT ROW), 6) AS rmean_300s
+FROM events
+"""
+
+
+def q_win_minmax_flags(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    mn, mx = win.group_min_max("ts", ["user_id"])
+    return df.select(
+        "event_id",
+        mn.cast("string").alias("first_ts"),
+        mx.cast("string").alias("last_ts"),
+        win.change_flag("event_type", w).alias("type_changed"),
+        F.round(win.second_diff("value", w), 6).alias("accel"),
+    )
+
+
+SQL_WIN_MINMAX_FLAGS = """
+SELECT event_id,
+       CAST(MIN(ts) OVER (PARTITION BY user_id) AS VARCHAR) AS first_ts,
+       CAST(MAX(ts) OVER (PARTITION BY user_id) AS VARCHAR) AS last_ts,
+       CASE WHEN LAG(event_type) OVER w IS NULL
+             OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+           AS type_changed,
+       ROUND((value - LAG(value) OVER w)
+             - (LAG(value) OVER w - LAG(value, 2) OVER w), 6) AS accel
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+def q_join_interval_priority(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("i_user"),
+        F.col("ts").alias("i_start"),
+        F.expr("ts + INTERVAL 30 MINUTES").alias("i_end"),
+        F.lit("post_purchase").alias("i_label"),
+        F.lit(2).alias("i_priority"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("user_id").alias("i_user"),
+        F.col("ts").alias("i_start"),
+        F.expr("ts + INTERVAL 60 MINUTES").alias("i_end"),
+        F.lit("post_error").alias("i_label"),
+        F.lit(1).alias("i_priority"),
+    )
+    intervals = purchases.unionByName(errors)
+    joined = jn.interval_contain_join(
+        ev.select("event_id", "user_id", "ts"),
+        intervals,
+        [("user_id", "i_user")],
+        "ts",
+        "i_start",
+        "i_end",
+        how="left",
+    )
+    resolved = resolve_priority(joined, "event_id", F.col("i_priority"), "i_label")
+    return resolved.select(
+        "event_id", F.coalesce("i_label", F.lit("background")).alias("label")
+    )
+
+
+SQL_JOIN_INTERVAL_PRIORITY = """
+WITH iv AS (
+  SELECT user_id AS i_user, ts AS i_start, ts + INTERVAL 30 MINUTE AS i_end,
+         'post_purchase' AS i_label, 2 AS i_priority
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, ts + INTERVAL 60 MINUTE,
+         'post_error', 1
+  FROM events WHERE event_type = 'error'
+), j AS (
+  SELECT e.event_id, iv.i_label, iv.i_priority
+  FROM events e LEFT JOIN iv
+    ON e.user_id = iv.i_user AND e.ts BETWEEN iv.i_start AND iv.i_end
+)
+SELECT event_id, COALESCE(i_label, 'background') AS label
+FROM j
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
+                           ORDER BY i_priority DESC, i_label) = 1
+"""
+
+
+def q_dedup_exact_keep(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
+
+
+SQL_DEDUP_EXACT_KEEP = r"""
+SELECT doc_id FROM documents
+QUALIFY ROW_NUMBER() OVER (
+    PARTITION BY sha256(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')))
+    ORDER BY doc_id) = 1
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 QUERIES: dict[str, tuple] = {
@@ -1149,4 +1461,13 @@ QUERIES: dict[str, tuple] = {
     "mm_features": (q_mm_features, SQL_MM_FEATURES),
     # CPD (F4) — the flagship applyInPandas stage
     "cpd_candidates": (q_cpd_candidates, None),
+    # pipeline stages (silver / features) + extended operators
+    "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
+    "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
+    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
+    "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
+    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
 }

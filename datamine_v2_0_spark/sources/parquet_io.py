@@ -1,0 +1,77 @@
+"""Partitioned Parquet sink/scan + partition discovery + idempotent writes
+(S4, S5, S6, S14).
+
+Behavioral reference: ckpronto/datamine_v2.0
+``STEP 5 - CPD/05_export_features_to_parquet.py:62-68,303-313`` (Hive layout
+``device_date=<val>/``, snappy, dictionary encoding) and the lazy scan at
+``05_cpd_orchestrator_polars.py:190-201``.
+
+Scale notes: partition layout IS the index at 100 TB — a filter on the
+partition column prunes directories before any IO; column projection prunes
+pages via parquet metadata. Both happen automatically when the plan is
+declarative; `read_parquet_pruned` just pins the idiom.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_parquet_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: Sequence[str],
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """S4: Hive-partitioned Parquet sink. Repartition on the partition
+    columns first so each output directory is written by one task (avoids
+    the many-small-files explosion of N tasks × P partitions)."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.mode(mode)
+        .option("compression", compression)
+        .partitionBy(*partition_cols)
+        .parquet(path)
+    )
+
+
+def read_parquet_pruned(
+    spark: SparkSession,
+    path: str,
+    columns: Sequence[str] | None = None,
+    predicate=None,
+) -> DataFrame:
+    """S5: lazy scan with column pruning + predicate pushdown (Catalyst
+    pushes both into the parquet reader; `.explain` shows PushedFilters /
+    ReadSchema)."""
+    df = spark.read.parquet(path)
+    if predicate is not None:
+        df = df.filter(predicate)
+    if columns is not None:
+        df = df.select(*columns)
+    return df
+
+
+def list_partitions(spark: SparkSession, path: str, partition_col: str) -> list[str]:
+    """S6: enumerate partition values (metadata-only scan over the
+    partition column — no data pages are read)."""
+    rows = (
+        spark.read.parquet(path)
+        .select(partition_col)
+        .distinct()
+        .orderBy(partition_col)
+        .collect()
+    )
+    return [r[partition_col] for r in rows]
+
+
+def write_table_idempotent(
+    df: DataFrame, name: str, recreate: bool = False
+) -> None:
+    """S14: table-exists semantics — ``mode=ignore`` skips when present,
+    ``--recreate-table`` maps to overwrite (01_ingest_raw_telemetry.py:99-139)."""
+    df.write.mode("overwrite" if recreate else "ignore").saveAsTable(name)

@@ -1,0 +1,71 @@
+"""Streaming operators: tumbling aggregation with watermark, hash-key
+dedup, session windows.
+
+Batch↔stream parity (SURVEY.md §2.9 table):
+- 5 s tumbling window agg (05_cpd_orchestrator_polars.py:262-276) →
+  identical groupBy(window(...)) under readStream + watermark.
+- idempotent incremental ingest via deterministic hash key
+  (02_raw_telemetry_transform.py:345-378) → withWatermark + dropDuplicates.
+- gaps-and-islands stationary blocks (04_worker_script.sql:30-37) →
+  session_window is the idiomatic streaming analog (rows-semantics parity
+  still via the batch window-function form; ship both).
+
+Scale notes: watermarks bound state; without one, streaming aggregation
+state grows forever. Session-window state is per (key, open session).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def streaming_tumbling_agg(
+    stream: DataFrame,
+    ts: str,
+    duration: str,
+    aggs: Sequence[Column],
+    watermark: str = "10 seconds",
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Left-closed tumbling aggregation over an event-time column with a
+    late-data watermark. Works on batch DataFrames too (watermark is a
+    no-op there) — same code path for both."""
+    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
+    return (
+        src.groupBy(*extra_keys, F.window(ts, duration).alias("w"))
+        .agg(*aggs)
+        .withColumn("bucket_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
+def streaming_dedup(
+    stream: DataFrame, key_cols: Sequence[str], ts: str, watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon: the streaming
+    form of the hash-key anti-join dedup."""
+    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
+    return src.dropDuplicates([*key_cols])
+
+
+def streaming_session_windows(
+    stream: DataFrame,
+    ts: str,
+    keys: Sequence[str],
+    gap: str,
+    aggs: Sequence[Column],
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Session windows (gap-closed activity periods) per key — the
+    streaming analog of gaps-and-islands blocks."""
+    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
+    return (
+        src.groupBy(*keys, F.session_window(ts, gap).alias("w"))
+        .agg(*aggs)
+        .withColumn("session_start", F.col("w.start"))
+        .withColumn("session_end", F.col("w.end"))
+        .drop("w")
+    )

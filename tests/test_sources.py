@@ -1,0 +1,130 @@
+"""Source/sink round-trips: validated CSV, partitioned Parquet,
+Label Studio JSON flattening, VALUES view."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datamine_v2_0_spark.sources.csv_io import (
+    HeaderMismatchError,
+    read_csv_validated,
+    write_csv_partitioned,
+    write_csv_single,
+)
+from datamine_v2_0_spark.sources.annotations import (
+    flatten_label_studio,
+    read_label_studio_json,
+)
+from datamine_v2_0_spark.sources.parquet_io import (
+    list_partitions,
+    read_parquet_pruned,
+    write_parquet_partitioned,
+)
+from datamine_v2_0_spark.sources.values_io import rows_as_view
+from pyspark.sql import types as T
+
+CSV_SCHEMA = T.StructType(
+    [
+        T.StructField("a", T.StringType()),
+        T.StructField("b", T.IntegerType()),
+        T.StructField("c", T.StringType()),
+    ]
+)
+
+
+def test_csv_roundtrip_and_null_handling(spark, tmp_path):
+    p = tmp_path / "in.csv"
+    p.write_text("a,b,c\nx,1,\ny,2,z\n")
+    df = read_csv_validated(spark, str(p), CSV_SCHEMA)
+    rows = df.orderBy("b").collect()
+    assert rows[0]["c"] is None          # empty -> NULL
+    assert rows[1]["c"] == "z"
+
+    out = tmp_path / "out"
+    write_csv_single(df, str(out))
+    back = spark.read.option("header", "true").csv(str(out))
+    assert back.count() == 2
+
+
+def test_csv_header_mismatch_raises(spark, tmp_path):
+    p = tmp_path / "bad.csv"
+    p.write_text("a,b,WRONG\nx,1,y\n")
+    with pytest.raises(HeaderMismatchError):
+        read_csv_validated(spark, str(p), CSV_SCHEMA)
+
+
+def test_parquet_partitioned_roundtrip_and_pruning(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(k=f"d{i % 3}", v=float(i)) for i in range(30)]
+    )
+    path = str(tmp_path / "pq")
+    write_parquet_partitioned(df, path, ["k"])
+
+    assert list_partitions(spark, path, "k") == ["d0", "d1", "d2"]
+
+    pruned = read_parquet_pruned(
+        spark, path, columns=["v"], predicate=F.col("k") == "d1"
+    )
+    assert pruned.count() == 10
+    # partition filter must appear as PartitionFilters in the scan, and the
+    # read schema must be pruned to the projected column
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "ReadSchema: struct<v:double>" in plan
+
+
+def test_csv_partitioned_export(spark, tmp_path):
+    df = spark.createDataFrame([Row(k="a", v=1), Row(k="b", v=2)])
+    out = str(tmp_path / "csvpart")
+    write_csv_partitioned(df, out, ["k"])
+    back = spark.read.option("header", "true").csv(out)
+    assert {r["k"] for r in back.select("k").collect()} == {"a", "b"}
+
+
+def test_label_studio_flatten(spark, tmp_path):
+    tasks = [
+        {
+            "id": 1,
+            "data": {"truck_id": "lake-605", "date": "2025-07-30"},
+            "annotations": [
+                {
+                    "result": [
+                        {
+                            "type": "timeserieslabels",
+                            "value": {
+                                "start": "2025-07-30 01:00:00",
+                                "end": "2025-07-30 01:05:00",
+                                "timeserieslabels": ["load_event"],
+                            },
+                        },
+                        {
+                            "type": "other",
+                            "value": {
+                                "start": "x", "end": "y",
+                                "timeserieslabels": ["junk"],
+                            },
+                        },
+                    ]
+                }
+            ],
+        }
+    ]
+    p = tmp_path / "tasks.json"
+    p.write_text(json.dumps(tasks))
+    flat = flatten_label_studio(read_label_studio_json(spark, str(p)))
+    rows = flat.collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["truck_id"] == "lake-605" and r["label"] == "load_event"
+    assert r["end_time"] > r["start_time"]
+
+
+def test_rows_as_view(spark):
+    df = rows_as_view(
+        spark, [("a", 1), ("b", 2)], "k string, v int", view_name="tmp_vals"
+    )
+    assert df.count() == 2
+    assert spark.sql("SELECT SUM(v) AS s FROM tmp_vals").first()["s"] == 3

@@ -1,0 +1,92 @@
+"""Structured Streaming parity: the tumbling agg / dedup / session-window
+operators run under readStream with a file source and produce the same
+results as their batch forms."""
+
+from __future__ import annotations
+
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datamine_v2_0_spark.streaming.ops import (
+    streaming_dedup,
+    streaming_session_windows,
+    streaming_tumbling_agg,
+)
+
+T0 = datetime(2025, 1, 1, 0, 0, 0, tzinfo=timezone.utc)
+
+
+@pytest.fixture(scope="module")
+def stream_src(spark, tmp_path_factory):
+    """A small parquet dir consumed both as batch and as a stream."""
+    path = str(tmp_path_factory.mktemp("stream") / "src")
+    rows = [
+        Row(k="a", ts=T0 + timedelta(seconds=s), v=float(i))
+        for i, s in enumerate([0, 1, 2, 7, 8, 40, 41, 42])
+    ]
+    # duplicate event (same key+ts) to exercise dedup
+    rows.append(Row(k="a", ts=T0 + timedelta(seconds=1), v=99.0))
+    df = spark.createDataFrame(rows)
+    df.write.mode("overwrite").parquet(path)
+    return path
+
+
+def _run_stream(spark, src_path, transform):
+    stream = spark.readStream.schema(
+        "k string, ts timestamp, v double"
+    ).parquet(src_path)
+    out = transform(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sink_tbl")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    return spark.sql("SELECT * FROM sink_tbl")
+
+
+def test_streaming_tumbling_matches_batch(spark, stream_src):
+    def xform(df):
+        return streaming_tumbling_agg(
+            df, "ts", "5 seconds",
+            [F.count(F.lit(1)).alias("n"), F.round(F.avg("v"), 6).alias("avg_v")],
+            extra_keys=["k"],
+        )
+
+    got = {
+        r["bucket_start"].replace(tzinfo=timezone.utc): (r["n"], r["avg_v"])
+        for r in _run_stream(spark, stream_src, xform).collect()
+    }
+    batch = spark.read.parquet(stream_src)
+    expected = {
+        r["bucket_start"].replace(tzinfo=timezone.utc): (r["n"], r["avg_v"])
+        for r in xform(batch).collect()
+    }
+    assert got == expected
+    assert T0 in got and got[T0][0] == 4  # 0,1,2 + the dup at 1
+
+
+def test_streaming_dedup(spark, stream_src):
+    def xform(df):
+        return streaming_dedup(df, ["k", "ts"], "ts").groupBy("k").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+
+    got = _run_stream(spark, stream_src, xform).collect()
+    assert got[0]["n"] == 8  # 9 rows, 1 duplicate (k, ts)
+
+
+def test_streaming_session_windows(spark, stream_src):
+    def xform(df):
+        return streaming_session_windows(
+            df, "ts", ["k"], "10 seconds", [F.count(F.lit(1)).alias("n")]
+        )
+
+    rows = _run_stream(spark, stream_src, xform).collect()
+    # gaps: [0..8] then [40..42] -> 2 sessions
+    assert len(rows) == 2
+    assert sorted(r["n"] for r in rows) == [3, 6]
