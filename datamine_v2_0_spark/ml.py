@@ -1,0 +1,108 @@
+"""ML surface: the reference's XGBoost event-classification pipeline
+re-expressed with Spark MLlib.
+
+Behavioral reference: ckpronto/datamine_v2.0
+``STEP 2.1 - LD Event Labeling/02.1.3_train_xgboost_model.py:72-85,240-351``
+— 3-class classifier (multi:softprob, max_depth 8, lr 0.1, 500 trees,
+hist), LabelEncoder, stratified 80/20 split, accuracy + per-class report.
+
+Spark mapping (SURVEY.md §2.10 ML table):
+- LabelEncoder            → StringIndexer
+- feature matrix          → VectorAssembler
+- XGBClassifier           → xgboost.spark.SparkXGBClassifier when the
+  package is importable, else MLlib GBTClassifier (binary) /
+  RandomForestClassifier (multiclass) with matched depth/iterations
+- train_test_split(stratify) → per-class sampleBy
+- accuracy_score / report → MulticlassClassificationEvaluator + a grouped
+  confusion DataFrame (operators.validation.ground_truth_diff shape)
+
+Scale notes: tree training shuffles per iteration; keep feature vectors
+narrow and cache the assembled training frame. Inference is map-only.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.ml import Pipeline
+from pyspark.ml.classification import GBTClassifier, RandomForestClassifier
+from pyspark.ml.evaluation import MulticlassClassificationEvaluator
+from pyspark.ml.feature import StringIndexer, VectorAssembler
+
+try:  # optional, not in this container
+    from xgboost.spark import SparkXGBClassifier  # type: ignore
+except ImportError:  # pragma: no cover
+    SparkXGBClassifier = None
+
+
+def stratified_split(
+    df: DataFrame, label_col: str, train_fraction: float = 0.8, seed: int = 42
+) -> tuple[DataFrame, DataFrame]:
+    """Per-class sampled train/test split (sampleBy keeps class balance,
+    the distributed analog of stratify=y)."""
+    classes = [r[label_col] for r in df.select(label_col).distinct().collect()]
+    fractions = {c: train_fraction for c in classes}
+    train = df.sampleBy(label_col, fractions, seed=seed)
+    test = df.join(train, df.columns, "left_anti")
+    return train, test
+
+
+def build_classifier_pipeline(
+    feature_cols: Sequence[str],
+    label_col: str,
+    n_classes: int,
+    max_depth: int = 8,
+    n_trees: int = 50,
+    learning_rate: float = 0.1,
+    seed: int = 42,
+) -> Pipeline:
+    """Indexer + assembler + tree classifier. Uses SparkXGBClassifier when
+    available (exact reference algorithm); MLlib trees otherwise."""
+    indexer = StringIndexer(
+        inputCol=label_col, outputCol="label", handleInvalid="keep"
+    )
+    assembler = VectorAssembler(
+        inputCols=list(feature_cols), outputCol="features", handleInvalid="keep"
+    )
+    if SparkXGBClassifier is not None:  # pragma: no cover - not in container
+        clf = SparkXGBClassifier(
+            max_depth=max_depth,
+            n_estimators=n_trees,
+            learning_rate=learning_rate,
+            objective="multi:softprob",
+            num_class=n_classes,
+        )
+    elif n_classes <= 2:
+        clf = GBTClassifier(
+            maxDepth=max_depth, maxIter=n_trees, stepSize=learning_rate, seed=seed
+        )
+    else:
+        clf = RandomForestClassifier(
+            maxDepth=max_depth, numTrees=n_trees, seed=seed
+        )
+    return Pipeline(stages=[indexer, assembler, clf])
+
+
+def evaluate_classifier(predictions: DataFrame) -> dict[str, float]:
+    """Accuracy + weighted F1 (the reference's accuracy_score +
+    classification_report headline numbers)."""
+    out = {}
+    for metric in ("accuracy", "weightedPrecision", "weightedRecall", "f1"):
+        ev = MulticlassClassificationEvaluator(
+            labelCol="label", predictionCol="prediction", metricName=metric
+        )
+        out[metric] = ev.evaluate(predictions)
+    return out
+
+
+def confusion_matrix(predictions: DataFrame) -> DataFrame:
+    """Grouped (label, prediction, n) — the distributed confusion matrix."""
+    return (
+        predictions.groupBy(
+            F.col("label").cast("long").alias("label"),
+            F.col("prediction").cast("long").alias("prediction"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("label", "prediction")
+    )

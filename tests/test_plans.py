@@ -1,0 +1,62 @@
+"""Plan-shape assertions: the scale contract of the flagship queries.
+
+These encode "would this survive 100×": filters reach the scan, small
+dims broadcast, window stacks share exchanges, projections prune columns.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamine_v2_0_spark.plans import (
+    count_exchanges,
+    has_broadcast_join,
+    pushed_filters,
+    python_eval_nodes,
+    read_schema,
+)
+
+SF = "/root/testdata/sf0.001"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SF), reason="driver testdata absent"
+)
+
+
+def test_filter_pushdown_and_column_pruning(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") > 30.0).select("l_orderkey", "l_quantity")
+    pf = pushed_filters(q)
+    assert any("l_quantity" in f for f in pf), pf
+    rs = read_schema(q)
+    assert set(rs) == {"l_orderkey", "l_quantity"}, rs
+
+
+def test_small_dim_join_broadcasts(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    o = spark.read.parquet(f"{SF}/orders.parquet").withColumnRenamed(
+        "o_orderkey", "l_orderkey"
+    )
+    j = li.join(o, "l_orderkey")
+    assert has_broadcast_join(j)
+
+
+def test_flagship_revenue_plan(spark):
+    from datamine_v2_0_spark.contract import QUERIES
+
+    df = QUERIES["join_equi_revenue"][0](spark, SF)
+    # joins broadcast (dims are small), so shuffles = final groupBy only
+    assert has_broadcast_join(df)
+    assert count_exchanges(df) <= 2
+    # the relational hot path must never cross into Python
+    assert python_eval_nodes(df) == 0
+
+
+def test_window_stack_shares_exchange(spark):
+    from datamine_v2_0_spark.contract import QUERIES
+
+    df = QUERIES["win_rolling"][0](spark, SF)
+    # one window partitioning -> exactly one shuffle
+    assert count_exchanges(df) == 1
