@@ -66,6 +66,30 @@ def shingle_hashes(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: F.xxhash64(s))
 
 
+def word_hashes(col: Column) -> Column:
+    """xxhash64 per word of the normalized text — the base layer for
+    hashed shingling."""
+    return F.transform(F.split(normalize_text(col), " "), lambda w: F.xxhash64(w))
+
+
+def hashed_shingles_from_words(wh: Column, n: int = 3) -> Column:
+    """Distinct n-gram shingle hashes composed from word hashes:
+    ``xxhash64(wh[i], …, wh[i+n-1])`` — never materializes shingle strings
+    (string slice+join was ~half the MinHash cost).
+
+    ``wh`` MUST be a projected column (e.g. from :func:`word_hashes` in a
+    prior select): referencing an inline expression would re-evaluate the
+    word-hash array once per gram (O(words²))."""
+    k = F.size(wh) - F.lit(n - 1)
+    idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.get(wh, i + j) for j in range(n)])
+    )
+    return F.array_distinct(grams)
+
+
 def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
     """MinHash signature from precomputed shingle hashes: per hash function
     i, min over shingles of ``xxhash64(h, i)``. Empty sets → nulls.
@@ -119,9 +143,10 @@ def minhash_lsh_candidates(
     on (band, bucket) → distinct pairs. The join key is the band bucket, so
     this is shuffle-on-bucket — never a cross join. Returns (id_a, id_b)
     with id_a < id_b."""
-    hashed = df.select(
+    wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
+    hashed = wh.select(
         F.col(id_col),
-        shingle_hashes(word_shingles(F.col(text_col), shingle_n)).alias("__h"),
+        hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__h"),
     )
     sig = hashed.select(
         F.col(id_col), minhash_signature(F.col("__h"), num_hashes).alias("__sig")
@@ -156,9 +181,13 @@ def ngram_jaccard_pairs(
     threshold: float = 0.0,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity
-    (JVM-side array_intersect/array_union on shingle arrays)."""
+    (JVM-side array_intersect/array_union on hashed shingle arrays —
+    64-bit collisions are negligible vs string sets and ~2× cheaper)."""
     sh = docs.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+        F.col(id_col), word_hashes(F.col(text_col)).alias("__wh")
+    ).select(
+        F.col(id_col),
+        hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__sh"),
     )
     out = (
         candidates.join(sh.withColumnRenamed(id_col, "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
@@ -206,11 +235,10 @@ def simhash_signatures(
     """(id, simhash) table; near-dups = signatures within small Hamming
     distance, found by banding the 64 bits into 4×16-bit keys (any equal
     16-bit block ⇒ candidate, catches Hamming distance <= 3)."""
-    hashed = df.select(
+    wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
+    hashed = wh.select(
         F.col(id_col),
-        F.transform(
-            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
-        ).alias("__hashes"),
+        hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__hashes"),
     )
     return hashed.select(
         F.col(id_col), simhash_from_hashes(F.col("__hashes")).alias("simhash")

