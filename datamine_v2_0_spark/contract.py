@@ -1384,6 +1384,89 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 """
 
 
+def q_scalar_binning(spark, sf_dir):
+    from datamine_v2_0_spark.operators import binning as bn
+
+    df = _t(spark, sf_dir, "lineitem")
+    binned = df.select(
+        bn.fixed_width_bins(F.col("l_quantity"), 0.0, 50.0, 10).alias("qty_bin"),
+        bn.explicit_bins(
+            F.col("l_extendedprice"), [0.0, 10000.0, 50000.0, 1e9]
+        ).alias("price_bin"),
+    )
+    return binned.groupBy("qty_bin", "price_bin").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_SCALAR_BINNING = """
+SELECT CASE WHEN l_quantity BETWEEN 0.0 AND 50.0
+            THEN CASE WHEN l_quantity = 50.0 THEN 9
+                 ELSE CAST(FLOOR(l_quantity / 5.0) AS INT) END
+            ELSE NULL END AS qty_bin,
+       CASE WHEN l_extendedprice > 0.0 AND l_extendedprice <= 10000.0 THEN 0
+            WHEN l_extendedprice > 10000.0 AND l_extendedprice <= 50000.0 THEN 1
+            WHEN l_extendedprice > 50000.0 AND l_extendedprice <= 1e9 THEN 2
+            ELSE NULL END AS price_bin,
+       COUNT(*) AS n
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+def q_scalar_quantile_bins(spark, sf_dir):
+    from datamine_v2_0_spark.operators import binning as bn
+
+    df = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    out = bn.quantile_bins_exact(df, "o_totalprice", 4, "price_q", "o_orderkey")
+    return out.groupBy("price_q").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.min("o_totalprice"), 4).alias("lo"),
+        F.round(F.max("o_totalprice"), 4).alias("hi"),
+    )
+
+
+SQL_SCALAR_QUANTILE_BINS = """
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) - 1 AS price_q
+  FROM orders
+)
+SELECT price_q, COUNT(*) AS n,
+       ROUND(MIN(o_totalprice), 4) AS lo, ROUND(MAX(o_totalprice), 4) AS hi
+FROM b GROUP BY price_q
+"""
+
+
+def q_text_tfidf(spark, sf_dir):
+    df = _t(spark, sf_dir, "documents")
+    return tx.tfidf_top_terms(df, "text", "doc_id", k=3)
+
+
+SQL_TEXT_TFIDF = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')),
+                             ' ')) AS term
+  FROM documents
+), tok AS (
+  SELECT doc_id, term FROM tokens WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (
+  SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * (LN(CAST(n.n_docs + 1 AS DOUBLE) / (dfreq.df + 1)) + 1.0),
+               6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tfidf FROM scored
+QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
@@ -1470,4 +1553,7 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
+    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
 }

@@ -1,0 +1,69 @@
+"""Binning operators (SURVEY.md §2.8 math/numeric family).
+
+Behavioral reference: ckpronto/datamine_v2.0 uses ``pd.cut`` (fixed edges)
+and ``pd.qcut`` (quantile bins) for EDA feature bucketing
+(``STEP 3 - EDA Analysis/database_pipeline.py:386-393,431-436,454-459,520-522``).
+
+Scale notes: fixed-width/explicit-edge binning is pure arithmetic (codegen,
+map-only). Exact quantile binning needs a total order (NTILE) — fine for
+reports, hostile at 100 TB; the approx variant computes boundaries once
+via sketch and bins map-side, which is the scale default.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fixed_width_bins(
+    col: Column, lo: float, hi: float, nbins: int
+) -> Column:
+    """pd.cut-with-uniform-edges parity: bin index 0..nbins-1 over
+    [lo, hi]; right-exclusive except the last bin includes hi; outside
+    range → NULL."""
+    width = (hi - lo) / nbins
+    idx = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
+    idx = F.when(col == F.lit(hi), F.lit(nbins - 1)).otherwise(idx)
+    return F.when((col >= lo) & (col <= hi), idx).otherwise(
+        F.lit(None).cast("int")
+    )
+
+
+def explicit_bins(col: Column, edges: Sequence[float]) -> Column:
+    """pd.cut with explicit edges: bin i covers (edges[i], edges[i+1]]
+    (pandas right-closed default); below/above → NULL."""
+    expr = F.lit(None).cast("int")
+    for i in range(len(edges) - 1):
+        lo, hi = edges[i], edges[i + 1]
+        expr = F.when((col > F.lit(lo)) & (col <= F.lit(hi)), F.lit(i)).otherwise(
+            expr
+        )
+    return expr
+
+
+def quantile_bins_exact(
+    df: DataFrame, col: str, nbins: int, out: str, tiebreak: str
+) -> DataFrame:
+    """pd.qcut parity: NTILE over the global order (col, tiebreak).
+    Requires a total sort — report-scale only; use the approx variant for
+    large data."""
+    w = Window.orderBy(F.col(col), F.col(tiebreak))
+    return df.withColumn(out, F.ntile(nbins).over(w) - 1)
+
+
+def quantile_bins_approx(
+    df: DataFrame, col: str, nbins: int, out: str, accuracy: int = 10000
+) -> DataFrame:
+    """Scale path: one sketch pass for the boundaries, then map-side
+    explicit binning (values at a boundary go to the lower bin, qcut-ish)."""
+    probs = [i / nbins for i in range(1, nbins)]
+    edges = df.select(
+        F.percentile_approx(col, probs, accuracy).alias("e")
+    ).first()["e"]
+    expr = F.lit(0)
+    for i, e in enumerate(edges):
+        expr = F.when(F.col(col) > F.lit(float(e)), F.lit(i + 1)).otherwise(expr)
+    return df.withColumn(out, expr.cast("int"))

@@ -9,7 +9,7 @@ inside whole-stage codegen over a 100 TB corpus with zero Python cost.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Minimal high-frequency stopword profiles. Scoring = count of profile-word
 # occurrences; the language with the max score wins ('und' = undetermined).
@@ -102,6 +102,47 @@ def fingerprint(col: Column) -> Column:
     t = F.trim(F.regexp_replace(F.lower(col), r"\s+", " "))
     words = F.array_sort(F.array_distinct(F.split(t, " ")))
     return F.sha2(F.array_join(words, " "), 256)
+
+
+def tfidf_top_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, round_to: int = 6
+) -> DataFrame:
+    """Top-k TF-IDF terms per document, fully declarative:
+
+    scan → explode tokens → per-(doc, term) TF → per-term document
+    frequency → smoothed IDF ``ln((N+1)/(df+1)) + 1`` (sklearn smoothing)
+    → score → rank-k per doc.
+
+    Plan shape at scale: two shuffles (doc-term groupBy, term groupBy) +
+    one shuffle join tf⋈idf on term + the per-doc top-k window. N is
+    carried via a 1-row aggregate crossJoin (broadcast), not a driver
+    collect, so the whole thing is one lazy plan."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    tokens = (
+        df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    total = df.select(F.countDistinct(id_col).alias("n_docs"))
+    idf = dfreq.crossJoin(F.broadcast(total)).select(
+        "term",
+        (
+            F.log((F.col("n_docs") + 1).cast("double") / (F.col("df") + 1))
+            + F.lit(1.0)
+        ).alias("idf"),
+    )
+    scored = tf.join(idf, "term").select(
+        F.col(id_col),
+        "term",
+        F.round(F.col("tf") * F.col("idf"), round_to).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.col("term"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
 
 
 def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

@@ -1,0 +1,62 @@
+"""Binning + TF-IDF operator tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from datamine_v2_0_spark.operators import binning as bn
+from datamine_v2_0_spark.operators.text import tfidf_top_terms
+
+
+def test_fixed_width_bins(spark):
+    df = spark.createDataFrame(
+        [Row(x=v) for v in [-1.0, 0.0, 4.9, 5.0, 49.9, 50.0, 51.0]], "x double"
+    )
+    got = [r["b"] for r in df.select(
+        bn.fixed_width_bins(F.col("x"), 0.0, 50.0, 10).alias("b")
+    ).collect()]
+    assert got == [None, 0, 0, 1, 9, 9, None]
+
+
+def test_explicit_bins(spark):
+    df = spark.createDataFrame(
+        [Row(x=v) for v in [0.0, 0.5, 1.0, 1.5, 10.0, 11.0]], "x double"
+    )
+    got = [r["b"] for r in df.select(
+        bn.explicit_bins(F.col("x"), [0.0, 1.0, 10.0]).alias("b")
+    ).collect()]
+    # pandas right-closed: (0,1] -> 0, (1,10] -> 1; 0.0 and 11.0 outside
+    assert got == [None, 0, 0, 1, 1, None]
+
+
+def test_quantile_bins_exact_balanced(spark):
+    df = spark.createDataFrame([Row(i=i, x=float(i)) for i in range(100)])
+    out = bn.quantile_bins_exact(df, "x", 4, "q", "i")
+    counts = {r["q"]: r["n"] for r in
+              out.groupBy("q").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
+
+
+def test_quantile_bins_approx_monotone(spark):
+    df = spark.createDataFrame([Row(i=i, x=float(i)) for i in range(1000)])
+    out = bn.quantile_bins_approx(df, "x", 4, "q")
+    rows = out.orderBy("x").collect()
+    bins = [r["q"] for r in rows]
+    assert bins == sorted(bins)          # monotone in x
+    assert set(bins) == {0, 1, 2, 3}
+    counts = {b: bins.count(b) for b in set(bins)}
+    assert all(abs(c - 250) < 30 for c in counts.values()), counts
+
+
+def test_tfidf_ranks_distinctive_terms(spark):
+    docs = [
+        Row(doc_id=1, text="apple apple apple banana the the"),
+        Row(doc_id=2, text="banana banana cherry the the"),
+        Row(doc_id=3, text="cherry dates dates the the"),
+    ]
+    df = spark.createDataFrame(docs)
+    got = {r["doc_id"]: r["term"] for r in
+           tfidf_top_terms(df, "text", "doc_id", k=1).collect()}
+    # the common word 'the' must never win; distinctive repeated terms do
+    assert got == {1: "apple", 2: "banana", 3: "dates"}
