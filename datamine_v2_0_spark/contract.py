@@ -1384,6 +1384,94 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 """
 
 
+def q_agg_salted(spark, sf_dir):
+    """Salted two-phase aggregation — must be bit-identical to the plain
+    groupBy (the oracle IS the plain form)."""
+    from datamine_v2_0_spark.operators.skew import salted_agg
+
+    df = _t(spark, sf_dir, "lineitem")
+    out = salted_agg(
+        df,
+        ["l_returnflag"],
+        {
+            "n": (F.count(F.lit(1)), F.sum("n")),
+            "sum_qty": (F.sum("l_quantity"), F.sum("sum_qty")),
+            "max_price": (F.max("l_extendedprice"), F.max("max_price")),
+        },
+        salt_buckets=8,
+    )
+    return out.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        F.round("sum_qty", 4).alias("sum_qty"),
+        "max_price",
+    )
+
+
+SQL_AGG_SALTED = """
+SELECT l_returnflag, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty,
+       MAX(l_extendedprice) AS max_price
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_join_salted(spark, sf_dir):
+    """Salted replicated join — identical results to the plain equi join."""
+    from datamine_v2_0_spark.operators.skew import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    out = salted_join(li, o, "l_orderkey", salt_buckets=4)
+    return out.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+SQL_JOIN_SALTED = """
+SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_win_sessionize(spark, sf_dir):
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    sess = df.withColumn(
+        "session_id", win.sessionize("ts", w, 3600.0).cast("long")
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").cast("string").alias("session_start"),
+        F.max("ts").cast("string").alias("session_end"),
+    )
+
+
+SQL_WIN_SESSIONIZE = """
+WITH d AS (
+  SELECT user_id, ts, event_id,
+         CAST(date_diff('microsecond', LAG(ts) OVER w, ts) AS DOUBLE)
+             / 1000000.0 AS delta
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN delta IS NULL OR delta > 3600.0 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS session_id
+  FROM d
+)
+SELECT user_id, session_id, COUNT(*) AS n_events,
+       CAST(MIN(ts) AS VARCHAR) AS session_start,
+       CAST(MAX(ts) AS VARCHAR) AS session_end
+FROM s GROUP BY user_id, session_id
+"""
+
+
 def q_scalar_binning(spark, sf_dir):
     from datamine_v2_0_spark.operators import binning as bn
 
@@ -1553,6 +1641,9 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
+    "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),

@@ -1,0 +1,72 @@
+"""Skew-handling operators: salting for hot keys (SURVEY.md §7 step 9
+"salting hooks"; §4 "for 100 TB add salting option on device_date").
+
+AQE's skew-join splitting handles most runtime skew automatically
+(session.py enables it); these explicit forms cover the cases AQE can't:
+aggregation skew (one device_date ≫ others) and broadcast-infeasible
+joins against a skewed fact side.
+
+Both are semantics-preserving: results are identical to the unsalted
+plan — which is exactly what their oracle checks assert.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: Sequence[str],
+    aggs: dict[str, tuple[Column, Column]],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a salted key: phase 1 groups by
+    (keys, salt) — splitting each hot key across `salt_buckets` reducers —
+    phase 2 merges partials by the real keys.
+
+    `aggs` maps output name → (partial_expr, merge_expr_over_partial),
+    e.g. ``{"n": (F.count(F.lit(1)), F.sum("n")), "s": (F.sum("x"),
+    F.sum("s"))}``. Only algebraic aggregates (sum/count/min/max/avg via
+    sum+count) decompose this way."""
+    # the salt must vary WITHIN a key (that's what splits a hot key);
+    # row-id mod buckets does, and the merge phase erases it from results
+    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias(
+        "__salt"
+    )
+    partial = df.groupBy(*keys, salt).agg(
+        *[expr.alias(name) for name, (expr, _merge) in aggs.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge.alias(name) for name, (_expr, merge) in aggs.items()]
+    )
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skewed equi join without broadcast: salt the big side with a random
+    bucket, replicate the small side across all buckets, join on
+    (key, salt). Each hot key's rows spread over `salt_buckets` tasks.
+
+    Use when the small side is too big to broadcast but small enough to
+    replicate `salt_buckets`×; otherwise rely on AQE skew-join."""
+    b = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+    )
+    s = small.crossJoin(
+        F.broadcast(
+            big.sparkSession.range(salt_buckets).select(
+                F.col("id").alias("__salt")
+            )
+        )
+    )
+    out = b.join(s, on=[on, "__salt"], how=how)
+    return out.drop("__salt")

@@ -175,3 +175,23 @@ def ffill(col: str | Column, w: WindowSpec) -> Column:
     return F.last(col, ignorenulls=True).over(
         w.rowsBetween(Window.unboundedPreceding, 0)
     )
+
+
+def bfill(col: str | Column, w: WindowSpec) -> Column:
+    """Backward-fill nulls: first non-null over the following frame
+    (the reference's ffill().bfill() imputation pair)."""
+    return F.first(col, ignorenulls=True).over(
+        w.rowsBetween(0, Window.unboundedFollowing)
+    )
+
+
+def sessionize(ts: str | Column, w: WindowSpec, gap_seconds: float) -> Column:
+    """Time-gap sessionization as gaps-and-islands: a new session starts
+    where the gap to the previous row exceeds `gap_seconds`. Returns a
+    per-partition session id (1-based). The batch-checkable equivalent of
+    a streaming session_window."""
+    delta = time_delta_seconds(ts, w)
+    new_session = F.when(
+        delta.isNull() | (delta > gap_seconds), F.lit(1)
+    ).otherwise(F.lit(0))
+    return F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
