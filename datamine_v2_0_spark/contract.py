@@ -1384,6 +1384,53 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 """
 
 
+def q_eda_movement(spark, sf_dir):
+    from datamine_v2_0_spark.operators.spatial import movement_speed
+
+    df = _t(spark, sf_dir, "events")
+    w = _events_window()
+    lat = F.col("value") % F.lit(80.0)
+    lon = F.col("value") % F.lit(170.0)
+    return df.select(
+        "event_id",
+        F.round(movement_speed(lat, lon, "ts", w), 6).alias("speed"),
+    )
+
+
+SQL_EDA_MOVEMENT = """
+WITH p AS (
+  SELECT event_id, user_id, ts,
+         value % 80.0 AS lat, value % 170.0 AS lon
+  FROM events
+), d AS (
+  SELECT event_id,
+         lat - LAG(lat) OVER w AS dlat,
+         lon - LAG(lon) OVER w AS dlon,
+         CAST(date_diff('microsecond', LAG(ts) OVER w, ts) AS DOUBLE)
+             / 1000000.0 AS dt
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT event_id,
+       ROUND(CASE WHEN dt > 0 THEN SQRT(dlat * dlat + dlon * dlon) / dt END, 6)
+           AS speed
+FROM d
+"""
+
+
+def q_agg_approx(spark, sf_dir):
+    """Approx sketch aggregates — the 100 TB defaults (HLL distinct, KLL
+    percentile). No SQL oracle: sketch algorithms differ across engines;
+    rows-only check + the exact variants above cover semantics."""
+    df = _t(spark, sf_dir, "lineitem")
+    return agg.approx_percentiles(df, ["l_returnflag"], "l_extendedprice").join(
+        df.groupBy("l_returnflag").agg(
+            F.approx_count_distinct("l_orderkey").alias("approx_orders")
+        ),
+        "l_returnflag",
+    )
+
+
 def q_agg_salted(spark, sf_dir):
     """Salted two-phase aggregation — must be bit-identical to the plain
     groupBy (the oracle IS the plain form)."""
@@ -1641,6 +1688,8 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
+    "agg_approx": (q_agg_approx, None),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),

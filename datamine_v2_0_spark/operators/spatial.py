@@ -47,6 +47,21 @@ def zone_classifier(
     return _classify
 
 
+def movement_speed(
+    lat: Column, lon: Column, ts: str | Column, w
+) -> Column:
+    """Planar displacement speed between consecutive rows:
+    ``sqrt(dlat² + dlon²) / dt`` (the reference's haversine-free velocity,
+    database_pipeline.py:288-291,500-516). Pure Column algebra over a lag
+    window — no Python."""
+    dlat = lat - F.lag(lat, 1).over(w)
+    dlon = lon - F.lag(lon, 1).over(w)
+    c = F.col(ts) if isinstance(ts, str) else ts
+    micros = F.unix_micros(c)
+    dt = (micros - F.lag(micros, 1).over(w)).cast("double") / F.lit(1_000_000.0)
+    return F.when(dt > 0, F.sqrt(dlat * dlat + dlon * dlon) / dt)
+
+
 def point_in_polygon_join(
     df: DataFrame,
     lon: str | Column,

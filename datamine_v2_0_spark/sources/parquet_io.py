@@ -75,3 +75,21 @@ def write_table_idempotent(
     """S14: table-exists semantics — ``mode=ignore`` skips when present,
     ``--recreate-table`` maps to overwrite (01_ingest_raw_telemetry.py:99-139)."""
     df.write.mode("overwrite" if recreate else "ignore").saveAsTable(name)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    name: str,
+    bucket_cols: Sequence[str],
+    num_buckets: int,
+    sort_cols: Sequence[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (hash-clustered) table: co-locates rows by key at write
+    time so equi joins/aggregations between same-bucketed tables skip the
+    shuffle entirely — the materialized-exchange strategy for repeated
+    100 TB fact-fact joins."""
+    w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    w.saveAsTable(name)

@@ -9,8 +9,14 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from datamine_v2_0_spark.session import get_spark
 
-    spark = get_spark("tests", master="local[4]", shuffle_partitions=4)
+    warehouse = tmp_path_factory.mktemp("warehouse")
+    spark = get_spark(
+        "tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": str(warehouse)},
+    )
     yield spark
