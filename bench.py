@@ -34,6 +34,12 @@ HEADLINE = [
     "text_tokens",           # text analysis over documents
     "dedup_minhash_lsh",     # MinHash+LSH candidate pairs
     "sim_cosine_topk",       # brute-force cosine top-k
+    "sim_lsh_topk",          # banded hyperplane-LSH ANN
+    "text_tfidf",            # TF-IDF top terms
+    "win_sessionize",        # gaps-and-islands sessionization
+    "join_interval_priority",  # interval labeling + priority resolve
+    "pipeline_silver",       # full silver transform chain
+    "pipeline_features",     # full window-function feature stack
     "cpd_candidates",        # downsample + applyInPandas PELT
 ]
 

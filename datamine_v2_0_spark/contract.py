@@ -1384,6 +1384,32 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 """
 
 
+def q_sql_views(spark, sf_dir):
+    """S10: the SQL-text API surface — register temp views, run a query
+    through spark.sql (the engine-native analog of pd.read_sql_query)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               COUNT(*) AS n,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= DATE '1995-01-01'
+        GROUP BY o_orderstatus
+        """
+    )
+
+
+SQL_SQL_VIEWS = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= DATE '1995-01-01'
+GROUP BY o_orderstatus
+"""
+
+
 def q_eda_movement(spark, sf_dir):
     from datamine_v2_0_spark.operators.spatial import movement_speed
 
@@ -1688,6 +1714,7 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
     "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "agg_approx": (q_agg_approx, None),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),

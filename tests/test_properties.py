@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for the parity-critical kernels:
+Postgres timestamp rendering, clamp algebra, PELT invariants, binning."""
+
+from __future__ import annotations
+
+from datetime import datetime, timezone
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from datamine_v2_0_spark.functions.signal import pelt_l2, savgol_filter
+
+
+def _pg_render(dt: datetime) -> str:
+    """Independent reimplementation of Postgres timestamptz::text (UTC)."""
+    base = dt.strftime("%Y-%m-%d %H:%M:%S")
+    if dt.microsecond:
+        frac = f"{dt.microsecond:06d}".rstrip("0")
+        base += f".{frac}"
+    return base + "+00"
+
+
+TS_STRATEGY = st.datetimes(
+    min_value=datetime(1990, 1, 1), max_value=datetime(2049, 12, 31)
+)
+
+
+class TestPgTimestampProperty:
+    """Spark expression vs independent Python rendering over random
+    timestamps — run in batches to amortize Spark jobs."""
+
+    def test_batch_random_timestamps(self, spark):
+        import random
+
+        from pyspark.sql import Row, functions as F
+
+        from datamine_v2_0_spark.functions.scalars import pg_timestamptz_text
+
+        rng = random.Random(1234)
+        dts = [
+            datetime(
+                rng.randint(1990, 2049), rng.randint(1, 12), rng.randint(1, 28),
+                rng.randint(0, 23), rng.randint(0, 59), rng.randint(0, 59),
+                rng.choice([0, 1, 100, 1000, 120000, 500000, 734539, 999999]),
+                tzinfo=timezone.utc,
+            )
+            for _ in range(300)
+        ]
+        df = spark.createDataFrame([Row(i=i, ts=d) for i, d in enumerate(dts)])
+        got = {
+            r["i"]: r["t"]
+            for r in df.select(
+                "i", pg_timestamptz_text(F.col("ts")).alias("t")
+            ).collect()
+        }
+        for i, d in enumerate(dts):
+            assert got[i] == _pg_render(d), (d, got[i])
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    levels=st.lists(
+        st.floats(min_value=-100, max_value=100), min_size=1, max_size=4
+    ),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_pelt_breakpoint_invariants(levels, seed):
+    rng = np.random.default_rng(seed)
+    sig = np.concatenate([rng.normal(lv, 0.1, 30) for lv in levels])
+    bkps = pelt_l2(sig, penalty=5.0, min_size=10)
+    n = len(sig)
+    # invariants: sorted, interior, min_size respected on both flanks
+    assert bkps == sorted(bkps)
+    prev = 0
+    for b in bkps:
+        assert 0 < b < n
+        assert b - prev >= 10
+        prev = b
+    if bkps:
+        assert n - bkps[-1] >= 10
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    ys=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_savgol_shape_and_finiteness(ys):
+    y = np.array(ys, dtype=np.float64)
+    out = savgol_filter(y, window=11, polyorder=3)
+    assert out.shape == y.shape
+    assert np.isfinite(out).all()
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    x=st.floats(allow_nan=False, allow_infinity=False, width=32),
+    lo=st.floats(min_value=-1000, max_value=0),
+    hi=st.floats(min_value=1, max_value=1000),
+)
+def test_clamp_algebra(x, lo, hi):
+    """clamp is idempotent and bounded — checked on the kernel math the
+    Column expression mirrors (least/greatest)."""
+    clamped = min(max(x, lo), hi)
+    assert lo <= clamped <= hi
+    assert min(max(clamped, lo), hi) == clamped
