@@ -16,7 +16,9 @@ The hyperplanes are deterministic (seeded NumPy), generated driver-side
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -136,25 +138,27 @@ def make_hyperplanes(dim: int, num_planes: int = 12, seed: int = 42) -> np.ndarr
     return np.random.RandomState(seed).standard_normal((num_planes, dim))
 
 
-def banded_signature(vec: Column, planes: np.ndarray, bands: int) -> Column:
-    """Array of (band, key) structs: the sign bits are split into `bands`
-    groups of r bits; vectors sharing ANY band key are candidates (same
-    s-curve amplification as MinHash banding — recall rises steeply for
-    near neighbors while far pairs stay separated)."""
+def banded_keys_udf(planes: np.ndarray, bands: int):
+    """Vectorized band-key computation: ONE numpy matmul per Arrow batch
+    instead of num_planes interpreted dot-product expressions per row
+    (Spark higher-order functions don't participate in codegen — the
+    expression form was ~50× slower). Returns array<long>, one key per
+    band; pair with posexplode for the (band, key) join."""
     r = len(planes) // bands
-    entries = []
-    for b in range(bands):
-        key = F.lit(0).cast("long")
-        for j, p in enumerate(planes[b * r : (b + 1) * r]):
-            plane = F.array(*[F.lit(float(v)) for v in p])
-            bit = F.when(dot(vec, plane) >= 0, F.lit(1).cast("long")).otherwise(
-                F.lit(0).cast("long")
-            )
-            key = key + F.shiftleft(bit, j)
-        entries.append(
-            F.struct(F.lit(b).alias("band"), key.alias("key"))
-        )
-    return F.array(*entries)
+    P = planes[: bands * r].T.astype(np.float64)          # (dim, bands*r)
+    weights = (1 << np.arange(r)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)        # (n, dim)
+        bits = (M @ P) >= 0                               # (n, bands*r)
+        ks = np.stack(
+            [bits[:, b * r : (b + 1) * r] @ weights for b in range(bands)],
+            axis=1,
+        )                                                 # (n, bands)
+        return pd.Series(list(ks))
+
+    return _keys
 
 
 def lsh_topk(
@@ -176,22 +180,21 @@ def lsh_topk(
     → more probes. Defaults (24 planes / 8 bands = 3 bits per band) hit
     ~0.84 recall@5 on the sf0.01 embeddings fixture."""
     planes = make_hyperplanes(dim, num_planes, seed)
+    keys = banded_keys_udf(planes, bands)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
-        F.explode(banded_signature(F.col(vec_col), planes, bands)).alias("__bb"),
+        F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
     )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("__qvec"),
-            F.explode(banded_signature(F.col(vec_col), planes, bands)).alias(
-                "__bb"
-            ),
+            F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
         )
     )
     pairs = (
-        c.join(q, "__bb")
+        c.join(q, ["__band", "__key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id", "__cvec", "__qvec")
         .distinct()

@@ -75,8 +75,15 @@ def detect_change_points(
     jump: int = JUMP,
     dual_threshold_stddev: float | None = None,
     max_group_rows: int | None = 200_000,
+    num_tasks: int | None = None,
 ) -> DataFrame:
     """Per-partition PELT via applyInPandas.
+
+    ``num_tasks`` pins the parallelism of the Python stage (defaults to
+    the cluster's defaultParallelism). Without it, AQE coalesces the
+    small post-downsample shuffle into ~1 partition and a single Python
+    worker runs every group serially — the CPU-bound kernel stage must
+    keep one task per core regardless of input bytes.
 
     If ``dual_threshold_stddev`` is set, a partition whose FIRST signal's
     stddev falls below it is treated as payload-unreliable and PELT runs on
@@ -127,6 +134,12 @@ def detect_change_points(
     # Arrow batch arriving in Python already matches (int ids otherwise fail
     # the pandas→Arrow conversion on output).
     downsampled = downsampled.withColumn(id_col, F.col(id_col).cast("string"))
+    if num_tasks is None:
+        num_tasks = downsampled.sparkSession.sparkContext.defaultParallelism
+    # explicit repartition satisfies the groupBy's required distribution
+    # (no second exchange) and its user-given partition count is exempt
+    # from AQE coalescing
+    downsampled = downsampled.repartition(num_tasks, partition_col)
     return downsampled.groupBy(partition_col).applyInPandas(
         _detect, schema=CANDIDATE_SCHEMA
     )
