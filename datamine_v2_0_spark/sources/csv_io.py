@@ -25,11 +25,18 @@ def read_csv_validated(
     path: str,
     schema: StructType,
     expected_header: list[str] | None = None,
+    null_tokens: list[str] | None = None,
     **options,
 ) -> DataFrame:
     """S1: schema-pinned CSV read with header validation and empty→NULL.
 
-    Header check reads ONE row (limit 1 on a text scan), never the data."""
+    Header check reads ONE row (limit 1 on a text scan), never the data.
+    ``null_tokens``: extra string values to NULL-ify post-read in string
+    columns (the P7 multi-token null set — pandas' ``na_values=['NULL',
+    'null','None']``; Spark's csv nullValue takes a single token)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
     expected = expected_header or [f.name for f in schema.fields]
     first = spark.read.text(path).limit(1).collect()
     if first:
@@ -39,7 +46,17 @@ def read_csv_validated(
                 f"CSV header mismatch: expected {expected}, got {header}"
             )
     opts = {"header": "true", "nullValue": "", "emptyValue": "", **options}
-    return spark.read.csv(path, schema=schema, **opts)
+    df = spark.read.csv(path, schema=schema, **opts)
+    if null_tokens:
+        for f in schema.fields:
+            if isinstance(f.dataType, StringType):
+                df = df.withColumn(
+                    f.name,
+                    F.when(
+                        F.col(f.name).isin(null_tokens), F.lit(None)
+                    ).otherwise(F.col(f.name)),
+                )
+    return df
 
 
 def write_csv_single(df: DataFrame, path: str, mode: str = "overwrite") -> None:

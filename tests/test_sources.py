@@ -49,6 +49,17 @@ def test_csv_roundtrip_and_null_handling(spark, tmp_path):
     assert back.count() == 2
 
 
+def test_csv_multi_token_nulls(spark, tmp_path):
+    p = tmp_path / "nulls.csv"
+    p.write_text("a,b,c\nNULL,1,None\nx,2,null\n")
+    df = read_csv_validated(
+        spark, str(p), CSV_SCHEMA, null_tokens=["NULL", "null", "None"]
+    )
+    rows = df.orderBy("b").collect()
+    assert rows[0]["a"] is None and rows[0]["c"] is None
+    assert rows[1]["a"] == "x" and rows[1]["c"] is None
+
+
 def test_csv_header_mismatch_raises(spark, tmp_path):
     p = tmp_path / "bad.csv"
     p.write_text("a,b,WRONG\nx,1,y\n")
