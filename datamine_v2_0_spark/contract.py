@@ -1384,6 +1384,30 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id
 """
 
 
+def q_agg_describe(spark, sf_dir):
+    df = _t(spark, sf_dir, "lineitem")
+    return agg.describe_stats(df, ["l_quantity", "l_extendedprice", "l_discount"])
+
+
+SQL_AGG_DESCRIBE = """
+SELECT 'l_quantity' AS "column", COUNT(l_quantity) AS n,
+       ROUND(AVG(l_quantity), 4) AS mean, ROUND(STDDEV(l_quantity), 4) AS stddev,
+       CAST(MIN(l_quantity) AS DOUBLE) AS min_val,
+       CAST(MAX(l_quantity) AS DOUBLE) AS max_val
+FROM lineitem
+UNION ALL
+SELECT 'l_extendedprice', COUNT(l_extendedprice),
+       ROUND(AVG(l_extendedprice), 4), ROUND(STDDEV(l_extendedprice), 4),
+       CAST(MIN(l_extendedprice) AS DOUBLE), CAST(MAX(l_extendedprice) AS DOUBLE)
+FROM lineitem
+UNION ALL
+SELECT 'l_discount', COUNT(l_discount),
+       ROUND(AVG(l_discount), 4), ROUND(STDDEV(l_discount), 4),
+       CAST(MIN(l_discount) AS DOUBLE), CAST(MAX(l_discount) AS DOUBLE)
+FROM lineitem
+"""
+
+
 def q_sql_views(spark, sf_dir):
     """S10: the SQL-text API surface — register temp views, run a query
     through spark.sql (the engine-native analog of pd.read_sql_query)."""
@@ -1714,6 +1738,7 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
     "sql_views": (q_sql_views, SQL_SQL_VIEWS),
     "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "agg_approx": (q_agg_approx, None),

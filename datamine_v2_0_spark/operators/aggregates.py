@@ -182,6 +182,37 @@ def crosstab_pivot(df: DataFrame, row_key: str, col_key: str, values: Sequence[s
     return df.groupBy(row_key).pivot(col_key, list(values)).count()
 
 
+def describe_stats(
+    df: DataFrame, cols: Sequence[str], round_to: int = 4
+) -> DataFrame:
+    """A13: ``describe()``/``summary()`` as a deterministic long-format
+    table — one row per column with count/mean/stddev/min/max (the
+    pandas ``groupby().describe()`` surface, run_advanced_eda.py:83-96).
+    One aggregation pass over all columns, then an unpivot."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.count(c).alias(f"__n_{c}"),
+            F.round(F.avg(c), round_to).alias(f"__avg_{c}"),
+            F.round(F.stddev(c), round_to).alias(f"__std_{c}"),
+            F.min(c).alias(f"__min_{c}"),
+            F.max(c).alias(f"__max_{c}"),
+        ]
+    wide = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").cast("long").alias("n"),
+            F.col(f"__avg_{c}").cast("double").alias("mean"),
+            F.col(f"__std_{c}").cast("double").alias("stddev"),
+            F.col(f"__min_{c}").cast("double").alias("min_val"),
+            F.col(f"__max_{c}").cast("double").alias("max_val"),
+        )
+        for c in cols
+    ]
+    return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
+
+
 def integrity_report(df: DataFrame, key: str, not_null_cols: Sequence[str]) -> DataFrame:
     """A14: post-load integrity aggregates — total, distinct-key, per-column
     null counts (05_load_candidates_to_db.py:197-259)."""

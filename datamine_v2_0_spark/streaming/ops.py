@@ -51,6 +51,47 @@ def streaming_dedup(
     return src.dropDuplicates([*key_cols])
 
 
+def foreach_batch_upsert(
+    stream: DataFrame,
+    target_path: str,
+    key_cols: Sequence[str],
+    order_col: str,
+    checkpoint_path: str,
+):
+    """Exactly-once-per-key streaming merge into a parquet table: each
+    micro-batch is upserted (union + keep-newest-per-key) into the target
+    (the streaming form of the reference's hash-key ON CONFLICT DO UPDATE
+    — SURVEY.md §2.9 'foreachBatch MERGE').
+
+    Plain-parquet caveat: the batch rewrite is read-modify-overwrite and
+    relies on the streaming checkpoint for at-least-once + idempotent
+    batches; on a transactional table format (Delta/Iceberg) the body
+    becomes a real MERGE INTO with the same keys."""
+    from datamine_v2_0_spark.operators.joins import upsert
+
+    spark = stream.sparkSession
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        try:
+            current = spark.read.parquet(target_path)
+            merged = upsert(current, batch, list(key_cols), F.col(order_col))
+        except Exception:  # first batch: target doesn't exist yet
+            merged = upsert(
+                batch.limit(0), batch, list(key_cols), F.col(order_col)
+            )
+        # break lineage from the files about to be overwritten —
+        # executor-side materialization, never a driver collect
+        merged = merged.localCheckpoint(eager=True)
+        merged.write.mode("overwrite").parquet(target_path)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def streaming_session_windows(
     stream: DataFrame,
     ts: str,

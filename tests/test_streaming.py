@@ -80,6 +80,35 @@ def test_streaming_dedup(spark, stream_src):
     assert got[0]["n"] == 8  # 9 rows, 1 duplicate (k, ts)
 
 
+def test_foreach_batch_upsert(spark, stream_src, tmp_path):
+    from datamine_v2_0_spark.streaming.ops import foreach_batch_upsert
+
+    target = str(tmp_path / "target")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("k string, ts timestamp, v double").parquet(
+        stream_src
+    )
+    q = foreach_batch_upsert(stream, target, ["k", "ts"], "v", ckpt)
+    q.awaitTermination(60)
+
+    back = spark.read.parquet(target)
+    # 9 source rows, one duplicate (k, ts) pair -> 8 keys; the kept row for
+    # the dup key is the max-v one (v=99 beats v=1)
+    assert back.count() == 8
+    dup_ts = T0 + timedelta(seconds=1)
+    kept = back.filter(F.col("ts") == dup_ts).collect()
+    assert len(kept) == 1 and kept[0]["v"] == 99.0
+
+    # re-running the same availableNow stream from the checkpoint is a
+    # no-op (batches already committed) -> still 8 rows
+    stream2 = spark.readStream.schema("k string, ts timestamp, v double").parquet(
+        stream_src
+    )
+    q2 = foreach_batch_upsert(stream2, target, ["k", "ts"], "v", ckpt)
+    q2.awaitTermination(60)
+    assert spark.read.parquet(target).count() == 8
+
+
 def test_streaming_session_windows(spark, stream_src):
     def xform(df):
         return streaming_session_windows(
