@@ -993,6 +993,27 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: the LSH scale path (banded hyperplane
+    prefilter -> exact cosine verify), oracle-checked against DuckDB's
+    exact all-pairs — at sf0.01 the prefilter has verified full recall
+    (32 planes / 16 bands at threshold 0.35; see test_dedup_embedding)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", dim=64, threshold=0.35,
+        num_planes=32, bands=16,
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_cosine_similarity(a.v, b.v), 6) AS cos_sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+"""
+
+
 def q_sim_cosine_topk(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
@@ -1723,6 +1744,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_jaccard": (q_dedup_jaccard, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, None),

@@ -202,6 +202,81 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 32,
+    bands: int = 16,
+    seed: int = 42,
+    round_to: int = 6,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
+    every pair with cosine >= threshold, id_a < id_b.
+
+    Two modes, per the ANN playbook:
+    - ``exact=True``: brute-force all-pairs — the O(n²) correctness
+      baseline, only for small corpora / oracle checks.
+    - default: random-hyperplane LSH prefilter (same banding machinery as
+      :mod:`similarity`) — candidates are pairs sharing >=1 band bucket,
+      then exact cosine verification. The candidate join is an equi join
+      on (band, key): at 100 TB the corpus shuffles once on the bucket
+      key and no all-pairs product ever forms. Recall is tuned by
+      (num_planes, bands): for pair similarity s the per-pair miss
+      probability is (1-(1-acos(s)/pi)^r)^b with r = num_planes/bands.
+    """
+    from datamine_v2_0_spark.operators.similarity import (
+        banded_keys_udf,
+        cosine_pairs_udf,
+        make_hyperplanes,
+    )
+
+    base = df.select(F.col(id_col), F.col(vec_col))
+    if exact:
+        a = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        b = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        # candidate ids only through the bucket join + distinct — the
+        # vectors (the wide payload) re-join AFTER dedup so the shuffle
+        # carries 16-byte pairs, not 2×dim float arrays per band hit
+        keys = banded_keys_udf(make_hyperplanes(dim, num_planes, seed), bands)
+        banded = base.select(
+            F.col(id_col),
+            F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
+        )
+        a = banded.select(F.col(id_col).alias("id_a"), "__band", "__key")
+        b = banded.select(F.col(id_col).alias("id_b"), "__band", "__key")
+        cand = (
+            a.join(b, ["__band", "__key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        va = base.select(
+            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+        )
+        vb = base.select(
+            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+        )
+        pairs = cand.join(va, "id_a").join(vb, "id_b")
+    pair_cos = cosine_pairs_udf()
+    return (
+        pairs.withColumn("__cos", pair_cos(F.col("__va"), F.col("__vb")))
+        .filter(F.col("__cos") >= threshold)
+        .select(
+            "id_a", "id_b", F.round("__cos", round_to).alias("cos_sim")
+        )
+    )
+
+
 def simhash_from_hashes(hashes: Column) -> Column:
     """64-bit SimHash from a precomputed array<long> of shingle hashes,
     fully JVM-side: per bit position, sum sign contributions and take the

@@ -42,6 +42,27 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
 
+def cosine_pairs_udf():
+    """Vectorized pair-cosine: one numpy einsum per Arrow batch.
+
+    Spark's higher-order functions (`zip_with`/`aggregate`) are
+    interpreted per element — on a candidate-pair table they cost
+    ~dim interpreted ops per row. This computes a whole batch with
+    three einsums; use it wherever the pair table is the hot path."""
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        A = np.array(a.tolist(), dtype=np.float64)
+        B = np.array(b.tolist(), dtype=np.float64)
+        num = np.einsum("ij,ij->i", A, B)
+        den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+            np.einsum("ij,ij->i", B, B)
+        )
+        return pd.Series(num / den)
+
+    return _cos
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -134,6 +134,43 @@ def test_simhash_close_for_near_dups(spark):
     assert ham12 < ham13
 
 
+def test_embedding_neardup_planted_pair(spark):
+    # a planted near-duplicate vector pair must surface; orthogonal must not
+    rows = [
+        Row(vec_id=1, embedding=[1.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=2, embedding=[0.99, 0.14, 0.0, 0.0]),  # cos ~ 0.990
+        Row(vec_id=3, embedding=[0.0, 0.0, 1.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in dd.embedding_neardup_pairs(
+            df, "embedding", "vec_id", dim=4, threshold=0.9,
+            num_planes=16, bands=16,
+        ).collect()
+    }
+    assert set(got) == {(1, 2)}
+    assert got[(1, 2)] == pytest.approx(0.990, abs=1e-3)
+
+
+def test_embedding_neardup_lsh_matches_exact_on_fixture(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    kw = dict(dim=64, threshold=0.35, num_planes=32, bands=16)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", exact=True, **kw
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", **kw
+        ).collect()
+    }
+    assert exact and lsh == exact
+
+
 def test_interval_contain_join(spark):
     left = spark.createDataFrame(
         [Row(k=1, ts=_ts("2025-01-01 00:05:00")),
