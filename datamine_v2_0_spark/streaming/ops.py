@@ -92,6 +92,65 @@ def foreach_batch_upsert(
     )
 
 
+def streaming_state_changes(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts: str,
+    state_col: str,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-key
+    state-change event detection across micro-batches.
+
+    The streaming form of the batch change-flag window (W10,
+    04_worker_script.sql:52-57 — ``value <> lag(value)``): the last seen
+    state per key persists in ``GroupState`` between micro-batches, so a
+    change that straddles a batch boundary is still detected exactly once.
+    Emits one row per transition: (keys..., ts, prev_state, new_state);
+    the first observed value per key is a transition from NULL.
+
+    Scale notes: state is one scalar per key (bounded, no growth); rows
+    are processed in event-time order WITHIN a batch by a pandas sort —
+    cross-batch ordering is the source's responsibility (per-key ordered
+    ingest, the same contract a Kafka keyed partition gives you)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    state_type = stream.schema[state_col].dataType.simpleString()
+    key_fields = ", ".join(
+        f"{k} {stream.schema[k].dataType.simpleString()}" for k in key_cols
+    )
+    out_schema = (
+        f"{key_fields}, ts timestamp, "
+        f"prev_state {state_type}, new_state {state_type}"
+    )
+
+    def detect(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(ts)
+        rows = []
+        for t, s in zip(pdf[ts], pdf[state_col]):
+            if pd.isna(s):
+                continue
+            if last is None or s != last:
+                rows.append((*key, t, last, s))
+                last = s
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[*key_cols, "ts", "prev_state", "new_state"]
+            )
+
+    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
+    return src.groupBy(*key_cols).applyInPandasWithState(
+        detect,
+        out_schema,
+        f"last_state {state_type}",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_session_windows(
     stream: DataFrame,
     ts: str,

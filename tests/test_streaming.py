@@ -109,6 +109,52 @@ def test_foreach_batch_upsert(spark, stream_src, tmp_path):
     assert spark.read.parquet(target).count() == 8
 
 
+def test_streaming_state_changes_across_batches(spark, tmp_path):
+    from datamine_v2_0_spark.streaming.ops import streaming_state_changes
+
+    # three files = three micro-batches (maxFilesPerTrigger=1); the d->e
+    # transition straddles the batch-2/batch-3 boundary, and batch 3 opens
+    # with the SAME state batch 2 ended on (e==e: no spurious event) —
+    # both only work if GroupState persists across batches
+    src = tmp_path / "src"
+    src.mkdir()
+    batches = [
+        [("a", 0, "x"), ("a", 1, "x"), ("a", 2, "y")],
+        [("a", 3, "y"), ("a", 4, "d"), ("b", 5, "p")],
+        [("a", 6, "d"), ("a", 7, "e"), ("b", 8, "p"), ("b", 9, "q")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [Row(k=k, ts=T0 + timedelta(seconds=s), state=st) for k, s, st in rows]
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = spark.readStream.schema("k string, ts timestamp, state string").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "b*"))
+    out = streaming_state_changes(stream, ["k"], "ts", "state")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("state_changes")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["ts"].replace(tzinfo=timezone.utc), r["prev_state"], r["new_state"])
+        for r in spark.sql("SELECT * FROM state_changes").collect()
+    }
+    t = lambda s: T0 + timedelta(seconds=s)
+    assert got == {
+        ("a", t(0), None, "x"),
+        ("a", t(2), "x", "y"),
+        ("a", t(4), "y", "d"),
+        ("a", t(7), "d", "e"),
+        ("b", t(5), None, "p"),
+        ("b", t(9), "p", "q"),
+    }
+
+
 def test_streaming_session_windows(spark, stream_src):
     def xform(df):
         return streaming_session_windows(
