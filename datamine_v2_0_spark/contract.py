@@ -123,7 +123,7 @@ FROM orders GROUP BY o_orderpriority
 
 
 def q_agg_percentiles(spark, sf_dir):
-    out = agg.exact_percentiles(
+    out = agg.exact_percentiles_sorted(
         _t(spark, sf_dir, "lineitem"), ["l_returnflag"], "l_extendedprice"
     )
     cols = [F.col("l_returnflag")] + [

@@ -15,7 +15,10 @@ join on the bucket key.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
 
 
 def normalize_text(col: Column) -> Column:
@@ -107,6 +110,38 @@ def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
     return F.array(*sigs)
 
 
+def minhash_signature_udf(num_hashes: int = 64):
+    """Vectorized MinHash: per Arrow batch, one (shingles × num_hashes)
+    splitmix64 mix + column-min in numpy, replacing num_hashes interpreted
+    `transform` expressions (HOFs don't participate in codegen; the
+    expression form costs ~num_hashes passes over every shingle array).
+
+    Input: array<long> of shingle hashes; output: array<long> signature
+    (nulls for empty shingle sets, matching `minhash_signature`)."""
+    C1 = np.uint64(0x9E3779B97F4A7C15)
+    C2 = np.uint64(0xBF58476D1CE4E5B9)
+    C3 = np.uint64(0x94D049BB133111EB)
+    offs = np.arange(1, num_hashes + 1, dtype=np.uint64) * C1
+
+    @pandas_udf("array<long>")
+    def _sig(hs: pd.Series) -> pd.Series:
+        empty = [None] * num_hashes
+        with np.errstate(over="ignore"):
+            out = []
+            for h in hs:
+                if h is None or len(h) == 0:
+                    out.append(empty)
+                    continue
+                z = np.asarray(h, dtype=np.int64).view(np.uint64)[:, None] + offs
+                z = (z ^ (z >> np.uint64(30))) * C2
+                z = (z ^ (z >> np.uint64(27))) * C3
+                z = z ^ (z >> np.uint64(31))
+                out.append(z.min(axis=0).view(np.int64).tolist())
+        return pd.Series(out)
+
+    return _sig
+
+
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
     """Band the signature: array of (band_id, band_hash) structs. Docs
     sharing ANY band bucket are candidate pairs (banding amplifies the
@@ -148,9 +183,8 @@ def minhash_lsh_candidates(
         F.col(id_col),
         hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__h"),
     )
-    sig = hashed.select(
-        F.col(id_col), minhash_signature(F.col("__h"), num_hashes).alias("__sig")
-    )
+    sig_udf = minhash_signature_udf(num_hashes)
+    sig = hashed.select(F.col(id_col), sig_udf(F.col("__h")).alias("__sig"))
     rows_per_band = num_hashes // bands
     banded = sig.select(
         F.col(id_col),

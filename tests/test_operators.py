@@ -171,6 +171,25 @@ def test_embedding_neardup_lsh_matches_exact_on_fixture(spark, sf_dir):
     assert exact and lsh == exact
 
 
+def test_exact_percentiles_sorted_matches_hashmap_variant(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [Row(g=g, v=float(v)) for g in ("a", "b") for v in range(1, 8)]
+    rows += [Row(g="a", v=100.0), Row(g="b", v=None)]  # uneven n + a null
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.25, 0.5, 0.75, 0.95)
+    a = {r["g"]: r for r in agg.exact_percentiles(df, ["g"], "v", qs).collect()}
+    b = {
+        r["g"]: r
+        for r in agg.exact_percentiles_sorted(df, ["g"], "v", qs).collect()
+    }
+    assert set(a) == set(b) == {"a", "b"}
+    for g in a:
+        for q in qs:
+            c = f"p{int(q * 100)}"
+            assert b[g][c] == pytest.approx(a[g][c], abs=1e-9), (g, c)
+
+
 def test_interval_contain_join(spark):
     left = spark.createDataFrame(
         [Row(k=1, ts=_ts("2025-01-01 00:05:00")),
