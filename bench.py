@@ -14,6 +14,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from datamine_v2_0_spark.contract import QUERIES  # noqa: E402
@@ -48,8 +50,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark("bench")
-    # warm the JVM/session with a trivial job so q1 isn't charged startup
+    # warm one-time infra so q1 isn't charged for it: JVM/codegen, the
+    # parquet datasource, and the Python UDF worker pool
     spark.range(1000).count()
+    spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql.functions import col, pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(64).select(_warm(col("id"))).count()
 
     times: dict[str, float] = {}
     for name in HEADLINE:

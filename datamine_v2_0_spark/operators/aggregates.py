@@ -97,11 +97,11 @@ def exact_percentiles_sorted(
         F.col("__v").isNotNull()
     )
     w = Window.partitionBy(*keys).orderBy("__v")
-    counts = df.groupBy(*keys).agg(
-        F.count(F.col(value)).alias("__n")
-    )
-    ranked = src.withColumn("__rn", F.row_number().over(w)).join(
-        F.broadcast(counts), keys
+    # group size via an unbounded window over the SAME shuffle — no
+    # separate aggregate + broadcast join stage
+    w_all = Window.partitionBy(*keys)
+    ranked = src.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(w_all)
     )
     # target rank pos = 1 + (n-1)q; keep only rows at floor/ceil of any
     # target, then one tiny groupBy interpolates
