@@ -38,10 +38,12 @@ def get_spark(
         os.environ.get("SPARK_SHUFFLE_PARTITIONS", str(cpus))
     )
 
-    # NOTE: spark.driver.memory only takes effect at first JVM launch; it is
-    # silently ignored by getOrCreate() on an existing session, so set it via
-    # SPARK_DRIVER_MEM / spark-submit for the first session only.
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM")
+    # NOTE: spark.driver.memory only takes effect at first JVM launch (the
+    # builder conf is forwarded to spark-submit then); it is silently
+    # ignored by getOrCreate() on an existing session. Local mode runs
+    # executors inside the driver JVM, so the spark-submit default of 1g
+    # OOMs wide parquet writes — default to a heap sized for this box.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "32g")
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
