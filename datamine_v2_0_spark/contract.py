@@ -993,6 +993,36 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_dedup_jaccard_inverted(spark, sf_dir):
+    """Exact n-gram Jaccard near-dups via the inverted-index join —
+    the SQL-expressible exact counterpart of the MinHash candidate path."""
+    df = _t(spark, sf_dir, "documents")
+    return dd.jaccard_pairs_inverted(df, "text", "doc_id", threshold=0.2)
+
+
+SQL_DEDUP_JACCARD_INVERTED = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS g
+  FROM norm WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, len(g) AS sz, unnest(g) AS s FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)), 6) AS jaccard
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING CAST(COUNT(*) AS DOUBLE)
+       / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.2
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: the LSH scale path (banded hyperplane
     prefilter -> exact cosine verify), oracle-checked against DuckDB's
@@ -1590,6 +1620,43 @@ FROM s GROUP BY user_id, session_id
 """
 
 
+def q_scalar_wkt(spark, sf_dir):
+    """WKT text boundary (ST_AsText / ST_GeogFromText / ST_X-Y-Z parity):
+    render POINT Z at fixed precision, parse it back, emit both."""
+    from datamine_v2_0_spark.functions.wkt import parse_wkt_point, wkt_point
+
+    df = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    lon = (F.col("value") % F.lit(170.0)) - F.lit(85.0)
+    lat = (F.col("user_id") % F.lit(160)).cast("double") - F.lit(80.0)
+    alt = (F.col("event_id") % F.lit(4000)).cast("double")
+    rendered = wkt_point(lon, lat, alt)
+    parsed = parse_wkt_point(rendered)
+    return df.select(
+        "event_id",
+        rendered.alias("wkt"),
+        parsed["lon"].alias("x"),
+        parsed["lat"].alias("y"),
+        parsed["alt"].alias("z"),
+    )
+
+
+SQL_SCALAR_WKT = """
+WITH pts AS (
+  SELECT event_id,
+         printf('POINT Z (%.6f %.6f %.6f)',
+                fmod(value, 170.0) - 85.0,
+                CAST(user_id % 160 AS DOUBLE) - 80.0,
+                CAST(event_id % 4000 AS DOUBLE)) AS wkt
+  FROM events WHERE value IS NOT NULL
+)
+SELECT event_id, wkt,
+       CAST(regexp_extract(wkt, 'POINT Z \\(([-0-9.]+) ([-0-9.]+) ([-0-9.]+)\\)', 1) AS DOUBLE) AS x,
+       CAST(regexp_extract(wkt, 'POINT Z \\(([-0-9.]+) ([-0-9.]+) ([-0-9.]+)\\)', 2) AS DOUBLE) AS y,
+       CAST(regexp_extract(wkt, 'POINT Z \\(([-0-9.]+) ([-0-9.]+) ([-0-9.]+)\\)', 3) AS DOUBLE) AS z
+FROM pts
+"""
+
+
 def q_scalar_binning(spark, sf_dir):
     from datamine_v2_0_spark.operators import binning as bn
 
@@ -1744,6 +1811,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_jaccard": (q_dedup_jaccard, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
@@ -1767,6 +1835,7 @@ QUERIES: dict[str, tuple] = {
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
+    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),

@@ -236,6 +236,60 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs_inverted(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.2,
+    max_shingle_freq: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via an inverted-index join: explode
+    distinct shingles, equi-join on the shingle, count shared shingles
+    per pair, Jaccard = |∩| / (|A| + |B| - |∩|).
+
+    Fully SQL-expressible (unlike the MinHash candidate path), so it is
+    the oracle-checkable exact-dedup variant. The join key is the
+    shingle string — the classic blocking layout; at corpus scale,
+    stop-shingles (n-grams appearing in thousands of docs) dominate the
+    join, so pass ``max_shingle_freq`` to drop shingles with document
+    frequency above the cap before joining (standard blocking trick;
+    drops only pairs whose ONLY overlap is ubiquitous boilerplate)."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
+    ).filter(F.size("__g") > 0)
+    sized = sh.select(F.col(id_col), F.size("__g").alias("__sz"), "__g")
+    ex = sized.select(F.col(id_col), "__sz", F.explode("__g").alias("__s"))
+    if max_shingle_freq is not None:
+        rare = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= max_shingle_freq
+        )
+        ex = ex.join(rare.select("__s"), "__s")
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s"
+    )
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.first("__sza").alias("__sza"),
+            F.first("__szb").alias("__szb"),
+        )
+    )
+    j = F.col("__i") / (F.col("__sza") + F.col("__szb") - F.col("__i"))
+    return (
+        inter.withColumn("jaccard", F.round(j, round_to))
+        .filter(j >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -134,6 +134,34 @@ def test_simhash_close_for_near_dups(spark):
     assert ham12 < ham13
 
 
+def test_jaccard_inverted_exact_and_freq_cap(spark):
+    boiler = "terms of service apply here"  # shared by all three docs
+    rows = [
+        Row(doc_id=1, text=f"alpha beta gamma delta epsilon {boiler}"),
+        Row(doc_id=2, text=f"alpha beta gamma delta zeta {boiler}"),
+        Row(doc_id=3, text=f"completely different body text {boiler}"),
+    ]
+    df = spark.createDataFrame(rows)
+    full = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs_inverted(
+            df, "text", "doc_id", threshold=0.0
+        ).collect()
+    }
+    # every pair shares the boilerplate trigrams; 1-2 overlap far more
+    assert set(full) == {(1, 2), (1, 3), (2, 3)}
+    assert full[(1, 2)] > full[(1, 3)]
+    # capping shingle document-frequency at 2 drops the boilerplate-only
+    # pairs but keeps the true near-dup
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dd.jaccard_pairs_inverted(
+            df, "text", "doc_id", threshold=0.0, max_shingle_freq=2
+        ).collect()
+    }
+    assert (1, 2) in capped and (1, 3) not in capped and (2, 3) not in capped
+
+
 def test_embedding_neardup_planted_pair(spark):
     # a planted near-duplicate vector pair must surface; orthogonal must not
     rows = [

@@ -153,3 +153,31 @@ def test_clamp_and_null_if_outside(spark):
     ).collect()
     assert [r["c"] for r in got] == [0.0, 25.0, 50.0]
     assert [r["n"] for r in got] == [None, 25.0, None]
+
+
+def test_wkt_point_roundtrip_and_edges(spark):
+    from datamine_v2_0_spark.functions.wkt import parse_wkt_point, wkt_point
+
+    df = spark.createDataFrame(
+        [Row(lon=-105.123456789, lat=40.5, alt=1609.3),
+         Row(lon=0.0, lat=-0.25, alt=None)],
+        "lon double, lat double, alt double",
+    )
+    got = df.select(
+        wkt_point(F.col("lon"), F.col("lat"), F.col("alt")).alias("w3"),
+        wkt_point(F.col("lon"), F.col("lat")).alias("w2"),
+    ).collect()
+    assert got[0]["w3"] == "POINT Z (-105.123457 40.500000 1609.300000)"
+    assert got[0]["w2"] == "POINT (-105.123457 40.500000)"
+    assert got[1]["w3"] is None  # null alt -> null POINT Z
+    assert got[1]["w2"] == "POINT (0.000000 -0.250000)"
+
+    back = spark.createDataFrame(
+        [Row(w="POINT Z (-105.123457 40.5 1609.3)"),
+         Row(w="POINT (1.5 2.5)"),
+         Row(w="not wkt at all")],
+        "w string",
+    ).select(parse_wkt_point(F.col("w")).alias("p")).collect()
+    assert back[0]["p"]["lon"] == -105.123457 and back[0]["p"]["alt"] == 1609.3
+    assert back[1]["p"]["lat"] == 2.5 and back[1]["p"]["alt"] is None
+    assert back[2]["p"]["lon"] is None
