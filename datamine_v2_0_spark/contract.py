@@ -1110,6 +1110,28 @@ FROM documents
 """
 
 
+def q_mm_frames(spark, sf_dir):
+    """Frame sampling over media payloads (mapInPandas one-row-in /
+    many-rows-out): every 2nd 64-char frame."""
+    from datamine_v2_0_spark.operators import multimodal as mm
+
+    media = mm.media_table_from_documents(_t(spark, sf_dir, "documents"))
+    return mm.sample_frames(media, frame_size=64, every=2)
+
+
+SQL_MM_FRAMES = """
+WITH m AS (
+  SELECT doc_id AS media_id, text AS payload,
+         CAST(ceil(len(text) / 64.0) AS BIGINT) AS n_frames
+  FROM documents WHERE len(text) > 0
+)
+SELECT media_id, i AS frame_idx,
+       substr(payload, CAST(i * 64 + 1 AS BIGINT), 64) AS frame_payload,
+       n_frames
+FROM m, unnest(generate_series(0, n_frames - 1, 2)) AS t(i)
+"""
+
+
 def q_cpd_candidates(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn(
         "ukey", F.concat(F.lit("u"), F.col("user_id").cast("string"))
@@ -1817,6 +1839,7 @@ QUERIES: dict[str, tuple] = {
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, None),
     "mm_features": (q_mm_features, SQL_MM_FEATURES),
+    "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     # CPD (F4) — the flagship applyInPandas stage
     "cpd_candidates": (q_cpd_candidates, None),
     # pipeline stages (silver / features) + extended operators

@@ -267,6 +267,29 @@ def test_savgol_smooth_grouped(spark):
         assert r["smoothed"] == pytest.approx(r["v"], abs=1e-6)
 
 
+def test_multimodal_resize_and_frames(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefghij"), Row(doc_id=2, text="")],
+        "doc_id long, text string",
+    )
+    media = mm.media_table_from_documents(docs)
+
+    resized = {r["media_id"]: r for r in mm.resize_media(media, 4).collect()}
+    assert len(resized[1]["payload"]) == 4 and resized[1]["width"] == 4
+    # endpoints of the resample are the original endpoints
+    assert resized[1]["payload"][0] == float(ord("a"))
+    assert resized[1]["payload"][-1] == float(ord("j"))
+    assert resized[2]["payload"] == [0.0] * 4
+
+    frames = mm.sample_frames(media, frame_size=4, every=2).collect()
+    got = {(r["media_id"], r["frame_idx"]): r for r in frames}
+    # doc 1: 10 chars -> 3 frames (abcd efgh ij), sampled idx 0 and 2
+    assert set(got) == {(1, 0), (1, 2)}
+    assert got[(1, 0)]["frame_payload"] == "abcd"
+    assert got[(1, 2)]["frame_payload"] == "ij"
+    assert got[(1, 0)]["n_frames"] == 3
+
+
 def test_multimodal_features_deterministic(spark):
     docs = spark.createDataFrame(
         [Row(doc_id=1, text="abc"), Row(doc_id=2, text="")],
