@@ -52,6 +52,15 @@ def read_schema(df: DataFrame) -> list[str]:
     return cols
 
 
+def has_cartesian(df: DataFrame) -> bool:
+    """True when the plan contains an all-pairs product (CartesianProduct
+    or a non-equi BroadcastNestedLoopJoin). Candidate-generation operators
+    (LSH, inverted-index blocking) must NEVER trip this — all-pairs is
+    the thing the bucketing exists to avoid."""
+    p = executed_plan(df)
+    return "CartesianProduct" in p or "BroadcastNestedLoopJoin" in p
+
+
 def python_eval_nodes(df: DataFrame) -> int:
     """Count of Python-evaluation operators (ArrowEvalPython /
     BatchEvalPython / FlatMapGroupsInPandas) in the plan — each one is a

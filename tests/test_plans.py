@@ -60,3 +60,31 @@ def test_window_stack_shares_exchange(spark):
     df = QUERIES["win_rolling"][0](spark, SF)
     # one window partitioning -> exactly one shuffle
     assert count_exchanges(df) == 1
+
+
+def test_candidate_generation_never_all_pairs(spark):
+    """LSH / inverted-index candidate generation must be equi-join
+    shaped — an accidental cross product is the one failure mode that
+    cannot survive any scale-up."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.plans import has_cartesian
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    assert not has_cartesian(
+        dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=8)
+    )
+    assert not has_cartesian(
+        dd.jaccard_pairs_inverted(docs, "text", "doc_id", threshold=0.2)
+    )
+    assert not has_cartesian(
+        dd.embedding_neardup_pairs(emb, "embedding", "vec_id", dim=64,
+                                   threshold=0.35, num_planes=32, bands=16)
+    )
+    # ... and the exact baseline IS all-pairs, so the inspector itself
+    # is exercised in both directions
+    assert has_cartesian(
+        dd.embedding_neardup_pairs(emb, "embedding", "vec_id", dim=64,
+                                   threshold=0.35, exact=True)
+    )
