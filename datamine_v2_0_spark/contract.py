@@ -1481,6 +1481,37 @@ FROM lineitem
 """
 
 
+def q_win_rank_family(spark, sf_dir):
+    """Generic ranking family (rank/dense_rank/percent_rank/cume_dist/
+    ntile/lead) sharing one window sort."""
+    df = _t(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    w = win.ordered_window(["user_id"], ["value", "event_id"])
+    feats = win.rank_features(w, F.col("value"), buckets=4)
+    return df.select(
+        "event_id",
+        "user_id",
+        feats["rnk"].alias("rnk"),
+        feats["drnk"].alias("drnk"),
+        F.round(feats["prnk"], 6).alias("prnk"),
+        F.round(feats["cdist"], 6).alias("cdist"),
+        feats["tile"].alias("tile"),
+        feats["next_val"].alias("next_val"),
+    )
+
+
+SQL_WIN_RANK_FAMILY = """
+SELECT event_id, user_id,
+       RANK() OVER w AS rnk,
+       DENSE_RANK() OVER w AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       NTILE(4) OVER w AS tile,
+       LEAD(value, 1) OVER w AS next_val
+FROM events WHERE value IS NOT NULL
+WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+"""
+
+
 def q_sql_views(spark, sf_dir):
     """S10: the SQL-text API surface — register temp views, run a query
     through spark.sql (the engine-native analog of pd.read_sql_query)."""
@@ -1852,6 +1883,7 @@ QUERIES: dict[str, tuple] = {
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
     "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
+    "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "sql_views": (q_sql_views, SQL_SQL_VIEWS),
     "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "agg_approx": (q_agg_approx, None),

@@ -185,6 +185,23 @@ def bfill(col: str | Column, w: WindowSpec) -> Column:
     )
 
 
+def rank_features(
+    w: WindowSpec, lead_col: str | Column, buckets: int = 4
+) -> dict[str, Column]:
+    """The generic ranking family over one ordered window (SURVEY §2.5
+    closing note: not used by the reference, standard Spark surface):
+    rank / dense_rank / percent_rank / cume_dist / ntile / lead. One
+    window spec → all share a single sort+exchange."""
+    return {
+        "rnk": F.rank().over(w),
+        "drnk": F.dense_rank().over(w),
+        "prnk": F.percent_rank().over(w),
+        "cdist": F.cume_dist().over(w),
+        "tile": F.ntile(buckets).over(w),
+        "next_val": F.lead(lead_col, 1).over(w),
+    }
+
+
 def sessionize(ts: str | Column, w: WindowSpec, gap_seconds: float) -> Column:
     """Time-gap sessionization as gaps-and-islands: a new session starts
     where the gap to the previous row exceeds `gap_seconds`. Returns a

@@ -303,3 +303,28 @@ def test_multimodal_features_deterministic(spark):
     assert got[1]["content_sha256"] == hashlib.sha256(b"abc").hexdigest()
     assert got[2]["n_bytes"] == 0
     assert len(got[1]["features"]) == 8
+
+
+def test_rank_family_tie_semantics(spark):
+    from datamine_v2_0_spark.operators import windows as win
+
+    rows = [Row(g="a", i=i, v=v) for i, v in enumerate([10.0, 10.0, 20.0, 30.0])]
+    df = spark.createDataFrame(rows, "g string, i long, v double")
+    w = win.ordered_window(["g"], ["v", "i"])
+    w_ties = win.ordered_window(["g"], ["v"])
+    feats = win.rank_features(w_ties, F.col("v"), buckets=2)
+    got = (
+        df.select(
+            "i",
+            feats["rnk"].alias("rnk"),
+            feats["drnk"].alias("drnk"),
+            feats["prnk"].alias("prnk"),
+        )
+        .orderBy("i")
+        .collect()
+    )
+    assert [r["rnk"] for r in got] == [1, 1, 3, 4]      # rank skips after ties
+    assert [r["drnk"] for r in got] == [1, 1, 2, 3]     # dense_rank doesn't
+    assert got[2]["prnk"] == pytest.approx(2 / 3)       # (rank-1)/(n-1)
+    tiles = df.select(win.rank_features(w, F.col("v"), 2)["tile"].alias("t")).collect()
+    assert sorted(r["t"] for r in tiles) == [1, 1, 2, 2]
