@@ -1154,11 +1154,42 @@ def q_cpd_candidates(spark, sf_dir):
 
 
 def q_win_savgol(spark, sf_dir):
+    """F5 Savitzky–Golay grouped-map UDF, oracle-checked on interior
+    points: away from the edges an 11-point quadratic SG filter IS the
+    fixed convolution (-36,9,44,69,84,89,...)/429, which DuckDB expresses
+    with lag/lead — so the applyInPandas kernel's output hash-matches
+    closed-form SQL. Edge rows (polynomial-fit extrapolation) are
+    excluded here and covered by the exact-recovery pytest."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = sm.savgol_smooth(
         ev, ["user_id"], "ts", "value", out_col="smoothed", window=11, polyorder=2
     )
-    return out.select("event_id", F.round("smoothed", 6).alias("smoothed"))
+    w = Window.partitionBy("user_id").orderBy("ts")
+    out = out.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
+    )
+    return out.filter(
+        (F.col("__rn") >= 6) & (F.col("__rn") <= F.col("__n") - 5)
+    ).select("event_id", F.round("smoothed", 6).alias("smoothed"))
+
+
+SQL_WIN_SAVGOL = """
+WITH r AS (
+  SELECT event_id,
+         ROW_NUMBER() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY user_id) AS n,
+         (-36.0 * (LAG(value, 5) OVER w + LEAD(value, 5) OVER w)
+          + 9.0  * (LAG(value, 4) OVER w + LEAD(value, 4) OVER w)
+          + 44.0 * (LAG(value, 3) OVER w + LEAD(value, 3) OVER w)
+          + 69.0 * (LAG(value, 2) OVER w + LEAD(value, 2) OVER w)
+          + 84.0 * (LAG(value, 1) OVER w + LEAD(value, 1) OVER w)
+          + 89.0 * value) / 429.0 AS sm
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, ROUND(sm, 6) AS smoothed
+FROM r WHERE rn >= 6 AND rn <= n - 5
+"""
 
 
 # ------------------------------------------------------- pipeline stages
@@ -1832,7 +1863,7 @@ QUERIES: dict[str, tuple] = {
     "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
     "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
     "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
-    "win_savgol": (q_win_savgol, None),
+    "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
     # joins (J1-J10)
     "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
