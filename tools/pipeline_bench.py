@@ -1,0 +1,155 @@
+"""End-to-end pipeline benchmark at the reference's production scale:
+8.83M raw telemetry rows / 96 device-date partitions through
+
+  silver transform (hash id, enums, position parse, JSON, bools)
+  → feature stack (zone join + full window-function suite + one-hot)
+  → partitioned parquet export
+  plus the CPD stage (5 s downsample → per-partition PELT) off silver.
+
+Reference anchors (BASELINE.md): full 6-step pipeline "< 2 h" for the
+same 8.8M rows on 100 cores; transform 25k+ rows/s (200k+ w/ 32
+workers); features 15k+ rows/s per worker; CPD ~2 min; export 185.8 s.
+
+Usage: python tools/pipeline_bench.py [n_partitions] [rows_per_partition]
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from datamine_v2_0_spark.pipeline.cpd import cpd_pipeline
+from datamine_v2_0_spark.pipeline.features import build_features
+from datamine_v2_0_spark.pipeline.silver import silver_transform
+from datamine_v2_0_spark.session import get_spark
+
+
+def raw_frame(spark, n_parts: int, rows_pp: int):
+    """11-column raw-CSV-shaped telemetry (all strings, like the bronze
+    layer): one range partition per device so the bench isolates operator
+    cost, not input shuffle."""
+    n = n_parts * rows_pp
+    df = (
+        spark.range(0, n, 1, n_parts)
+        .withColumn("pid", F.expr(f"id div {rows_pp}"))
+        .withColumn("seq", F.col("id") % rows_pp)
+    )
+    h = lambda k: F.xxhash64(F.col("id"), F.lit(k))
+    frac = lambda k: F.pmod(h(k), F.lit(100000)) / 100000.0
+    ts = F.timestamp_micros(F.lit(1753833600000000) + F.col("seq") * 500_000)
+    # load level shifts every ~135 rows (the reference's CPD density)
+    level = F.pmod(F.xxhash64(F.expr("seq div 135"), F.col("pid")), F.lit(60000))
+    state = F.element_at(
+        F.array(
+            F.lit("idle"), F.lit("loadToDump"), F.lit("dumping"),
+            F.lit("TRUCK_JUNK_STATE"), F.lit(None).cast("string"),
+        ),
+        (F.pmod(h(1), F.lit(5)) + 1).cast("int"),
+    )
+    sw = F.element_at(
+        F.array(F.lit("start"), F.lit("stop"), F.lit("fault"), F.lit("dump")),
+        (F.pmod(h(2), F.lit(4)) + 1).cast("int"),
+    )
+    prndl = F.element_at(
+        F.array(F.lit("park"), F.lit("drive"), F.lit("reverse"), F.lit("n")),
+        (F.pmod(h(3), F.lit(4)) + 1).cast("int"),
+    )
+    # positions inside the zone bounding box so the spatial join does
+    # real classification work
+    lat = F.lit(33.2404) + frac(4) * 0.036
+    lon = F.lit(-97.8407) + frac(5) * 0.0144
+    pos = F.concat(
+        F.lit("{"), F.format_number(lat, 7), F.lit(","),
+        F.format_number(lon, 7), F.lit(","), F.format_number(frac(6) * 300, 2),
+        F.lit("}"),
+    )
+    return df.select(
+        F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("timestamp"),
+        F.concat(F.lit("truck-775g-"), F.col("pid")).alias("device_id"),
+        F.when(F.pmod(h(7), F.lit(2)) == 0, F.lit("t")).otherwise(F.lit("f")).alias(
+            "system_engaged"
+        ),
+        F.when(F.pmod(h(8), F.lit(2)) == 0, F.lit("true")).otherwise(
+            F.lit("false")
+        ).alias("parking_brake_applied"),
+        pos.alias("current_position"),
+        (frac(9) * 55).cast("string").alias("current_speed"),
+        (level + frac(10) * 600 - 300).cast("string").alias("load_weight"),
+        state.alias("state"),
+        sw.alias("software_state"),
+        prndl.alias("prndl"),
+        F.concat(F.lit('{"fw":'), F.pmod(h(11), F.lit(9)), F.lit("}")).alias(
+            "extras"
+        ),
+    )
+
+
+def main() -> None:
+    n_parts = int(sys.argv[1]) if len(sys.argv) > 1 else 96
+    rows_pp = int(sys.argv[2]) if len(sys.argv) > 2 else 92_000
+    spark = get_spark("pipeline_bench")
+    spark.range(1000).count()  # warm
+
+    out_dir = tempfile.mkdtemp(prefix="pipeline_bench_")
+    try:
+        raw = raw_frame(spark, n_parts, rows_pp)
+        t0 = time.time()
+        silver = silver_transform(
+            raw, ingested_at=F.to_timestamp(F.lit("2025-09-04 00:00:00"))
+        )
+        features = build_features(silver)
+        (
+            features.drop("current_position")
+            .write.mode("overwrite")
+            .partitionBy("device_date")
+            .parquet(f"{out_dir}/features")
+        )
+        t_features = time.time() - t0
+
+        t1 = time.time()
+        cand = cpd_pipeline(
+            spark.read.parquet(f"{out_dir}/features"),
+            "device_date",
+            "timestamp",
+            ["load_weight"],
+            "raw_event_hash_id",
+            duration="5 seconds",
+            penalty=2e7,
+            min_size=10,
+        )
+        n_cand = cand.count()
+        t_cpd = time.time() - t1
+
+        n_rows = spark.read.parquet(f"{out_dir}/features").count()
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+    total = t_features + t_cpd
+    print(
+        json.dumps(
+            {
+                "metric": "pipeline_e2e_seconds",
+                "value": round(total, 2),
+                "unit": "sec",
+                "rows": n_rows,
+                "partitions": n_parts,
+                "silver_features_export_sec": round(t_features, 2),
+                "cpd_sec": round(t_cpd, 2),
+                "candidates": n_cand,
+                "rows_per_sec": int(n_rows / total),
+                "reference_anchor": "silver 44-353s + features ~18-588s + cpd ~120s + export 185.8s; <2h total",
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
