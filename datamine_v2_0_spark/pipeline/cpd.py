@@ -145,6 +145,104 @@ def detect_change_points(
     )
 
 
+def penalty_sweep(
+    downsampled: DataFrame,
+    partition_col: str,
+    signal_col: str,
+    id_col: str,
+    penalties: list[float],
+    min_size: int = MIN_SIZE,
+    jump: int = JUMP,
+    num_tasks: int | None = None,
+) -> DataFrame:
+    """The reference's coarse penalty sweep (05_cpd_algorithm_tuning.py:
+    203-227: pen 0.05…2.0 step 0.05, recall per penalty) as ONE Spark
+    stage: each partition group is shuffled/sorted once and re-segmented
+    for every penalty inside the same task — P penalties cost one
+    applyInPandas pass, not P jobs.
+
+    Output: (penalty, partition_key, signal_name, bucket_ts, bucket_id),
+    one row per change point per penalty."""
+
+    def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        key = pdf[partition_col].iloc[0] if len(pdf) else None
+        sig = pdf[signal_col].astype("float64").to_numpy()
+        mask = ~pd.isna(sig)
+        sub = pdf[mask]
+        vals = sig[mask]
+        out = []
+        for pen in penalties:
+            for b in pelt_l2(vals, pen, min_size=min_size, jump=jump):
+                out.append(
+                    {
+                        "penalty": float(pen),
+                        "partition_key": key,
+                        "signal_name": signal_col,
+                        "bucket_ts": sub["bucket_ts"].iloc[b],
+                        "bucket_id": sub[id_col].iloc[b],
+                    }
+                )
+        cols = ["penalty", "partition_key", "signal_name", "bucket_ts", "bucket_id"]
+        return pd.DataFrame(out, columns=cols)
+
+    downsampled = downsampled.withColumn(id_col, F.col(id_col).cast("string"))
+    if num_tasks is None:
+        num_tasks = downsampled.sparkSession.sparkContext.defaultParallelism
+    downsampled = downsampled.repartition(num_tasks, partition_col)
+    return downsampled.groupBy(partition_col).applyInPandas(
+        _sweep, schema="penalty double, " + CANDIDATE_SCHEMA
+    )
+
+
+def tune_penalty(
+    sweep: DataFrame,
+    truth: DataFrame,
+    truth_key: str,
+    truth_id: str,
+    true_start: str,
+    true_end: str,
+    penalties: list[float] | None = None,
+) -> DataFrame:
+    """Recall per penalty against ground-truth windows (any change point
+    inside the window counts as detected — the reference's overlap
+    matching, 05_cpd_algorithm_tuning.py:121-139). One containment join
+    + one groupBy over the whole sweep; returns
+    (penalty, n_truth, n_detected, recall) ordered by penalty."""
+    spark = sweep.sparkSession
+    n_truth = truth.select(truth_id).distinct().count()
+    hits = (
+        sweep.join(
+            truth,
+            (sweep["partition_key"] == truth[truth_key])
+            & sweep["bucket_ts"].between(truth[true_start], truth[true_end]),
+        )
+        .groupBy("penalty")
+        .agg(F.countDistinct(truth_id).alias("n_detected"))
+    )
+    # pass `penalties` explicitly to also report penalties whose sweep
+    # produced zero change points anywhere (they have no sweep rows)
+    if penalties is not None:
+        pens = spark.createDataFrame(
+            [(float(p),) for p in penalties], "penalty double"
+        )
+    else:
+        pens = sweep.select("penalty").distinct()
+    return (
+        pens.join(hits, "penalty", "left")
+        .withColumn("n_detected", F.coalesce("n_detected", F.lit(0)))
+        .withColumn("n_truth", F.lit(n_truth))
+        .withColumn(
+            "recall",
+            F.when(F.lit(n_truth) > 0, F.col("n_detected") / n_truth).otherwise(
+                F.lit(0.0)
+            ),
+        )
+        .select("penalty", "n_truth", "n_detected", "recall")
+        .orderBy("penalty")
+    )
+
+
 def cpd_pipeline(
     df: DataFrame,
     partition_col: str,

@@ -98,3 +98,34 @@ def test_downsample_bucket_semantics(spark):
         assert r["load_weight"] == pytest.approx(10.0)
         # first id in bucket (min by ts)
         assert r["hash_id"].startswith("d-")
+
+
+def test_penalty_sweep_and_tuning(spark):
+    levels = [0.0, 40000.0, 0.0, 40000.0]
+    df = spark.createDataFrame(_telemetry("lake-605", levels))
+    ds = cpd.downsample(df, "device_date", "ts", ["load_weight"], "hash_id")
+    penalties = [1e7, 1e14]  # sane / absurdly high
+    sweep = cpd.penalty_sweep(
+        ds, "device_date", "load_weight", "hash_id", penalties, min_size=10
+    )
+    # ground truth: one +/-30s window around each programmed step
+    truth = spark.createDataFrame(
+        [
+            Row(
+                gt_id=i,
+                key="lake-605_2025-07-30",
+                start=T0 + timedelta(seconds=300 * (i + 1) - 30),
+                end=T0 + timedelta(seconds=300 * (i + 1) + 30),
+            )
+            for i in range(3)
+        ]
+    )
+    tuned = {
+        r["penalty"]: r
+        for r in cpd.tune_penalty(
+            sweep, truth, "key", "gt_id", "start", "end", penalties=penalties
+        ).collect()
+    }
+    assert tuned[1e7]["recall"] == pytest.approx(1.0)      # finds all 3 steps
+    assert tuned[1e14]["n_detected"] == 0                  # over-penalized
+    assert tuned[1e14]["n_truth"] == 3
