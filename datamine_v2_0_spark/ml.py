@@ -96,6 +96,34 @@ def evaluate_classifier(predictions: DataFrame) -> dict[str, float]:
     return out
 
 
+def compare_models(
+    train: DataFrame, test: DataFrame, pipelines: dict[str, Pipeline]
+) -> DataFrame:
+    """A/B model harness (model_comparison_validation.py:111-239): fit
+    every candidate pipeline on the SAME train split, evaluate on the
+    SAME test split, one metrics row per model. The reference compares
+    two XGBoost variants this way; any Pipeline works here."""
+    spark = train.sparkSession
+    rows = []
+    for name, pipe in pipelines.items():
+        preds = pipe.fit(train).transform(test)
+        m = evaluate_classifier(preds)
+        rows.append(
+            (
+                name,
+                float(m["accuracy"]),
+                float(m["weightedPrecision"]),
+                float(m["weightedRecall"]),
+                float(m["f1"]),
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "model string, accuracy double, weighted_precision double, "
+        "weighted_recall double, f1 double",
+    )
+
+
 def confusion_matrix(predictions: DataFrame) -> DataFrame:
     """Grouped (label, prediction, n) — the distributed confusion matrix."""
     return (

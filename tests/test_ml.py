@@ -70,3 +70,36 @@ def test_stratified_split_preserves_classes(spark):
     test_classes = {r["cls"] for r in test.select("cls").distinct().collect()}
     assert train_classes == {"a", "b"} == test_classes
     assert abs(train.count() / 300 - 0.8) < 0.1
+
+
+def test_compare_models_ab_harness(spark):
+    import numpy as np
+
+    from datamine_v2_0_spark.ml import compare_models
+
+    rng = np.random.default_rng(7)
+    means = {"a": (0.0, 0.0), "b": (5.0, 0.0), "c": (0.0, 5.0)}
+    rows = [
+        (cls, float(rng.normal(mx, 0.5)), float(rng.normal(my, 0.5)))
+        for cls, (mx, my) in means.items()
+        for _ in range(100)
+    ]
+    df = spark.createDataFrame(rows, "cls string, x double, y double")
+    train, test = stratified_split(df, "cls", 0.8, seed=7)
+    got = {
+        r["model"]: r
+        for r in compare_models(
+            train,
+            test,
+            {
+                "deep": build_classifier_pipeline(["x", "y"], "cls", 3,
+                                                  max_depth=5, n_trees=20),
+                "stump": build_classifier_pipeline(["x", "y"], "cls", 3,
+                                                   max_depth=1, n_trees=1),
+            },
+        ).collect()
+    }
+    assert set(got) == {"deep", "stump"}
+    # separable data: the real model wins; the stump can't split 3 classes
+    assert got["deep"]["accuracy"] > 0.9
+    assert got["deep"]["accuracy"] > got["stump"]["accuracy"]
