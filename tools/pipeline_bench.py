@@ -100,7 +100,14 @@ def main() -> None:
 
     out_dir = tempfile.mkdtemp(prefix="pipeline_bench_")
     try:
-        raw = raw_frame(spark, n_parts, rows_pp)
+        # materialize the bronze layer UN-timed: the reference's timed
+        # stages read from an existing DB/CSV, so the timed window here
+        # starts at the parquet scan, not at synthetic-data generation
+        raw_frame(spark, n_parts, rows_pp).write.mode("overwrite").parquet(
+            f"{out_dir}/bronze"
+        )
+        raw = spark.read.parquet(f"{out_dir}/bronze")
+
         t0 = time.time()
         silver = silver_transform(
             raw, ingested_at=F.to_timestamp(F.lit("2025-09-04 00:00:00"))
