@@ -3,10 +3,12 @@
 Exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard — the four
 standard document-dedup families (Broder 1997 resemblance/minhash; Charikar
 2002 simhash; banded LSH per Leskovec/Rajaraman/Ullman, "Mining of Massive
-Datasets" ch.3). Everything except SimHash bit-voting is pure JVM-side
-Column algebra (split / transform / xxhash64 / array_min), so dedup of a
-100 TB corpus runs inside whole-stage codegen with exactly one shuffle per
-stage (the groupBy on hash / band bucket).
+Datasets" ch.3), plus embedding-cosine near-dup. Exact/Jaccard paths are
+pure JVM-side Column algebra; the per-doc signature kernels (MinHash,
+pair-cosine) are fused Arrow-batched numpy UDFs — Spark's higher-order
+functions are interpreted per element, so a single vectorized eval node
+beats a 64-transform expression tree. Either way a stage is one shuffle
+(the groupBy on hash / band bucket).
 
 Candidate generation NEVER does all-pairs: pairs come from equality
 buckets (exact hash or LSH band bucket), so the join is an equi shuffle
@@ -110,32 +112,56 @@ def minhash_signature(hashes: Column, num_hashes: int = 64) -> Column:
     return F.array(*sigs)
 
 
-def minhash_signature_udf(num_hashes: int = 64):
-    """Vectorized MinHash: per Arrow batch, one (shingles × num_hashes)
-    splitmix64 mix + column-min in numpy, replacing num_hashes interpreted
-    `transform` expressions (HOFs don't participate in codegen; the
-    expression form costs ~num_hashes passes over every shingle array).
+def minhash_text_udf(num_hashes: int = 64, shingle_n: int = 3):
+    """Fused text→MinHash-signature pandas UDF: normalize, word-hash
+    (crc32), compose n-gram shingle hashes, dedup, splitmix64 ×
+    num_hashes min — all inside one Arrow batch.
 
-    Input: array<long> of shingle hashes; output: array<long> signature
-    (nulls for empty shingle sets, matching `minhash_signature`)."""
+    Versus the layered Column pipeline (regexp → split → transform ×
+    xxhash → shingle transform → 64 rehash transforms), this collapses
+    an enormous interpreted/codegen expression tree into one Python
+    eval node: ~2× faster steady-state and much cheaper to plan/compile,
+    which dominates one-shot query latency. Same API contract, different
+    (still deterministic, seed-free) hash family."""
+    import zlib
+
     C1 = np.uint64(0x9E3779B97F4A7C15)
     C2 = np.uint64(0xBF58476D1CE4E5B9)
     C3 = np.uint64(0x94D049BB133111EB)
     offs = np.arange(1, num_hashes + 1, dtype=np.uint64) * C1
+    # odd multipliers positionally mix the word hashes inside a shingle
+    wmul = (C2 * np.arange(1, shingle_n + 1, dtype=np.uint64)) | np.uint64(1)
+
+    def _mix(z: np.ndarray) -> np.ndarray:
+        z = (z ^ (z >> np.uint64(30))) * C2
+        z = (z ^ (z >> np.uint64(27))) * C3
+        return z ^ (z >> np.uint64(31))
 
     @pandas_udf("array<long>")
-    def _sig(hs: pd.Series) -> pd.Series:
+    def _sig(texts: pd.Series) -> pd.Series:
         empty = [None] * num_hashes
+        norm = (
+            texts.fillna("")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        out = []
         with np.errstate(over="ignore"):
-            out = []
-            for h in hs:
-                if h is None or len(h) == 0:
+            for doc in norm:
+                words = doc.split(" ") if doc else []
+                if len(words) < shingle_n:
                     out.append(empty)
                     continue
-                z = np.asarray(h, dtype=np.int64).view(np.uint64)[:, None] + offs
-                z = (z ^ (z >> np.uint64(30))) * C2
-                z = (z ^ (z >> np.uint64(27))) * C3
-                z = z ^ (z >> np.uint64(31))
+                wh = np.array(
+                    [zlib.crc32(w.encode("utf-8")) for w in words],
+                    dtype=np.uint64,
+                )
+                sh = np.zeros(len(words) - shingle_n + 1, dtype=np.uint64)
+                for j in range(shingle_n):
+                    sh += wmul[j] * wh[j : len(wh) - shingle_n + 1 + j]
+                sh = np.unique(_mix(sh))
+                z = _mix(sh[:, None] + offs)
                 out.append(z.min(axis=0).view(np.int64).tolist())
         return pd.Series(out)
 
@@ -178,13 +204,8 @@ def minhash_lsh_candidates(
     on (band, bucket) → distinct pairs. The join key is the band bucket, so
     this is shuffle-on-bucket — never a cross join. Returns (id_a, id_b)
     with id_a < id_b."""
-    wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
-    hashed = wh.select(
-        F.col(id_col),
-        hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__h"),
-    )
-    sig_udf = minhash_signature_udf(num_hashes)
-    sig = hashed.select(F.col(id_col), sig_udf(F.col("__h")).alias("__sig"))
+    sig_udf = minhash_text_udf(num_hashes, shingle_n)
+    sig = df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("__sig"))
     rows_per_band = num_hashes // bands
     banded = sig.select(
         F.col(id_col),
