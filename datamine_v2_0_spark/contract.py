@@ -993,6 +993,14 @@ def q_dedup_simhash(spark, sf_dir):
     return dd.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
 
 
+def q_dedup_simhash_pairs(spark, sf_dir):
+    """SimHash banded-Hamming near-dup pairs (pigeonhole 4×16-bit blocks
+    → equi join → bit_count verify). xxhash64-based → rows-only check."""
+    return dd.simhash_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    )
+
+
 def q_dedup_jaccard_inverted(spark, sf_dir):
     """Exact n-gram Jaccard near-dups via the inverted-index join —
     the SQL-expressible exact counterpart of the MinHash candidate path."""
@@ -1895,6 +1903,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
     "dedup_jaccard": (q_dedup_jaccard, None),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
     "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),

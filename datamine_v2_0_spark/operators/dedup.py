@@ -413,6 +413,57 @@ def simhash_from_hashes(hashes: Column) -> Column:
     return expr
 
 
+def simhash_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 64-bit signature into 4 × 16-bit
+    block keys; by pigeonhole, any pair within Hamming distance ≤ 3 shares
+    at least one identical block, so candidates come from an equi join on
+    (block index, block value) — never all-pairs — then an exact
+    ``bit_count(xor)`` verify. Fully JVM-side.
+
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
+    sigs = simhash_signatures(df, text_col, id_col, shingle_n)
+    blocks = sigs.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("bv"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select(id_col, "simhash", "b.bi", "b.bv")
+    a = blocks.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "bi", "bv"
+    )
+    b = blocks.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "bi", "bv"
+    )
+    return (
+        a.join(b, ["bi", "bv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_signatures(
     df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
 ) -> DataFrame:

@@ -328,3 +328,20 @@ def test_rank_family_tie_semantics(spark):
     assert got[2]["prnk"] == pytest.approx(2 / 3)       # (rank-1)/(n-1)
     tiles = df.select(win.rank_features(w, F.col("v"), 2)["tile"].alias("t")).collect()
     assert sorted(r["t"] for r in tiles) == [1, 1, 2, 2]
+
+
+def test_simhash_candidates_banded_hamming(spark):
+    base = "one two three four five six seven eight nine ten " * 4
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),  # identical -> hamming 0
+            Row(doc_id=3, text="totally different content about other topics"),
+        ]
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_candidates(df, "text", "doc_id", max_hamming=3).collect()
+    }
+    assert got.get((1, 2)) == 0
+    assert (1, 3) not in got and (2, 3) not in got

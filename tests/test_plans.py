@@ -82,6 +82,9 @@ def test_candidate_generation_never_all_pairs(spark):
         dd.embedding_neardup_pairs(emb, "embedding", "vec_id", dim=64,
                                    threshold=0.35, num_planes=32, bands=16)
     )
+    assert not has_cartesian(
+        dd.simhash_candidates(docs, "text", "doc_id", max_hamming=3)
+    )
     # ... and the exact baseline IS all-pairs, so the inspector itself
     # is exercised in both directions
     assert has_cartesian(
