@@ -121,7 +121,12 @@ def exact_percentiles_sorted(
             (v_lo + (v_hi - v_lo) * frac).alias(f"p{int(q * 100)}")
         )
     kept = ranked.filter(sum_or(keeps))
-    return kept.groupBy(*keys).agg(*aggs)
+    out = kept.groupBy(*keys).agg(*aggs)
+    # groups whose value column is entirely NULL vanished at the
+    # isNotNull pre-filter; re-attach them with NULL percentiles to match
+    # exact_percentiles / PERCENTILE_CONT semantics
+    all_keys = df.select(*keys).distinct()
+    return out.join(all_keys, keys, "right")
 
 
 def sum_or(conds: Sequence[Column]) -> Column:

@@ -206,6 +206,11 @@ def minhash_lsh_candidates(
     with id_a < id_b."""
     sig_udf = minhash_text_udf(num_hashes, shingle_n)
     sig = df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("__sig"))
+    # docs too short to shingle get an all-null signature; they can't be
+    # MinHash near-dups of anything, and left in they'd all share the
+    # same (null-skipping) band buckets — a quadratic false-pair blowup
+    # on corpora with many tiny docs
+    sig = sig.filter(F.get(F.col("__sig"), 0).isNotNull())
     rows_per_band = num_hashes // bands
     banded = sig.select(
         F.col(id_col),
@@ -275,18 +280,29 @@ def jaccard_pairs_inverted(
     shingle string — the classic blocking layout; at corpus scale,
     stop-shingles (n-grams appearing in thousands of docs) dominate the
     join, so pass ``max_shingle_freq`` to drop shingles with document
-    frequency above the cap before joining (standard blocking trick;
-    drops only pairs whose ONLY overlap is ubiquitous boilerplate)."""
+    frequency above the cap; the Jaccard is then measured over the
+    CAPPED shingle universe — sizes and intersections consistently
+    exclude the dropped shingles, so the score is the similarity of the
+    docs' informative content (mixing capped intersections with uncapped
+    sizes would bias every affected pair downward)."""
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
     ).filter(F.size("__g") > 0)
-    sized = sh.select(F.col(id_col), F.size("__g").alias("__sz"), "__g")
-    ex = sized.select(F.col(id_col), "__sz", F.explode("__g").alias("__s"))
-    if max_shingle_freq is not None:
+    if max_shingle_freq is None:
+        ex = sh.select(
+            F.col(id_col), F.size("__g").alias("__sz"), F.explode("__g").alias("__s")
+        )
+    else:
+        ex = sh.select(F.col(id_col), F.explode("__g").alias("__s"))
         rare = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")).filter(
             F.col("__df") <= max_shingle_freq
         )
         ex = ex.join(rare.select("__s"), "__s")
+        # per-doc sizes over the SAME capped universe as the intersection
+        # counts — uncapped sizes would bias Jaccard downward for pairs
+        # whose overlap includes capped shingles
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+        ex = ex.join(sizes, id_col)
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
@@ -420,27 +436,40 @@ def simhash_candidates(
     max_hamming: int = 3,
     shingle_n: int = 2,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into 4 × 16-bit
-    block keys; by pigeonhole, any pair within Hamming distance ≤ 3 shares
-    at least one identical block, so candidates come from an equi join on
-    (block index, block value) — never all-pairs — then an exact
-    ``bit_count(xor)`` verify. Fully JVM-side.
+    """SimHash near-dup pairs: band the 64-bit signature into
+    ``max_hamming + 1`` block keys; by pigeonhole, any pair within
+    Hamming distance ≤ max_hamming has all differing bits confined to at
+    most max_hamming blocks, so it shares ≥1 identical block — candidates
+    come from an equi join on (block index, block value), never
+    all-pairs — then an exact ``bit_count(xor)`` verify. Fully JVM-side.
 
     Returns (id_a, id_b, hamming) with id_a < id_b."""
+    n_blocks = max_hamming + 1
+    if not 1 <= n_blocks <= 64:
+        raise ValueError("max_hamming must be in [0, 63]")
+    width = 64 // n_blocks
     sigs = simhash_signatures(df, text_col, id_col, shingle_n)
+
+    def _block(i: int) -> Column:
+        # block i covers bits [i*width, ...); the last block takes the
+        # remaining high bits so all 64 are covered
+        shift = i * width
+        w = 64 - shift if i == n_blocks - 1 else width
+        if w >= 64:  # single block = the whole signature
+            return F.col("simhash")
+        # mask also clears the sign-extension bits of the arithmetic shift
+        return F.shiftright(F.col("simhash"), shift).bitwiseAND(
+            F.lit((1 << w) - 1)
+        )
+
     blocks = sigs.select(
         F.col(id_col),
         F.col("simhash"),
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(i).alias("bi"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bv"),
-                    )
-                    for i in range(4)
+                    F.struct(F.lit(i).alias("bi"), _block(i).alias("bv"))
+                    for i in range(n_blocks)
                 ]
             )
         ).alias("b"),

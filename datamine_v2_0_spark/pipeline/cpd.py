@@ -153,6 +153,7 @@ def penalty_sweep(
     penalties: list[float],
     min_size: int = MIN_SIZE,
     jump: int = JUMP,
+    max_group_rows: int | None = 200_000,
     num_tasks: int | None = None,
 ) -> DataFrame:
     """The reference's coarse penalty sweep (05_cpd_algorithm_tuning.py:
@@ -166,6 +167,8 @@ def penalty_sweep(
 
     def _sweep(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("bucket_ts").reset_index(drop=True)
+        if max_group_rows is not None and len(pdf) > max_group_rows:
+            pdf = pdf.iloc[:max_group_rows]
         key = pdf[partition_col].iloc[0] if len(pdf) else None
         sig = pdf[signal_col].astype("float64").to_numpy()
         mask = ~pd.isna(sig)
@@ -210,7 +213,9 @@ def tune_penalty(
     + one groupBy over the whole sweep; returns
     (penalty, n_truth, n_detected, recall) ordered by penalty."""
     spark = sweep.sparkSession
-    n_truth = truth.select(truth_id).distinct().count()
+    # truth ids are only guaranteed unique per partition key — count
+    # windows by (key, id) so per-key numbering doesn't collapse
+    n_truth = truth.select(truth_key, truth_id).distinct().count()
     hits = (
         sweep.join(
             truth,
@@ -218,7 +223,7 @@ def tune_penalty(
             & sweep["bucket_ts"].between(truth[true_start], truth[true_end]),
         )
         .groupBy("penalty")
-        .agg(F.countDistinct(truth_id).alias("n_detected"))
+        .agg(F.countDistinct(truth_key, truth_id).alias("n_detected"))
     )
     # pass `penalties` explicitly to also report penalties whose sweep
     # produced zero change points anywhere (they have no sweep rows)

@@ -42,8 +42,17 @@ def get_spark(
     # builder conf is forwarded to spark-submit then); it is silently
     # ignored by getOrCreate() on an existing session. Local mode runs
     # executors inside the driver JVM, so the spark-submit default of 1g
-    # OOMs wide parquet writes — default to a heap sized for this box.
-    driver_mem = os.environ.get("SPARK_DRIVER_MEM", "32g")
+    # OOMs wide parquet writes — default to a heap sized from physical
+    # RAM (25%, capped at 32g), overridable via SPARK_DRIVER_MEM.
+    driver_mem = os.environ.get("SPARK_DRIVER_MEM")
+    if driver_mem is None:
+        try:
+            ram_gb = (
+                os.sysconf("SC_PAGE_SIZE") * os.sysconf("SC_PHYS_PAGES")
+            ) // (1 << 30)
+        except (ValueError, OSError):
+            ram_gb = 8
+        driver_mem = f"{max(2, min(32, ram_gb // 4))}g"
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)

@@ -72,10 +72,18 @@ def foreach_batch_upsert(
     spark = stream.sparkSession
 
     def _merge(batch: DataFrame, batch_id: int) -> None:
-        try:
+        # existence check, not a blanket except: a transient read error or
+        # corrupt target must FAIL the batch (and be retried from the
+        # checkpoint), never be mistaken for "first batch" — that branch
+        # overwrites the table with this batch alone
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = jvm_path.getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+        if fs.exists(jvm_path):
             current = spark.read.parquet(target_path)
             merged = upsert(current, batch, list(key_cols), F.col(order_col))
-        except Exception:  # first batch: target doesn't exist yet
+        else:
             merged = upsert(
                 batch.limit(0), batch, list(key_cols), F.col(order_col)
             )

@@ -113,6 +113,21 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_short_docs_never_pair(spark):
+    # docs too short to shingle must not bucket together via their
+    # all-null signatures
+    rows = [
+        Row(doc_id=1, text="hello"),
+        Row(doc_id=2, text="world"),
+        Row(doc_id=3, text="hi there"),
+    ]
+    df = spark.createDataFrame(rows)
+    got = dd.minhash_lsh_candidates(
+        df, "text", "doc_id", num_hashes=32, bands=8
+    ).collect()
+    assert got == []
+
+
 def test_ngram_jaccard_identical_is_one(spark):
     txt = "a b c d e f g h i j"
     df = spark.createDataFrame([Row(doc_id=1, text=txt), Row(doc_id=2, text=txt)])
@@ -160,6 +175,16 @@ def test_jaccard_inverted_exact_and_freq_cap(spark):
         ).collect()
     }
     assert (1, 2) in capped and (1, 3) not in capped and (2, 3) not in capped
+    # capped Jaccard is a consistent measure over the capped universe:
+    # docs 1/2 keep 5 informative trigrams each, sharing 2
+    # ("alpha beta gamma", "beta gamma delta") -> 2 / (5 + 5 - 2)
+    capped_scores = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs_inverted(
+            df, "text", "doc_id", threshold=0.0, max_shingle_freq=2
+        ).collect()
+    }
+    assert capped_scores[(1, 2)] == pytest.approx(2 / 8)
 
 
 def test_embedding_neardup_planted_pair(spark):
@@ -204,6 +229,7 @@ def test_exact_percentiles_sorted_matches_hashmap_variant(spark):
 
     rows = [Row(g=g, v=float(v)) for g in ("a", "b") for v in range(1, 8)]
     rows += [Row(g="a", v=100.0), Row(g="b", v=None)]  # uneven n + a null
+    rows += [Row(g="c", v=None)]  # all-NULL group -> NULL percentiles
     df = spark.createDataFrame(rows, "g string, v double")
     qs = (0.25, 0.5, 0.75, 0.95)
     a = {r["g"]: r for r in agg.exact_percentiles(df, ["g"], "v", qs).collect()}
@@ -211,11 +237,14 @@ def test_exact_percentiles_sorted_matches_hashmap_variant(spark):
         r["g"]: r
         for r in agg.exact_percentiles_sorted(df, ["g"], "v", qs).collect()
     }
-    assert set(a) == set(b) == {"a", "b"}
+    assert set(a) == set(b) == {"a", "b", "c"}
     for g in a:
         for q in qs:
             c = f"p{int(q * 100)}"
-            assert b[g][c] == pytest.approx(a[g][c], abs=1e-9), (g, c)
+            if a[g][c] is None:
+                assert b[g][c] is None, (g, c)
+            else:
+                assert b[g][c] == pytest.approx(a[g][c], abs=1e-9), (g, c)
 
 
 def test_interval_contain_join(spark):
@@ -345,3 +374,11 @@ def test_simhash_candidates_banded_hamming(spark):
     }
     assert got.get((1, 2)) == 0
     assert (1, 3) not in got and (2, 3) not in got
+    # wider budgets derive more blocks (max_hamming+1) and stay correct
+    wide = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_candidates(
+            df, "text", "doc_id", max_hamming=7
+        ).collect()
+    }
+    assert wide.get((1, 2)) == 0
