@@ -328,7 +328,11 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 def q_win_blocks(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     w = _events_window()
-    with_block = df.withColumn("block_id", win.block_id("event_type", w))
+    # explicit BIGINT on both sides: DuckDB's windowed SUM(int) yields
+    # HUGEINT, whose driver-side rendering diverged from Spark's long in r2
+    with_block = df.withColumn(
+        "block_id", win.block_id("event_type", w).cast("long")
+    )
     w2 = win.ordered_window(["user_id", "block_id"], ["ts", "event_id"])
     return with_block.select(
         "event_id",
@@ -346,9 +350,9 @@ WITH flagged AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), blocks AS (
   SELECT event_id, user_id, ts,
-         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS block_id
+         CAST(SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS block_id
   FROM flagged
 )
 SELECT event_id, block_id,
@@ -1327,7 +1331,7 @@ WITH silver AS (
   WINDOW w AS (PARTITION BY device_id, device_date ORDER BY ts)
 ), p1b AS (
   SELECT *,
-         lw_smoothed - COALESCE(LAG(lw_smoothed) OVER w, lw_smoothed) AS lw_roc,
+         lw_smoothed - LAG(lw_smoothed) OVER w AS lw_roc,
          CASE WHEN LAG(is_stationary) OVER w IS NULL
                OR LAG(is_stationary) OVER w <> is_stationary
               THEN 1 ELSE 0 END AS chg,
@@ -1337,9 +1341,9 @@ WITH silver AS (
   WINDOW w AS (PARTITION BY device_id, device_date ORDER BY ts)
 ), p2 AS (
   SELECT *,
-         SUM(chg) OVER (PARTITION BY device_id, device_date ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS stationary_block_id
+         CAST(SUM(chg) OVER (PARTITION BY device_id, device_date ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS stationary_block_id
   FROM p1b
 ), p3 AS (
   SELECT *,
@@ -1699,10 +1703,10 @@ WITH d AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), s AS (
   SELECT user_id, ts,
-         SUM(CASE WHEN delta IS NULL OR delta > 3600.0 THEN 1 ELSE 0 END)
-             OVER (PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-             AS session_id
+         CAST(SUM(CASE WHEN delta IS NULL OR delta > 3600.0 THEN 1 ELSE 0 END)
+              OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_id
   FROM d
 )
 SELECT user_id, session_id, COUNT(*) AS n_events,

@@ -37,14 +37,29 @@ except ImportError:  # pragma: no cover
 
 
 def stratified_split(
-    df: DataFrame, label_col: str, train_fraction: float = 0.8, seed: int = 42
+    df: DataFrame,
+    label_col: str,
+    train_fraction: float = 0.8,
+    seed: int = 42,
+    id_col: str | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """Per-class sampled train/test split (sampleBy keeps class balance,
-    the distributed analog of stratify=y)."""
-    classes = [r[label_col] for r in df.select(label_col).distinct().collect()]
-    fractions = {c: train_fraction for c in classes}
-    train = df.sampleBy(label_col, fractions, seed=seed)
-    test = df.join(train, df.columns, "left_anti")
+    """Per-class train/test split via a deterministic hash partition.
+
+    Each row lands in exactly one split — train and test are complementary
+    filters on ``pmod(xxhash64(id, seed), 10^6)`` — so train∩test = ∅ and
+    train∪test = df by construction, with NO join and NO shuffle (the old
+    sampleBy + all-columns anti-join leaked NULL/NaN-bearing rows into both
+    splits and collapsed exact duplicates). The hash is independent of the
+    label, so per-class fractions concentrate at train_fraction (the same
+    Bernoulli guarantee sampleBy gives), which is what stratify=y means at
+    scale. ``id_col=None`` hashes all columns — fine for distinct rows;
+    pass a unique id to make duplicates split independently-but-
+    deterministically by id."""
+    cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
+    bucket = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(1_000_000))
+    cut = int(train_fraction * 1_000_000)
+    train = df.filter(bucket < cut)
+    test = df.filter(bucket >= cut)
     return train, test
 
 

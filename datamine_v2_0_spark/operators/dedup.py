@@ -448,7 +448,10 @@ def simhash_candidates(
     if not 1 <= n_blocks <= 64:
         raise ValueError("max_hamming must be in [0, 63]")
     width = 64 // n_blocks
-    sigs = simhash_signatures(df, text_col, id_col, shingle_n)
+    # drop docs too short to shingle: their empty hash set gives simhash 0,
+    # and left in they'd all join into one hamming-0 clique — the same
+    # quadratic tiny-doc blowup the MinHash path filters above
+    sigs = simhash_signatures(df, text_col, id_col, shingle_n, drop_empty=True)
 
     def _block(i: int) -> Column:
         # block i covers bits [i*width, ...); the last block takes the
@@ -494,16 +497,26 @@ def simhash_candidates(
 
 
 def simhash_signatures(
-    df: DataFrame, text_col: str, id_col: str, shingle_n: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 2,
+    drop_empty: bool = False,
 ) -> DataFrame:
     """(id, simhash) table; near-dups = signatures within small Hamming
     distance, found by banding the 64 bits into 4×16-bit keys (any equal
-    16-bit block ⇒ candidate, catches Hamming distance <= 3)."""
+    16-bit block ⇒ candidate, catches Hamming distance <= 3).
+
+    ``drop_empty=True`` removes docs with no shingles (fewer than
+    shingle_n words) — they all share simhash 0 and have no meaningful
+    similarity to anything."""
     wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
     hashed = wh.select(
         F.col(id_col),
         hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__hashes"),
     )
+    if drop_empty:
+        hashed = hashed.filter(F.size("__hashes") > 0)
     return hashed.select(
         F.col(id_col), simhash_from_hashes(F.col("__hashes")).alias("simhash")
     )

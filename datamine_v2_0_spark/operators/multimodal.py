@@ -1,11 +1,13 @@
 """Multimodal column plumbing: image/audio/video as opaque binary columns
 with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The decode step is STUBBED (no image/audio libs in this container): the
-Spark-side plumbing — schema, partitioning, UDF signature, batch shape —
-is real and tested, and `decode_stub=True` swaps in a deterministic fake
-(byte-statistics features) so the dataflow is exercised end-to-end.
-Swap `_decode_image` for a real PIL/opencv call on a cluster with the libs.
+Decode: ``_decode_image`` is a real pure-stdlib decoder for binary
+PPM/PGM (P6/P5) and uncompressed BI_RGB BMP — enough to run the
+decode→featurize path end-to-end without PIL/opencv (not in this
+container; swap in PIL for the full format zoo on a cluster that has
+it). `decode_stub=True` (default) bypasses decoding entirely with a
+deterministic byte-statistics fake so the dataflow also runs on
+non-image payloads (e.g. the synthetic text-as-blob media table).
 
 Scale notes: binary payloads ride in Arrow record batches; cap
 `spark.sql.execution.arrow.maxRecordsPerBatch` so a batch of blobs fits in
@@ -54,11 +56,77 @@ FEATURE_SCHEMA = StructType(
 )
 
 
+def _pnm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
+    """Parse ``n_tokens`` ASCII integers after a PNM magic number,
+    skipping whitespace and ``#`` comments; returns (tokens, raster
+    offset — one whitespace byte past the last token)."""
+    i = 2
+    toks: list[int] = []
+    while len(toks) < n_tokens:
+        c = buf[i : i + 1]
+        if not c:
+            raise ValueError("truncated PNM header")
+        if c.isspace():
+            i += 1
+        elif c == b"#":
+            while buf[i : i + 1] not in (b"\n", b""):
+                i += 1
+        else:
+            j = i
+            while buf[j : j + 1] and not buf[j : j + 1].isspace():
+                j += 1
+            toks.append(int(buf[i:j]))
+            i = j
+    return toks, i + 1
+
+
+def _decode_pnm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) → HxWx3, binary PGM (P5) → HxW, uint8."""
+    channels = 3 if payload[:2] == b"P6" else 1
+    (w, h, maxval), off = _pnm_header(payload, 3)
+    if maxval > 255:
+        raise ValueError("16-bit PNM not supported")
+    n = w * h * channels
+    arr = np.frombuffer(payload, dtype=np.uint8, count=n, offset=off)
+    return arr.reshape((h, w, 3) if channels == 3 else (h, w))
+
+
+def _decode_bmp(payload: bytes) -> np.ndarray:
+    """Uncompressed (BI_RGB) 24-bit BMP → HxWx3 RGB, 8-bit → HxW palette
+    indices, uint8. Rows are 4-byte aligned and stored bottom-up unless
+    height is negative."""
+    data_off = int.from_bytes(payload[10:14], "little")
+    w = int.from_bytes(payload[18:22], "little", signed=True)
+    h = int.from_bytes(payload[22:26], "little", signed=True)
+    bpp = int.from_bytes(payload[28:30], "little")
+    compression = int.from_bytes(payload[30:34], "little")
+    if compression != 0 or bpp not in (8, 24):
+        raise ValueError("only uncompressed 8/24-bit BMP supported")
+    top_down = h < 0
+    h = abs(h)
+    row_bytes = (w * bpp // 8 + 3) & ~3
+    raster = np.frombuffer(
+        payload, dtype=np.uint8, count=row_bytes * h, offset=data_off
+    ).reshape(h, row_bytes)
+    if not top_down:
+        raster = raster[::-1]
+    if bpp == 8:
+        return raster[:, :w].copy()
+    bgr = raster[:, : w * 3].reshape(h, w, 3)
+    return bgr[:, :, ::-1].copy()  # BGR on disk -> RGB out
+
+
 def _decode_image(payload: bytes) -> np.ndarray:
-    """Real decoder goes here (PIL.Image.open etc.)."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv — not available in this container; "
-        "use decode_stub=True for the deterministic fake"
+    """Pure-stdlib image decode: binary PPM/PGM and uncompressed BMP.
+    Other formats raise ValueError — swap in PIL/opencv where available."""
+    magic = payload[:2]
+    if magic in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if magic == b"BM":
+        return _decode_bmp(payload)
+    raise ValueError(
+        "unsupported image format (stdlib decoder handles PPM/PGM/BMP); "
+        "use decode_stub=True or add PIL/opencv"
     )
 
 
@@ -97,19 +165,23 @@ def extract_media_features(
     def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
+            # zip over the column Series, not iterrows: no per-row Series
+            # construction (the only remaining Python-per-row cost is the
+            # inherently per-blob decode)
+            for mid, mtype, payload in zip(
+                pdf[id_col], pdf[type_col], pdf[payload_col]
+            ):
                 if isinstance(payload, str):
                     payload = payload.encode("utf-8")
                 payload = payload or b""
                 if decode_stub:
                     feats = _fake_features(payload)
                 else:
-                    feats = _decode_image(payload).ravel()[:8].tolist()
+                    feats = [float(v) for v in _decode_image(payload).ravel()[:8]]
                 rows.append(
                     {
-                        "media_id": r[id_col],
-                        "media_type": r[type_col],
+                        "media_id": mid,
+                        "media_type": mtype,
                         "n_bytes": len(payload),
                         "content_sha256": hashlib.sha256(payload).hexdigest(),
                         "features": feats,
@@ -153,8 +225,9 @@ def resize_media(
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col]
+            for mid, mtype, payload in zip(
+                pdf[id_col], pdf[type_col], pdf[payload_col]
+            ):
                 if isinstance(payload, str):
                     payload = payload.encode("utf-8")
                 payload = payload or b""
@@ -167,8 +240,8 @@ def resize_media(
                     out = np.interp(xq, xp, arr)
                 rows.append(
                     {
-                        "media_id": r[id_col],
-                        "media_type": r[type_col],
+                        "media_id": mid,
+                        "media_type": mtype,
                         "payload": [round(float(v), 6) for v in out],
                         "width": target_w,
                         "height": target_h,
@@ -210,13 +283,13 @@ def sample_frames(
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for _, r in pdf.iterrows():
-                payload = r[payload_col] or ""
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                payload = payload or ""
                 n_frames = -(-len(payload) // frame_size)  # ceil
                 for i in range(0, n_frames, every):
                     rows.append(
                         {
-                            "media_id": r[id_col],
+                            "media_id": mid,
                             "frame_idx": i,
                             "frame_payload": payload[
                                 i * frame_size : (i + 1) * frame_size

@@ -57,7 +57,16 @@ def salted_join(
     (key, salt). Each hot key's rows spread over `salt_buckets` tasks.
 
     Use when the small side is too big to broadcast but small enough to
-    replicate `salt_buckets`×; otherwise rely on AQE skew-join."""
+    replicate `salt_buckets`×; otherwise rely on AQE skew-join.
+
+    Only inner/left joins are correct under replication: with right/full,
+    each unmatched small-side row would surface once per salt bucket."""
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(
+            "salted_join replicates the small side across salt buckets; "
+            "only how in ('inner', 'left', 'left_outer') is well-defined "
+            f"(got {how!r})"
+        )
     b = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
     )

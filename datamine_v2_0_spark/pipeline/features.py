@@ -52,19 +52,21 @@ def build_features(
     df = df.withColumn("is_stationary", F.col("current_speed") < STATIONARY_SPEED)
 
     # pass 1: lag/delta/smooth (04_worker_script.sql:23-27)
+    # rate-of-change uses plain 2-arg LAG (first row per partition -> NULL)
+    # to match 04_worker_script.sql:59,63; the default-current 3-arg form is
+    # reserved for the change-flag path (prev_stationary) as in the reference
     df = (
         df.withColumn("time_delta_s", win.time_delta_seconds("timestamp", w))
         .withColumn(
             "altitude_rate_of_change",
-            F.col("altitude") - win.lag_default_current(F.col("altitude"), w),
+            F.col("altitude") - F.lag("altitude").over(w),
         )
         .withColumn("speed_rolling_avg_5s", win.rolling_mean("current_speed", w, 2, 2))
         .withColumn("load_weight_smoothed", win.rolling_mean("load_weight", w, 2, 2))
     )
     df = df.withColumn(
         "load_weight_rate_of_change",
-        F.col("load_weight_smoothed")
-        - win.lag_default_current(F.col("load_weight_smoothed"), w),
+        F.col("load_weight_smoothed") - F.lag("load_weight_smoothed").over(w),
     )
 
     # pass 2: gaps-and-islands stationary block id (04_worker_script.sql:30-37)

@@ -72,6 +72,23 @@ def test_stratified_split_preserves_classes(spark):
     assert abs(train.count() / 300 - 0.8) < 0.1
 
 
+def test_stratified_split_partitions_nan_rows(spark):
+    """The split must be an exact partition even with NULL/NaN feature
+    values (the old all-columns anti-join leaked NaN rows into both
+    splits): train∩test = ∅ and train∪test = df."""
+    rows = [
+        (i, "a" if i % 2 else "b", float("nan") if i % 5 == 0 else float(i), None if i % 7 == 0 else float(i))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "id long, cls string, x double, y double")
+    train, test = stratified_split(df, "cls", 0.8, seed=3, id_col="id")
+    train_ids = {r["id"] for r in train.select("id").collect()}
+    test_ids = {r["id"] for r in test.select("id").collect()}
+    assert train_ids & test_ids == set()
+    assert train_ids | test_ids == set(range(200))
+    assert abs(len(train_ids) / 200 - 0.8) < 0.1
+
+
 def test_compare_models_ab_harness(spark):
     import numpy as np
 

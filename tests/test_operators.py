@@ -334,6 +334,51 @@ def test_multimodal_features_deterministic(spark):
     assert len(got[1]["features"]) == 8
 
 
+def _tiny_ppm() -> bytes:
+    # 2x2 P6: pixels (R,G,B) = row-major [(10,20,30),(40,50,60),
+    # (70,80,90),(100,110,120)], with a header comment to exercise parsing
+    return b"P6\n# tiny\n2 2\n255\n" + bytes(range(10, 130, 10))
+
+
+def _tiny_bmp() -> bytes:
+    # 2x1 24-bit bottom-up BI_RGB BMP, pixels RGB = [(1,2,3),(4,5,6)]
+    row = bytes([3, 2, 1, 6, 5, 4, 0, 0])  # BGR + pad to 4-byte boundary
+    dib = (
+        (40).to_bytes(4, "little") + (2).to_bytes(4, "little", signed=True)
+        + (1).to_bytes(4, "little", signed=True) + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little") + (0).to_bytes(4, "little")
+        + bytes(20)
+    )
+    header = b"BM" + (14 + 40 + len(row)).to_bytes(4, "little") + bytes(4) \
+        + (14 + 40).to_bytes(4, "little")
+    return header + dib + row
+
+
+def test_decode_image_ppm_bmp():
+    img = mm._decode_image(_tiny_ppm())
+    assert img.shape == (2, 2, 3)
+    assert img.ravel().tolist() == list(range(10, 130, 10))
+    bmp = mm._decode_image(_tiny_bmp())
+    assert bmp.shape == (1, 2, 3)
+    assert bmp.ravel().tolist() == [1, 2, 3, 4, 5, 6]
+    with pytest.raises(ValueError):
+        mm._decode_image(b"\x89PNG....")
+
+
+def test_multimodal_real_decode_end_to_end(spark):
+    """decode_stub=False drives the actual PPM decoder through the full
+    mapInPandas path: features are the first 8 decoded pixel values."""
+    ppm = _tiny_ppm()
+    media = spark.createDataFrame(
+        [(1, "image", ppm.decode("latin-1"))],
+        "media_id long, media_type string, payload string",
+    )
+    got = mm.extract_media_features(media, decode_stub=False).collect()
+    assert len(got) == 1
+    assert got[0]["features"] == [float(v) for v in range(10, 90, 10)]
+    assert got[0]["n_bytes"] == len(ppm)
+
+
 def test_rank_family_tie_semantics(spark):
     from datamine_v2_0_spark.operators import windows as win
 
@@ -382,3 +427,20 @@ def test_simhash_candidates_banded_hamming(spark):
         ).collect()
     }
     assert wide.get((1, 2)) == 0
+
+
+def test_simhash_candidates_filters_tiny_docs(spark):
+    """Docs too short to shingle all hash to simhash 0 — without the
+    empty-doc guard they'd form one hamming-0 clique of false pairs."""
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(["a", "b", "c", ""])]
+        + [Row(doc_id=10, text="one two three four"),
+           Row(doc_id=11, text="one two three four")]
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dd.simhash_candidates(
+            df, "text", "doc_id", max_hamming=3, shingle_n=2
+        ).collect()
+    }
+    assert got == {(10, 11)}

@@ -59,6 +59,16 @@ def test_salted_join_matches_plain(spark, skewed_df):
     assert salted == plain
 
 
+def test_salted_join_rejects_right_outer(spark, skewed_df):
+    # replication of the small side makes right/full joins emit unmatched
+    # rows once per salt bucket — the operator must refuse them
+    dim = spark.createDataFrame([Row(k="hot", label="H")])
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(skewed_df, dim, "k", salt_buckets=4, how="right")
+    with pytest.raises(ValueError, match="salted_join"):
+        salted_join(skewed_df, dim, "k", salt_buckets=4, how="full")
+
+
 def test_sessionize(spark):
     rows = [
         Row(u=1, ts=T0 + timedelta(seconds=s), i=n)
