@@ -982,27 +982,115 @@ FROM documents
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup detection, oracle-checked end-to-end: banded
+    LSH candidate generation -> exact n-gram Jaccard verify at 0.2. The
+    oracle is the exact inverted-index SQL — a hash match proves the LSH
+    candidates had full recall on every pair >= threshold (the sf0.01
+    corpus is cleanly bimodal: noise pairs <= 0.07, planted near-dups
+    >= 0.9, and the seed-free signature kernel is deterministic)."""
     df = _t(spark, sf_dir, "documents")
-    return dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
+    cands = dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
+    out = dd.ngram_jaccard_pairs(cands, df, "text", "doc_id", threshold=0.2)
+    return out.select("id_a", "id_b")
+
+
+SQL_DEDUP_MINHASH_LSH = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS g
+  FROM norm WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, len(g) AS sz, unnest(g) AS s FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING CAST(COUNT(*) AS DOUBLE)
+       / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.2
+"""
 
 
 def q_dedup_jaccard(spark, sf_dir):
+    """LSH candidates -> exact Jaccard scores; oracle = exact all-pairs
+    (inverted index) SQL, so the hash match also certifies candidate
+    recall = 1.0 at this threshold on this corpus."""
     df = _t(spark, sf_dir, "documents")
     cands = dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
     out = dd.ngram_jaccard_pairs(cands, df, "text", "doc_id", threshold=0.2)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# the portable (md5-60-bit) SimHash signature pipeline, shared by the
+# signatures and pairs oracles: word bigrams of normalized text -> 60-bit
+# shingle hash (first 15 md5 hex chars base-16) -> per-bit majority vote
+_SQL_SIMHASH_SIGS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 2
+              THEN list_distinct([w[i] || ' ' || w[i+1]
+                                  for i in generate_series(1, len(w) - 1)])
+              ELSE [] END AS g
+  FROM norm
+), hx AS (
+  SELECT doc_id,
+         CAST(concat('0x', substr(md5(unnest(g)), 1, 15)) AS BIGINT) AS h
+  FROM sh
+), votes AS (
+  SELECT doc_id, b.bit,
+         SUM(CASE WHEN (h >> b.bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+  FROM hx CROSS JOIN (SELECT unnest(range(0, 60)) AS bit) b
+  GROUP BY doc_id, b.bit
+), sigs AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN vote > 0 THEN (CAST(1 AS BIGINT) << bit)
+                       ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+"""
+
+
 def q_dedup_simhash(spark, sf_dir):
-    return dd.simhash_signatures(_t(spark, sf_dir, "documents"), "text", "doc_id")
+    """Per-doc SimHash signatures in the portable (SQL-reproducible)
+    md5-60-bit family; docs too short to shingle sign as 0."""
+    return dd.simhash_signatures(
+        _t(spark, sf_dir, "documents"), "text", "doc_id", portable=True
+    )
+
+
+SQL_DEDUP_SIMHASH = _SQL_SIMHASH_SIGS + """
+SELECT d.doc_id, COALESCE(s.simhash, 0) AS simhash
+FROM documents d LEFT JOIN sigs s USING (doc_id)
+"""
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
-    """SimHash banded-Hamming near-dup pairs (pigeonhole 4×16-bit blocks
-    → equi join → bit_count verify). xxhash64-based → rows-only check."""
-    return dd.simhash_candidates(
-        _t(spark, sf_dir, "documents"), "text", "doc_id", max_hamming=3
+    """SimHash banded-Hamming near-dup pairs (pigeonhole blocks → equi
+    join → bit_count verify) in the portable signature family; oracle =
+    brute-force all-pairs Hamming over the same SQL-computed signatures
+    (banding is recall-lossless by pigeonhole, so the outputs must be
+    identical, not just similar)."""
+    out = dd.simhash_candidates(
+        _t(spark, sf_dir, "documents"), "text", "doc_id",
+        max_hamming=3, portable=True,
     )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+
+
+SQL_DEDUP_SIMHASH_PAIRS = _SQL_SIMHASH_SIGS + """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
 
 
 def q_dedup_jaccard_inverted(spark, sf_dir):
@@ -1904,10 +1992,10 @@ QUERIES: dict[str, tuple] = {
     "text_lang": (q_text_lang, SQL_TEXT_LANG),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
-    "dedup_jaccard": (q_dedup_jaccard, None),
-    "dedup_simhash": (q_dedup_simhash, None),
-    "dedup_simhash_pairs": (q_dedup_simhash_pairs, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD_INVERTED),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),

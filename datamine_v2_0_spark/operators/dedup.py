@@ -402,13 +402,23 @@ def embedding_neardup_pairs(
     )
 
 
-def simhash_from_hashes(hashes: Column) -> Column:
-    """64-bit SimHash from a precomputed array<long> of shingle hashes,
-    fully JVM-side: per bit position, sum sign contributions and take the
-    majority sign. Expressed with aggregate() — no Python UDF.
+def portable_shingle_hash(s: Column) -> Column:
+    """60-bit shingle hash any ANSI-SQL engine can reproduce bit-for-bit:
+    the first 15 hex chars of md5, parsed base 16 (fits a signed 64-bit
+    int, so no ANSI overflow on either side). The xxhash64 path is faster
+    and preferred at scale; this one exists so SimHash outputs are
+    oracle-checkable against an independent SQL engine."""
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
+def simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
+    """SimHash over the low ``n_bits`` of a precomputed array<long> of
+    shingle hashes, fully JVM-side: per bit position, sum sign
+    contributions and take the majority sign. Expressed with aggregate()
+    — no Python UDF. Empty/NULL hash arrays yield signature 0.
 
     Project the hash array into its own column first so the shingle
-    transform is evaluated once, not 64 times."""
+    transform is evaluated once, not n_bits times."""
     def _bit_vote(bit: int):
         # closure factory, not a default-arg lambda (arity matters — see
         # _salted_hash): aggregate's merge fn must be exactly 2-arg
@@ -419,7 +429,7 @@ def simhash_from_hashes(hashes: Column) -> Column:
         return merge
 
     bits = []
-    for bit in range(64):
+    for bit in range(n_bits):
         # +1 if bit set else -1, summed across shingles
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _bit_vote(bit))
         bits.append(F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0)))
@@ -435,30 +445,38 @@ def simhash_candidates(
     id_col: str,
     max_hamming: int = 3,
     shingle_n: int = 2,
+    portable: bool = False,
 ) -> DataFrame:
-    """SimHash near-dup pairs: band the 64-bit signature into
+    """SimHash near-dup pairs: band the signature into
     ``max_hamming + 1`` block keys; by pigeonhole, any pair within
     Hamming distance ≤ max_hamming has all differing bits confined to at
     most max_hamming blocks, so it shares ≥1 identical block — candidates
     come from an equi join on (block index, block value), never
     all-pairs — then an exact ``bit_count(xor)`` verify. Fully JVM-side.
 
+    ``portable=True`` uses the SQL-reproducible 60-bit md5 signature
+    family (see :func:`simhash_signatures`) so the pair output is
+    oracle-checkable; default is the faster 64-bit xxhash64 family.
+
     Returns (id_a, id_b, hamming) with id_a < id_b."""
+    n_bits = 60 if portable else 64
     n_blocks = max_hamming + 1
-    if not 1 <= n_blocks <= 64:
-        raise ValueError("max_hamming must be in [0, 63]")
-    width = 64 // n_blocks
+    if not 1 <= n_blocks <= n_bits:
+        raise ValueError(f"max_hamming must be in [0, {n_bits - 1}]")
+    width = n_bits // n_blocks
     # drop docs too short to shingle: their empty hash set gives simhash 0,
     # and left in they'd all join into one hamming-0 clique — the same
     # quadratic tiny-doc blowup the MinHash path filters above
-    sigs = simhash_signatures(df, text_col, id_col, shingle_n, drop_empty=True)
+    sigs = simhash_signatures(
+        df, text_col, id_col, shingle_n, drop_empty=True, portable=portable
+    )
 
     def _block(i: int) -> Column:
         # block i covers bits [i*width, ...); the last block takes the
-        # remaining high bits so all 64 are covered
+        # remaining high bits so all n_bits are covered
         shift = i * width
-        w = 64 - shift if i == n_blocks - 1 else width
-        if w >= 64:  # single block = the whole signature
+        w = n_bits - shift if i == n_blocks - 1 else width
+        if w >= n_bits and shift == 0:  # single block = the whole signature
             return F.col("simhash")
         # mask also clears the sign-extension bits of the arithmetic shift
         return F.shiftright(F.col("simhash"), shift).bitwiseAND(
@@ -502,21 +520,41 @@ def simhash_signatures(
     id_col: str,
     shingle_n: int = 2,
     drop_empty: bool = False,
+    portable: bool = False,
 ) -> DataFrame:
     """(id, simhash) table; near-dups = signatures within small Hamming
-    distance, found by banding the 64 bits into 4×16-bit keys (any equal
-    16-bit block ⇒ candidate, catches Hamming distance <= 3).
+    distance, found by banding the bits into max_hamming+1 block keys
+    (any equal block ⇒ candidate, by pigeonhole).
 
     ``drop_empty=True`` removes docs with no shingles (fewer than
     shingle_n words) — they all share simhash 0 and have no meaningful
-    similarity to anything."""
-    wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
-    hashed = wh.select(
-        F.col(id_col),
-        hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__hashes"),
-    )
+    similarity to anything.
+
+    ``portable=True`` swaps the xxhash64 shingle hash for the md5-based
+    60-bit :func:`portable_shingle_hash` over string shingles, making
+    the whole signature reproducible in any ANSI-SQL engine (the oracle
+    path); the default stays on the faster fixed-width xxhash64 kernel.
+    Signatures from the two families are not comparable to each other."""
+    if portable:
+        sh = df.select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("__g"),
+        )
+        hashed = sh.select(
+            F.col(id_col),
+            F.transform("__g", portable_shingle_hash).alias("__hashes"),
+        )
+        n_bits = 60
+    else:
+        wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
+        hashed = wh.select(
+            F.col(id_col),
+            hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__hashes"),
+        )
+        n_bits = 64
     if drop_empty:
         hashed = hashed.filter(F.size("__hashes") > 0)
     return hashed.select(
-        F.col(id_col), simhash_from_hashes(F.col("__hashes")).alias("simhash")
+        F.col(id_col),
+        simhash_from_hashes(F.col("__hashes"), n_bits).alias("simhash"),
     )
