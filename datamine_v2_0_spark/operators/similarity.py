@@ -193,13 +193,21 @@ def lsh_topk(
     bands: int = 8,
     seed: int = 42,
     round_to: int = 6,
+    probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k via banded random-hyperplane LSH: candidates are
     corpus vectors sharing >=1 of the query's band buckets. The join is an
     equi join on (band, key) — the scale path; tune recall/cost with
     (num_planes, bands): more bits per band → smaller buckets, more bands
-    → more probes. Defaults (24 planes / 8 bands = 3 bits per band) hit
-    ~0.84 recall@5 on the sf0.01 embeddings fixture."""
+    → more probes. 24 planes / 8 bands (3 bits per band) hit ~0.84
+    recall@5 on the sf0.01 embeddings fixture; with multi-probe
+    ``probe=3`` recall is 1.0 there (see test_lsh_topk_recall).
+
+    ``probe``: multi-probe depth — additionally look up each query band
+    key with bit j flipped, for j < probe (the classic multi-probe LSH
+    trick: a near He miss usually differs by exactly one close-to-margin
+    bit). Probing is QUERY-side only, so it multiplies the tiny broadcast
+    side by (1+probe) and leaves the corpus-side index untouched."""
     planes = make_hyperplanes(dim, num_planes, seed)
     keys = banded_keys_udf(planes, bands)
     c = corpus.select(
@@ -207,13 +215,25 @@ def lsh_topk(
         F.col(vec_col).alias("__cvec"),
         F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
     )
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("__qvec"),
-            F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
-        )
+    q_exact = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
     )
+    if probe > 0:
+        r = num_planes // bands
+        variants = F.array(
+            F.col("__key"),
+            *[
+                F.col("__key").bitwiseXOR(F.lit(1 << j))
+                for j in range(min(probe, r))
+            ],
+        )
+        q_exact = q_exact.select(
+            "query_id", "__qvec", "__band",
+            F.explode(variants).alias("__key"),
+        )
+    q = F.broadcast(q_exact)
     pairs = (
         c.join(q, ["__band", "__key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))

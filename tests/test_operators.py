@@ -429,6 +429,41 @@ def test_simhash_candidates_banded_hamming(spark):
     assert wide.get((1, 2)) == 0
 
 
+def test_lsh_topk_recall(spark):
+    """Multi-probe LSH: probe=3 recovers the exact top-k on the sf0.001
+    embeddings fixture (this full-recall property is what lets the
+    contract check sim_lsh_topk against the exact-SQL oracle)."""
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    probed = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_topk(
+            emb, queries, "embedding", "vec_id", dim=64, k=5, probe=3
+        ).collect()
+    }
+    assert probed == exact
+    # without probing the same configuration misses neighbors — the
+    # probe is what buys the recall
+    plain = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_topk(
+            emb, queries, "embedding", "vec_id", dim=64, k=5
+        ).collect()
+    }
+    assert len(plain & exact) < len(exact)
+
+
 def test_simhash_candidates_filters_tiny_docs(spark):
     """Docs too short to shingle all hash to simhash 0 — without the
     empty-doc guard they'd form one hamming-0 clique of false pairs."""
