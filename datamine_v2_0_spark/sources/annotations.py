@@ -1,16 +1,21 @@
-"""Label Studio annotation source (S11): nested task JSON → flat label
-intervals.
+"""Label Studio annotation source/sink (S11, S13-JSON): nested task JSON
+→ flat label intervals, and the per-key task-file emitter.
 
 Behavioral reference: ckpronto/datamine_v2.0
 ``STEP 2.1 - LD Event Labeling/02.1.2_neural_net_training_ldevents_label_recombine.py:210-274``
 — task → annotations[] → result[] → value{start, end, timeserieslabels[]},
-flattened to (truck_id, date, start_time, end_time, label).
+flattened to (truck_id, date, start_time, end_time, label) — and
+``02.1.1_neural_net_training_ldevents_lsprep.py:282-296`` — one
+``{truck}_{date}_task.json`` pointer file per labeling unit.
 
 Spark shape: ``spark.read.json`` + two ``explode``s + a type filter — all
-JVM-side; no Python JSON parsing.
+JVM-side; no Python JSON parsing on the read path.
 """
 
 from __future__ import annotations
+
+import json
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,3 +51,41 @@ def flatten_label_studio(tasks: DataFrame) -> DataFrame:
         F.to_timestamp(F.col("r.value.end")).alias("end_time"),
         F.explode(F.col("r.value.timeserieslabels")).alias("label"),
     )
+
+
+def write_label_studio_tasks(
+    df: DataFrame,
+    output_dir: str,
+    truck_col: str = "truck_id",
+    date_col: str = "date",
+    url_prefix: str = "/data/local-files/?d=datamine-input/",
+) -> int:
+    """S13 (JSON side): emit one ``{truck}_{date}_task.json`` per distinct
+    key, pointing Label Studio at the matching per-key CSV
+    (02.1.1_neural_net_training_ldevents_lsprep.py:282-296; format
+    ``{"data": {"truck_id", "date", "csv_url"}}``).
+
+    Deliberately driver-side: task files are name-addressed KB-sized
+    pointers at fleet×days cardinality (the bulky timeseries flows
+    through the partitioned CSV sink instead), and Spark sinks cannot
+    control per-row output filenames. Only the DISTINCT keys are
+    collected. Returns the number of task files written."""
+    keys = (
+        df.select(F.col(truck_col).alias("t"), F.col(date_col).alias("d"))
+        .distinct()
+        .collect()
+    )
+    os.makedirs(output_dir, exist_ok=True)
+    for r in keys:
+        truck, date = str(r["t"]), str(r["d"])
+        task = {
+            "data": {
+                "truck_id": truck,
+                "date": date,
+                "csv_url": f"{url_prefix}{truck}_{date}.csv",
+            }
+        }
+        path = os.path.join(output_dir, f"{truck}_{date}_task.json")
+        with open(path, "w", encoding="utf-8") as fh:
+            json.dump(task, fh, indent=2, ensure_ascii=False)
+    return len(keys)

@@ -11,8 +11,8 @@ table. Spark JDBC writes are batched inserts; post-write validation
 replaces the reference's in-transaction checks (Spark writes aren't
 transactional — validate, then atomically swap table names downstream).
 
-No JDBC driver ships in this container; these are thin, documented
-pass-throughs exercised against real databases only.
+Exercised end-to-end against embedded Derby (on Spark's classpath) in
+tests/test_jdbc.py: validated write -> partitioned parallel read back.
 """
 
 from __future__ import annotations
@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 
-def read_jdbc_partitioned(  # pragma: no cover - needs a live database
+def read_jdbc_partitioned(
     spark: SparkSession,
     url: str,
     table: str,
@@ -45,7 +45,7 @@ def read_jdbc_partitioned(  # pragma: no cover - needs a live database
     )
 
 
-def write_jdbc_validated(  # pragma: no cover - needs a live database
+def write_jdbc_validated(
     df: DataFrame,
     url: str,
     table: str,
@@ -76,7 +76,9 @@ def write_jdbc_validated(  # pragma: no cover - needs a live database
             .options(**options)
             .load()
         )
-        got = back.first()["n"]
+        # positional: engines differ on unquoted-identifier case (Derby
+        # uppercases the alias to "N", Postgres lowercases)
+        got = back.first()[0]
         if got < expected_rows:
             raise ValueError(
                 f"post-write validation failed: {got} rows < expected "

@@ -133,6 +133,29 @@ def test_label_studio_flatten(spark, tmp_path):
     assert r["end_time"] > r["start_time"]
 
 
+def test_label_studio_task_writer(spark, tmp_path):
+    from datamine_v2_0_spark.sources.annotations import write_label_studio_tasks
+
+    df = spark.createDataFrame(
+        [("lake-605", "2025-07-30", 1.0), ("lake-605", "2025-07-30", 2.0),
+         ("lake-607", "2025-07-31", 3.0)],
+        "truck_id string, date string, v double",
+    )
+    n = write_label_studio_tasks(df, str(tmp_path / "out"))
+    assert n == 2  # one task per DISTINCT (truck, date), not per row
+    task = json.loads(
+        (tmp_path / "out" / "lake-605_2025-07-30_task.json").read_text()
+    )
+    assert task == {
+        "data": {
+            "truck_id": "lake-605",
+            "date": "2025-07-30",
+            "csv_url": "/data/local-files/?d=datamine-input/lake-605_2025-07-30.csv",
+        }
+    }
+    assert (tmp_path / "out" / "lake-607_2025-07-31_task.json").exists()
+
+
 def test_rows_as_view(spark):
     df = rows_as_view(
         spark, [("a", 1), ("b", 2)], "k string, v int", view_name="tmp_vals"
