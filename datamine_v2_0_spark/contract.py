@@ -1123,6 +1123,51 @@ HAVING CAST(COUNT(*) AS DOUBLE)
 """
 
 
+def q_dedup_groups(spark, sf_dir):
+    """Near-dup pair graph -> duplicate groups via iterative min-label
+    connected components; oracle = DuckDB recursive-CTE transitive
+    closure over the same exact-Jaccard pair set. Every doc appears
+    once; group_id = min doc_id of its component (own id if unpaired)."""
+    df = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_inverted(df, "text", "doc_id", threshold=0.2)
+    return dd.dedup_groups(df, "doc_id", pairs)
+
+
+SQL_DEDUP_GROUPS = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS g
+  FROM norm WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, len(g) AS sz, unnest(g) AS s FROM sh
+), p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.2
+), edges AS (
+  SELECT id_a AS src, id_b AS dst FROM p
+  UNION
+  SELECT id_b, id_a FROM p
+), reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), comp AS (
+  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS group_id
+  FROM reach GROUP BY src
+)
+SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: the LSH scale path (banded hyperplane
     prefilter -> exact cosine verify), oracle-checked against DuckDB's
@@ -1932,6 +1977,52 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) <= 3
 """
 
 
+def q_text_quality(spark, sf_dir):
+    """Corpus quality-filter signals (C4/Gopher-style): token count,
+    punctuation ratio, stopword ratio, composite quality score — pure
+    Column algebra, zero Python."""
+    df = _t(spark, sf_dir, "documents")
+    c = F.col("text")
+    return df.select(
+        "doc_id",
+        tx.token_count_ws(c).alias("n_tokens"),
+        F.round(tx.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(tx.stopword_ratio(c), 6).alias("stopword_ratio"),
+        tx.quality_score(c).alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]'))
+                   / CAST(len(text) AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS praw
+  FROM documents
+), s AS (
+  SELECT doc_id, text, n_tokens, praw,
+         CASE WHEN n_tokens > 0
+              THEN len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|is|in|that|it|for|with)\b'))
+                   / CAST(n_tokens AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS sraw
+  FROM t
+)
+SELECT doc_id, n_tokens,
+       ROUND(praw, 6) AS punct_ratio,
+       ROUND(sraw, 6) AS stopword_ratio,
+       ROUND((LEAST(len(text) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+              + LEAST(sraw * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+              + GREATEST(CAST(0.0 AS DOUBLE),
+                         CAST(1.0 AS DOUBLE) - praw * CAST(4.0 AS DOUBLE)))
+             / CAST(3.0 AS DOUBLE), 6) AS quality
+FROM s
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
@@ -1970,12 +2061,14 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),
     "mm_features": (q_mm_features, SQL_MM_FEATURES),
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),

@@ -402,6 +402,91 @@ def embedding_neardup_pairs(
     )
 
 
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
+    returns (node, comp) where comp is the minimum node id reachable
+    through the pair graph — the canonical-representative labeling a
+    dedup pipeline needs (pairs alone can't tell you which docs to keep
+    when A~B and B~C but A!~C).
+
+    Algorithm: iterative min-label propagation — each round every node
+    adopts the minimum label in its 1-hop neighborhood, so the component
+    minimum travels one hop per round and the loop stops when no label
+    changes (or at max_iterations). Rounds needed = component diameter;
+    near-dup components are small dense clusters (diameter 1-3), so this
+    settles in 2-4 rounds. Each round is ONE shuffle (join on node +
+    groupBy min); ``localCheckpoint`` truncates the per-round lineage so
+    plan size stays constant. For adversarial long-chain graphs prefer
+    the alternating large-star/small-star formulation (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") — same join
+    machinery, O(log n) rounds."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("comp", F.col("node"))
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("dst"), F.col("comp").alias("dcomp")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("dcomp").alias("nbr_min"))
+        )
+        stepped = (
+            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
+            .select(
+                F.col("node"),
+                F.col("comp").alias("old_comp"),
+                F.least(
+                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                ).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = stepped.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
+        labels = stepped.select("node", "comp")
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_groups(
+    docs: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(id, group_id) for EVERY doc: near-dup components share a group_id
+    (the component's minimum id); unpaired docs group with themselves.
+    Keeping ``group_id == id`` rows yields the deduplicated corpus with
+    the smallest-id representative per duplicate cluster."""
+    comp = connected_components(pairs, id_a, id_b)
+    return (
+        docs.select(F.col(id_col))
+        .join(comp.withColumnRenamed("node", id_col), id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("comp"), F.col(id_col)).alias("group_id"),
+        )
+    )
+
+
 def portable_shingle_hash(s: Column) -> Column:
     """60-bit shingle hash any ANSI-SQL engine can reproduce bit-for-bit:
     the first 15 hex chars of md5, parsed base 16 (fits a signed 64-bit

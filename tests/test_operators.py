@@ -429,6 +429,29 @@ def test_simhash_candidates_banded_hamming(spark):
     assert wide.get((1, 2)) == 0
 
 
+def test_connected_components_chain_and_islands(spark):
+    """Pairs (1,2),(2,3) chain into one group; (10,11) is its own group;
+    transitivity must hold even though (1,3) was never a pair."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_dedup_groups_covers_all_docs(spark):
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 4), (4, 5)], "id_a long, id_b long")
+    got = {r["doc_id"]: r["group_id"] for r in
+           dd.dedup_groups(docs, "doc_id", pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 3, 4: 0, 5: 0}
+    # empty pair set: every doc is its own group
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    own = {r["doc_id"]: r["group_id"] for r in
+           dd.dedup_groups(docs, "doc_id", empty).collect()}
+    assert own == {i: i for i in range(6)}
+
+
 def test_lsh_topk_recall(spark):
     """Multi-probe LSH: probe=3 recovers the exact top-k on the sf0.001
     embeddings fixture (this full-recall property is what lets the
