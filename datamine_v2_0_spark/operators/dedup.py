@@ -242,8 +242,22 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity
     (JVM-side array_intersect/array_union on hashed shingle arrays —
-    64-bit collisions are negligible vs string sets and ~2× cheaper)."""
-    sh = docs.select(
+    64-bit collisions are negligible vs string sets and ~2× cheaper).
+
+    Only docs that appear in a candidate pair are shingled: the semi
+    join prunes the (expensive, map-side) shingle computation to the
+    candidate set, which LSH already shrank by orders of magnitude —
+    at corpus scale verifying is proportional to candidates, not docs."""
+    # the candidate plan is referenced three times (both union arms and
+    # the pair join) — checkpoint it so LSH candidate generation runs
+    # once, not three times (it's the expensive upstream)
+    candidates = candidates.localCheckpoint(eager=False)
+    cand_ids = (
+        candidates.select(F.col("id_a").alias(id_col))
+        .union(candidates.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    sh = docs.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), word_hashes(F.col(text_col)).alias("__wh")
     ).select(
         F.col(id_col),
