@@ -2106,9 +2106,9 @@ QUERIES: dict[str, tuple] = {
     "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
     "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
     "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
+    # ------------------- slot 51+ (r2-green evidence) -------------------
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
-    # ------------------- slot 51+ (r2-green evidence) -------------------
     "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
     "agg_date_distribution": (q_agg_date_distribution, SQL_AGG_DATE_DISTRIBUTION),
     "agg_freq_topk": (q_agg_freq_topk, SQL_AGG_FREQ_TOPK),

@@ -450,6 +450,7 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
+    changed = 0
     for _ in range(max_iterations):
         nbr_min = (
             edges.join(
@@ -476,6 +477,14 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if changed == 0:
             break
+    if changed != 0:
+        # silently-wrong groups would make a keep-one-per-group dedup
+        # retain duplicates; refuse instead
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "rounds (component diameter exceeds the budget); raise "
+            "max_iterations or switch to the large-star/small-star variant"
+        )
     return labels
 
 

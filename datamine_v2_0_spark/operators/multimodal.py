@@ -172,7 +172,12 @@ def extract_media_features(
                 pdf[id_col], pdf[type_col], pdf[payload_col]
             ):
                 if isinstance(payload, str):
-                    payload = payload.encode("utf-8")
+                    # real decode needs the raw bytes back: latin-1 is the
+                    # identity for codepoints 0-255, whereas utf-8 would
+                    # expand every raster byte >= 0x80 into two bytes and
+                    # silently corrupt the image. The stub path keeps
+                    # utf-8 (text payloads; matches the sha256 oracle).
+                    payload = payload.encode("utf-8" if decode_stub else "latin-1")
                 payload = payload or b""
                 if decode_stub:
                     feats = _fake_features(payload)

@@ -59,12 +59,16 @@ def salted_join(
     Use when the small side is too big to broadcast but small enough to
     replicate `salt_buckets`×; otherwise rely on AQE skew-join.
 
-    Only inner/left joins are correct under replication: with right/full,
-    each unmatched small-side row would surface once per salt bucket."""
-    if how not in ("inner", "left", "left_outer"):
+    Only join types that never emit small-side rows are correct under
+    replication (inner/left/semi/anti — a big row has exactly one salt,
+    so its match semantics are unchanged); with right/full, each
+    unmatched small-side row would surface once per salt bucket."""
+    if how.lower().replace("_", "") not in (
+        "inner", "left", "leftouter", "semi", "leftsemi", "anti", "leftanti"
+    ):
         raise ValueError(
             "salted_join replicates the small side across salt buckets; "
-            "only how in ('inner', 'left', 'left_outer') is well-defined "
+            "only inner/left/semi/anti join types are well-defined "
             f"(got {how!r})"
         )
     b = big.withColumn(

@@ -70,6 +70,8 @@ def write_label_studio_tasks(
     through the partitioned CSV sink instead), and Spark sinks cannot
     control per-row output filenames. Only the DISTINCT keys are
     collected. Returns the number of task files written."""
+    import re
+
     keys = (
         df.select(F.col(truck_col).alias("t"), F.col(date_col).alias("d"))
         .distinct()
@@ -77,7 +79,15 @@ def write_label_studio_tasks(
     )
     os.makedirs(output_dir, exist_ok=True)
     for r in keys:
+        if r["t"] is None or r["d"] is None:
+            raise ValueError("NULL truck/date key in Label Studio task feed")
         truck, date = str(r["t"]), str(r["d"])
+        # keys become filenames: refuse anything that could escape
+        # output_dir (path separators, traversal) or junk the csv_url
+        if not re.fullmatch(r"[A-Za-z0-9._\-]+", truck) or not re.fullmatch(
+            r"[A-Za-z0-9._\-]+", date
+        ) or ".." in (truck, date):
+            raise ValueError(f"unsafe task key for filename: {truck!r}/{date!r}")
         task = {
             "data": {
                 "truck_id": truck,

@@ -19,9 +19,6 @@ from datamine_v2_0_spark.sources.jdbc_io import (
     write_jdbc_validated,
 )
 
-DRIVER = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
-
-
 @pytest.fixture(scope="module")
 def derby_url(spark):
     # unique db per test run; ;create=true makes Derby mint it on first use

@@ -335,9 +335,10 @@ def test_multimodal_features_deterministic(spark):
 
 
 def _tiny_ppm() -> bytes:
-    # 2x2 P6: pixels (R,G,B) = row-major [(10,20,30),(40,50,60),
-    # (70,80,90),(100,110,120)], with a header comment to exercise parsing
-    return b"P6\n# tiny\n2 2\n255\n" + bytes(range(10, 130, 10))
+    # 2x2 P6: 12 raster bytes 100..210 step 10 — deliberately including
+    # values >= 0x80 (a utf-8 round-trip would corrupt those), with a
+    # header comment to exercise parsing
+    return b"P6\n# tiny\n2 2\n255\n" + bytes(range(100, 220, 10))
 
 
 def _tiny_bmp() -> bytes:
@@ -357,7 +358,7 @@ def _tiny_bmp() -> bytes:
 def test_decode_image_ppm_bmp():
     img = mm._decode_image(_tiny_ppm())
     assert img.shape == (2, 2, 3)
-    assert img.ravel().tolist() == list(range(10, 130, 10))
+    assert img.ravel().tolist() == list(range(100, 220, 10))
     bmp = mm._decode_image(_tiny_bmp())
     assert bmp.shape == (1, 2, 3)
     assert bmp.ravel().tolist() == [1, 2, 3, 4, 5, 6]
@@ -375,7 +376,9 @@ def test_multimodal_real_decode_end_to_end(spark):
     )
     got = mm.extract_media_features(media, decode_stub=False).collect()
     assert len(got) == 1
-    assert got[0]["features"] == [float(v) for v in range(10, 90, 10)]
+    # bytes >= 0x80 survive the string column round-trip (latin-1, not
+    # utf-8, on the real-decode path)
+    assert got[0]["features"] == [float(v) for v in range(100, 180, 10)]
     assert got[0]["n_bytes"] == len(ppm)
 
 
@@ -437,6 +440,16 @@ def test_connected_components_chain_and_islands(spark):
     )
     comp = {r["node"]: r["comp"] for r in dd.connected_components(pairs).collect()}
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_raises_when_unconverged(spark):
+    # a 5-chain needs 4 propagation rounds; a 1-round budget must refuse
+    # rather than return silently-wrong groups
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dd.connected_components(pairs, max_iterations=1)
 
 
 def test_dedup_groups_covers_all_docs(spark):
