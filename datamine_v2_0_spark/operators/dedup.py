@@ -488,18 +488,107 @@ def connected_components(
     return labels
 
 
+def _star_adjacency(edges: DataFrame) -> DataFrame:
+    """Symmetrized adjacency with per-center minimum: (src, dst, m) where
+    m = min over src's closed neighborhood."""
+    adj = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    mins = adj.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("m")
+    )
+    return adj.join(mins, "src")
+
+
+def connected_components_star(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"):
+    each round rewires edges toward neighborhood minima —
+    large-star hangs every strictly-larger neighbor off the center's
+    minimum, small-star hangs the smaller-or-equal neighbors — which
+    contracts component diameter geometrically, so convergence takes
+    O(log n) rounds regardless of shape (the min-label propagation in
+    :func:`connected_components` needs diameter rounds, fine for dense
+    near-dup clusters, unbounded for adversarial chains). At fixpoint
+    every edge points directly at its component minimum.
+
+    Each round is two grouped shuffles + a distinct; edges are
+    localCheckpoint'd per round to keep plan depth constant.
+
+    Returns (node, comp) like :func:`connected_components`."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_rounds):
+        # large-star: (v, m) for every neighbor v > center
+        adj = _star_adjacency(edges)
+        large = (
+            adj.filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+        # small-star: (v, m) for every neighbor v <= center, plus (center, m)
+        adj2 = _star_adjacency(large)
+        small = (
+            adj2.filter(F.col("dst") <= F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .union(adj2.select("src", F.col("m").alias("dst")))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # fixpoint: the edge SET is unchanged (counts can tie while edges
+        # move, so compare set difference, not size)
+        if (
+            small.exceptAll(edges).limit(1).count() == 0
+            and edges.exceptAll(small).limit(1).count() == 0
+        ):
+            edges = small
+            break
+        edges = small
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_rounds} rounds"
+        )
+    # at fixpoint each edge is (node, component_min); minima map to themselves
+    nodes = edges.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
+    roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
+        "comp", F.col("node")
+    )
+    return nodes.union(roots).groupBy("node").agg(F.min("comp").alias("comp"))
+
+
 def dedup_groups(
     docs: DataFrame,
     id_col: str,
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    algorithm: str = "label",
 ) -> DataFrame:
     """(id, group_id) for EVERY doc: near-dup components share a group_id
     (the component's minimum id); unpaired docs group with themselves.
     Keeping ``group_id == id`` rows yields the deduplicated corpus with
-    the smallest-id representative per duplicate cluster."""
-    comp = connected_components(pairs, id_a, id_b)
+    the smallest-id representative per duplicate cluster.
+
+    ``algorithm``: 'label' (min-label propagation — diameter rounds,
+    right for dense near-dup clusters) or 'star' (large-star/small-star
+    — O(log n) rounds, right for long-chain / adversarial graphs)."""
+    if algorithm == "label":
+        comp = connected_components(pairs, id_a, id_b)
+    elif algorithm == "star":
+        comp = connected_components_star(pairs, id_a, id_b)
+    else:
+        raise ValueError(f"unknown algorithm {algorithm!r}")
     return (
         docs.select(F.col(id_col))
         .join(comp.withColumnRenamed("node", id_col), id_col, "left")

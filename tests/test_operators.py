@@ -442,6 +442,46 @@ def test_connected_components_chain_and_islands(spark):
     assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def _union_find_groups(pairs: list[tuple[int, int]], nodes: set[int]) -> dict:
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_connected_components_star_matches_union_find(spark):
+    """Large-star/small-star vs a driver-side union-find ground truth on
+    a seeded random graph, plus a 32-node chain (diameter 31 — beyond
+    the label-propagation default budget, but O(log n) rounds here)."""
+    import random
+
+    rng = random.Random(7)
+    edges = sorted({(rng.randrange(60), rng.randrange(60)) for _ in range(45)})
+    edges = [(a, b) for a, b in edges if a != b]
+    nodes = {x for e in edges for x in e}
+    truth = _union_find_groups(edges, nodes)
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r["node"]: r["comp"]
+           for r in dd.connected_components_star(pairs).collect()}
+    assert got == truth
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(31)], "id_a long, id_b long"
+    )
+    got_chain = {r["node"]: r["comp"]
+                 for r in dd.connected_components_star(chain).collect()}
+    assert got_chain == {i: 0 for i in range(32)}
+
+
 def test_connected_components_raises_when_unconverged(spark):
     # a 5-chain needs 4 propagation rounds; a 1-round budget must refuse
     # rather than return silently-wrong groups
