@@ -91,3 +91,25 @@ def test_candidate_generation_never_all_pairs(spark):
         dd.embedding_neardup_pairs(emb, "embedding", "vec_id", dim=64,
                                    threshold=0.35, exact=True)
     )
+
+
+def test_group_resolution_plans_stay_equi_join(spark):
+    """Connected-components rounds (both algorithms) and the pruned
+    Jaccard verify must remain equi-join shaped — the iterative rewiring
+    must never degenerate to a cross product."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.plans import has_cartesian
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    assert not has_cartesian(dd.connected_components(pairs))
+    assert not has_cartesian(dd.connected_components_star(pairs))
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    cands = dd.minhash_lsh_candidates(
+        docs, "text", "doc_id", num_hashes=32, bands=8
+    )
+    assert not has_cartesian(
+        dd.ngram_jaccard_pairs(cands, docs, "text", "doc_id", threshold=0.2)
+    )
