@@ -2023,6 +2023,53 @@ FROM s
 """
 
 
+def q_text_redact(spark, sf_dir):
+    """PII scrub over text with deterministic injected PII (the synthetic
+    corpus has none, so the query plants an email/URL/phone per doc from
+    doc_id and redacts — exercising every rule for real)."""
+    df = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    dirty = F.concat(
+        F.lit("u"), sid, F.lit("@example.com said: "), F.col("text"),
+        F.lit(" see https://ex.org/d/"), sid,
+        F.lit(" or call +1 555-000-"), sid,
+    )
+    return df.select("doc_id", tx.redact_pii(dirty).alias("redacted"))
+
+
+SQL_TEXT_REDACT = r"""
+SELECT doc_id,
+       regexp_replace(regexp_replace(regexp_replace(
+           'u' || CAST(doc_id AS VARCHAR) || '@example.com said: ' || text
+               || ' see https://ex.org/d/' || CAST(doc_id AS VARCHAR)
+               || ' or call +1 555-000-' || CAST(doc_id AS VARCHAR),
+           'https?://\S+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\+?\d[\d\-\s()]{7,}\d', '<PHONE>', 'g') AS redacted
+FROM documents
+"""
+
+
+def q_text_ngrams(spark, sf_dir):
+    """Corpus bigram vocabulary: top-20 by occurrence count."""
+    df = _t(spark, sf_dir, "documents")
+    return tx.top_ngrams(df, "text", n=2, k=20)
+
+
+SQL_TEXT_NGRAMS = r"""
+WITH norm AS (
+  SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT unnest([w[i] || ' ' || w[i+1]
+                 for i in generate_series(1, len(w) - 1)]) AS ngram
+  FROM norm WHERE len(w) >= 2
+)
+SELECT ngram, COUNT(*) AS n_occur FROM grams
+GROUP BY ngram ORDER BY n_occur DESC, ngram LIMIT 20
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
@@ -2069,6 +2116,8 @@ QUERIES: dict[str, tuple] = {
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
@@ -2104,9 +2153,9 @@ QUERIES: dict[str, tuple] = {
     "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
     "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
     "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
+    # ------------------- slot 51+ (r2-green evidence) -------------------
     "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
     "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
-    # ------------------- slot 51+ (r2-green evidence) -------------------
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
     "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),

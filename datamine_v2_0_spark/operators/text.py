@@ -96,6 +96,49 @@ def lang_id(col: Column) -> Column:
     return F.when(best["s"] > 0, best["lang"]).otherwise(F.lit("und"))
 
 
+# PII patterns restricted to the regex subset Java and RE2 agree on
+# (no lookarounds): ORDER MATTERS — URLs first so an email-shaped
+# substring inside a URL isn't half-redacted
+_PII_RULES: list[tuple[str, str]] = [
+    (r"https?://\S+", "<URL>"),
+    (r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\+?\d[\d\-\s()]{7,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Replace emails / URLs / phone-shaped digit runs with typed
+    placeholder tokens — the standard pre-training scrub pass. Pure
+    regexp_replace chain (codegen, no Python); patterns avoid lookarounds
+    so any RE2-based engine applies them identically."""
+    out = col
+    for pat, repl in _PII_RULES:
+        out = F.regexp_replace(out, pat, repl)
+    return out
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str, n: int = 2, k: int = 20
+) -> DataFrame:
+    """Corpus-level n-gram vocabulary: the k most frequent word n-grams
+    with occurrence counts (NOT per-doc distinct — vocab building counts
+    every occurrence). Plan: map-side gram explode → one count shuffle →
+    top-k (rank window over the tiny aggregated gram table). Ties break
+    on the gram string for cross-engine determinism."""
+    t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    words = F.split(t, " ")
+    cnt = F.size(words) - F.lit(n - 1)
+    idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    exploded = df.select(F.explode(grams).alias("ngram"))
+    counted = exploded.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occur"))
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap
+    # + driver merge of k rows) — no global sort, no one-partition window
+    return counted.orderBy(F.desc("n_occur"), F.col("ngram")).limit(k)
+
+
 def fingerprint(col: Column) -> Column:
     """Key-collision fingerprint: lowercase → split → distinct → sort →
     join → sha256. Word-order-insensitive duplicate key."""

@@ -60,3 +60,35 @@ def test_tfidf_ranks_distinctive_terms(spark):
            tfidf_top_terms(df, "text", "doc_id", k=1).collect()}
     # the common word 'the' must never win; distinctive repeated terms do
     assert got == {1: "apple", 2: "banana", 3: "dates"}
+
+
+def test_redact_pii_rules(spark):
+    from datamine_v2_0_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [("mail bob.smith+x@corp.co.uk now",),
+         ("docs at https://a.b/c?q=1#f end",),
+         ("call +1 555-123-4567 today",),
+         ("email inside http://x.io/a@b.com stays one URL",),
+         ("clean text stays untouched",)],
+        "t string",
+    )
+    got = [r["r"] for r in df.select(redact_pii(F.col("t")).alias("r")).collect()]
+    assert got[0] == "mail <EMAIL> now"
+    assert got[1] == "docs at <URL> end"
+    assert got[2] == "call <PHONE> today"
+    # URL rule runs first, so the @ inside the URL is already consumed
+    assert got[3] == "email inside <URL> stays one URL"
+    assert got[4] == "clean text stays untouched"
+
+
+def test_top_ngrams_counts_every_occurrence(spark):
+    from datamine_v2_0_spark.operators.text import top_ngrams
+
+    df = spark.createDataFrame(
+        [Row(text="a b a b a b"), Row(text="a b c"), Row(text="x")]
+    )
+    got = [(r["ngram"], r["n_occur"]) for r in top_ngrams(df, "text", 2, 3).collect()]
+    # "a b" occurs 3x in doc1 (every occurrence, not per-doc distinct)
+    # + 1x in doc2; one-word docs contribute nothing
+    assert got == [("a b", 4), ("b a", 2), ("b c", 1)]
