@@ -2070,6 +2070,36 @@ GROUP BY ngram ORDER BY n_occur DESC, ngram LIMIT 20
 """
 
 
+def q_text_chunks(spark, sf_dir):
+    """Overlapping context-window chunking: 24-token windows, 8-token
+    overlap (stride 16); last window reaches the doc end."""
+    df = _t(spark, sf_dir, "documents")
+    return tx.chunk_documents(df, "text", "doc_id", chunk_tokens=24, overlap=8)
+
+
+SQL_TEXT_CHUNKS = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE len(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0
+), sized AS (
+  SELECT doc_id, w, len(w) AS n,
+         CASE WHEN len(w) <= 24 THEN 1
+              ELSE CAST(CEIL((len(w) - 24) / CAST(16 AS DOUBLE)) + 1 AS INTEGER)
+         END AS nw
+  FROM norm
+), ex AS (
+  SELECT doc_id, w, n, unnest(range(0, nw)) AS chunk_idx FROM sized
+)
+SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       array_to_string(w[chunk_idx * 16 + 1 : chunk_idx * 16 + 24], ' ')
+           AS chunk_text,
+       CAST(LEAST(24, n - chunk_idx * 16) AS INTEGER) AS n_tokens
+FROM ex
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
@@ -2118,6 +2148,7 @@ QUERIES: dict[str, tuple] = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
+    "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
@@ -2152,8 +2183,8 @@ QUERIES: dict[str, tuple] = {
     "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
     "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
     "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
-    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
     # ------------------- slot 51+ (r2-green evidence) -------------------
+    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
     "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
     "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),

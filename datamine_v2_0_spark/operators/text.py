@@ -139,6 +139,55 @@ def top_ngrams(
     return counted.orderBy(F.desc("n_occur"), F.col("ngram")).limit(k)
 
 
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+) -> DataFrame:
+    """Split each document into overlapping token windows — the
+    context-window preparation stage before tokenization/packing.
+    Windows start every ``chunk_tokens - overlap`` tokens; the count is
+    ``1 + ceil((n - chunk)/stride)`` so the final window reaches the end
+    without emitting a trailing window that adds no new tokens.
+
+    One-row-in/many-rows-out via sequence+explode — pure JVM, no UDTF.
+    Returns (id, chunk_idx, chunk_text, n_tokens); empty docs yield no
+    rows."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    words = F.split(t, " ")
+    n = F.size(words)
+    n_win = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(
+        (F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1).cast("int")
+    )
+    base = df.select(
+        F.col(id_col), words.alias("__w"), n.alias("__n"), n_win.alias("__nw")
+    ).filter(F.length(t) > 0)
+    out = base.select(
+        F.col(id_col),
+        F.col("__w"),
+        F.col("__n"),
+        F.explode(
+            F.sequence(F.lit(0), F.col("__nw") - 1)
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * stride
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_idx"),
+        F.array_join(
+            F.slice(F.col("__w"), start + 1, chunk_tokens), " "
+        ).alias("chunk_text"),
+        F.least(F.lit(chunk_tokens), F.col("__n") - start).alias("n_tokens"),
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Key-collision fingerprint: lowercase → split → distinct → sort →
     join → sha256. Word-order-insensitive duplicate key."""

@@ -92,3 +92,28 @@ def test_top_ngrams_counts_every_occurrence(spark):
     # "a b" occurs 3x in doc1 (every occurrence, not per-doc distinct)
     # + 1x in doc2; one-word docs contribute nothing
     assert got == [("a b", 4), ("b a", 2), ("b c", 1)]
+
+
+def test_chunk_documents_window_math(spark):
+    from datamine_v2_0_spark.operators.text import chunk_documents
+
+    docs = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(10))),  # 10 tokens
+         (2, "a b c"),                                # fits one window
+         (3, "")],                                    # no rows
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_tokens"])
+           for r in chunk_documents(docs, "text", "doc_id",
+                                    chunk_tokens=8, overlap=4).collect()}
+    # n=10, chunk=8, stride=4 -> 1 + ceil(2/4) = 2 windows: [0:8], [4:10];
+    # NO third window (it would add no new tokens)
+    assert set(got) == {(1, 0), (1, 1), (2, 0)}
+    assert got[(1, 0)] == (" ".join(f"w{i}" for i in range(8)), 8)
+    assert got[(1, 1)] == (" ".join(f"w{i}" for i in range(4, 10)), 6)
+    assert got[(2, 0)] == ("a b c", 3)
+    # overlap tokens really overlap
+    assert got[(1, 0)][0].split()[-4:] == got[(1, 1)][0].split()[:4]
+
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(docs, "text", "doc_id", chunk_tokens=4, overlap=4)
