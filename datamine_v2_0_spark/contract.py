@@ -2100,6 +2100,18 @@ FROM ex
 """
 
 
+def q_text_packed(spark, sf_dir):
+    """Chunk -> shard -> first-fit-decreasing sequence packing (stateful
+    greedy inside applyInPandas — genuinely non-SQL, rows-only check;
+    invariants are pytest-enforced in test_binning_text)."""
+    df = _t(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(df, "text", "doc_id", chunk_tokens=24, overlap=8)
+    sharded = chunks.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)))
+    return tx.pack_chunks(
+        sharded, "shard", ["doc_id", "chunk_idx"], "n_tokens", capacity=64
+    )
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
@@ -2217,4 +2229,5 @@ QUERIES: dict[str, tuple] = {
     # --- genuinely non-SQL (rows-only check): keep these LAST -----------
     "cpd_candidates": (q_cpd_candidates, None),
     "agg_approx": (q_agg_approx, None),
+    "text_packed": (q_text_packed, None),
 }

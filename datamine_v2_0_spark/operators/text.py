@@ -188,6 +188,62 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    df: DataFrame,
+    shard_col: str,
+    id_cols: list[str],
+    tokens_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Pack chunks into fixed-capacity training sequences: within each
+    shard, first-fit-decreasing bin packing (sort by token count
+    descending, drop each chunk into the first bin with room). Greedy
+    packing is inherently stateful, so it runs as an Arrow-batched
+    ``applyInPandas`` kernel per shard — the standard layout: shards are
+    the parallelism unit (a date, a source file, a hash bucket), packing
+    is exact within a shard, and no cross-shard coordination exists by
+    design. Chunks larger than capacity get a bin of their own.
+
+    Returns the input id columns plus (bin_id, bin_tokens): bin_id is
+    dense per shard, bin_tokens the bin's post-packing total."""
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        LongType, StructField, StructType,
+    )
+
+    out_schema = StructType(
+        [f for f in df.select(shard_col, *id_cols, tokens_col).schema.fields]
+        + [StructField("bin_id", LongType()), StructField("bin_tokens", LongType())]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(
+            [tokens_col] + id_cols, ascending=[False] + [True] * len(id_cols)
+        )
+        bins: list[int] = []  # remaining room per bin
+        assigned = []
+        for t in order[tokens_col]:
+            t = int(t)
+            for b, room in enumerate(bins):
+                if t <= room:
+                    bins[b] = room - t
+                    assigned.append(b)
+                    break
+            else:
+                bins.append(max(capacity - t, 0))
+                assigned.append(len(bins) - 1)
+        order = order.assign(bin_id=assigned)
+        totals = order.groupby("bin_id")[tokens_col].sum().rename("bin_tokens")
+        order = order.join(totals, on="bin_id")
+        cols = [shard_col] + id_cols + [tokens_col, "bin_id", "bin_tokens"]
+        return order[cols]
+
+    return df.select(shard_col, *id_cols, tokens_col).groupBy(shard_col).applyInPandas(
+        _pack, schema=out_schema
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Key-collision fingerprint: lowercase → split → distinct → sort →
     join → sha256. Word-order-insensitive duplicate key."""
