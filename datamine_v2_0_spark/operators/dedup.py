@@ -421,6 +421,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 25,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
     returns (node, comp) where comp is the minimum node id reachable
@@ -462,17 +463,17 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dcomp").alias("nbr_min"))
         )
-        stepped = (
-            labels.join(nbr_min, labels["node"] == nbr_min["src"], "left")
-            .select(
-                F.col("node"),
-                F.col("comp").alias("old_comp"),
-                F.least(
-                    F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
-                ).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        stepped = labels.join(
+            nbr_min, labels["node"] == nbr_min["src"], "left"
+        ).select(
+            F.col("node"),
+            F.col("comp").alias("old_comp"),
+            F.least(
+                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+            ).alias("comp"),
         )
+        if checkpoint:
+            stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
         labels = stepped.select("node", "comp")
         if changed == 0:
@@ -505,6 +506,7 @@ def connected_components_star(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_rounds: int = 50,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond"):
@@ -521,12 +523,18 @@ def connected_components_star(
     localCheckpoint'd per round to keep plan depth constant.
 
     Returns (node, comp) like :func:`connected_components`."""
+    all_nodes = (
+        pairs.select(F.col(id_a).alias("node"))
+        .union(pairs.select(F.col(id_b).alias("node")))
+        .distinct()
+    )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .filter(F.col("src") != F.col("dst"))
         .distinct()
-        .localCheckpoint(eager=False)
     )
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=False)
     for _ in range(max_rounds):
         # large-star: (v, m) for every neighbor v > center
         adj = _star_adjacency(edges)
@@ -544,8 +552,9 @@ def connected_components_star(
             .union(adj2.select("src", F.col("m").alias("dst")))
             .filter(F.col("src") != F.col("dst"))
             .distinct()
-            .localCheckpoint(eager=True)
         )
+        if checkpoint:
+            small = small.localCheckpoint(eager=True)
         # fixpoint: the edge SET is unchanged (counts can tie while edges
         # move, so compare set difference, not size)
         if (
@@ -559,12 +568,18 @@ def connected_components_star(
         raise RuntimeError(
             f"connected_components_star did not converge in {max_rounds} rounds"
         )
-    # at fixpoint each edge is (node, component_min); minima map to themselves
+    # at fixpoint each edge is (node, component_min); minima map to
+    # themselves, and nodes whose only pairs were self-pairs (filtered
+    # from the edge set) rejoin as their own singleton component so the
+    # output covers every node that appeared in `pairs`, matching
+    # connected_components
     nodes = edges.select(F.col("src").alias("node"), F.col("dst").alias("comp"))
-    roots = edges.select(F.col("dst").alias("node")).distinct().withColumn(
-        "comp", F.col("node")
+    singletons = all_nodes.withColumn("comp", F.col("node"))
+    return (
+        nodes.union(singletons)
+        .groupBy("node")
+        .agg(F.min("comp").alias("comp"))
     )
-    return nodes.union(roots).groupBy("node").agg(F.min("comp").alias("comp"))
 
 
 def dedup_groups(

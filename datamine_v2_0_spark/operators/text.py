@@ -127,7 +127,11 @@ def top_ngrams(
     on the gram string for cross-engine determinism."""
     t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     words = F.split(t, " ")
-    cnt = F.size(words) - F.lit(n - 1)
+    # empty/whitespace-only docs split to [''] (size 1): without the
+    # length guard, n=1 would count an empty-string "unigram" per doc
+    cnt = F.when(F.length(t) > 0, F.size(words) - F.lit(n - 1)).otherwise(
+        F.lit(0)
+    )
     idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
         F.array().cast("array<int>")
     )
@@ -231,7 +235,10 @@ def pack_chunks(
                     assigned.append(b)
                     break
             else:
-                bins.append(max(capacity - t, 0))
+                # oversize chunks close their bin (room -1, not 0) so a
+                # later zero-token chunk can't slip into an over-capacity
+                # bin and break the one-oversize-chunk-per-bin invariant
+                bins.append(capacity - t if t <= capacity else -1)
                 assigned.append(len(bins) - 1)
         order = order.assign(bin_id=assigned)
         totals = order.groupby("bin_id")[tokens_col].sum().rename("bin_tokens")

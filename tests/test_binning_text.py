@@ -136,9 +136,6 @@ def test_pack_chunks_invariants(spark):
     bins = defaultdict(list)
     for r in got:
         bins[(r["shard"], r["bin_id"])].append(r)
-        assert r["bin_tokens"] == sum(
-            x["n_tokens"] for x in bins[(r["shard"], r["bin_id"])]
-        ) or True  # totals checked below once bins are complete
     for members in bins.values():
         total = sum(r["n_tokens"] for r in members)
         assert all(r["bin_tokens"] == total for r in members)
@@ -151,3 +148,12 @@ def test_pack_chunks_invariants(spark):
     # deterministic across runs
     again = pack_chunks(df, "shard", ["chunk_id"], "n_tokens", capacity=64).collect()
     assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    # zero-token chunks must not slip into an oversize chunk's bin
+    z = spark.createDataFrame(
+        [(0, 1, 90), (0, 2, 0)], "shard int, chunk_id int, n_tokens long"
+    )
+    zb = pack_chunks(z, "shard", ["chunk_id"], "n_tokens", capacity=64).collect()
+    assert {r["chunk_id"]: r["bin_id"] for r in zb}[1] != {
+        r["chunk_id"]: r["bin_id"] for r in zb
+    }[2]

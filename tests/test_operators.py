@@ -481,6 +481,15 @@ def test_connected_components_star_matches_union_find(spark):
                  for r in dd.connected_components_star(chain).collect()}
     assert got_chain == {i: 0 for i in range(32)}
 
+    # self-pair-only nodes stay in the output as their own singleton
+    # component (parity with connected_components)
+    selfies = spark.createDataFrame(
+        [(7, 7), (1, 2)], "id_a long, id_b long"
+    )
+    got_self = {r["node"]: r["comp"]
+                for r in dd.connected_components_star(selfies).collect()}
+    assert got_self == {7: 7, 1: 1, 2: 1}
+
 
 def test_connected_components_raises_when_unconverged(spark):
     # a 5-chain needs 4 propagation rounds; a 1-round budget must refuse

@@ -103,8 +103,15 @@ def test_group_resolution_plans_stay_equi_join(spark):
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    assert not has_cartesian(dd.connected_components(pairs))
-    assert not has_cartesian(dd.connected_components_star(pairs))
+    # checkpoint=False keeps the per-round joins IN the returned lineage;
+    # with the default checkpointing the plan is truncated to a scan of
+    # the checkpointed RDD and the assertion would be vacuous
+    assert not has_cartesian(
+        dd.connected_components(pairs, checkpoint=False)
+    )
+    assert not has_cartesian(
+        dd.connected_components_star(pairs, checkpoint=False)
+    )
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     cands = dd.minhash_lsh_candidates(
