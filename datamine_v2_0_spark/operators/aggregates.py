@@ -274,9 +274,17 @@ def describe_stats(
     return wide.select(F.explode(F.array(*rows)).alias("s")).select("s.*")
 
 
-def integrity_report(df: DataFrame, key: str, not_null_cols: Sequence[str]) -> DataFrame:
-    """A14: post-load integrity aggregates — total, distinct-key, per-column
-    null counts (05_load_candidates_to_db.py:197-259)."""
+def integrity_report(
+    df: DataFrame,
+    key: str,
+    not_null_cols: Sequence[str],
+    ts_col: str | None = None,
+) -> DataFrame:
+    """A14: post-load integrity aggregates — total, distinct-key,
+    per-column null counts, and (with ``ts_col``) the loaded time range —
+    the reference's full post-load check bundle
+    (05_load_candidates_to_db.py:197-259: expected count, PK uniqueness,
+    null criticals, time range)."""
     aggs = [
         F.count(F.lit(1)).alias("row_count"),
         F.countDistinct(key).alias("distinct_keys"),
@@ -285,4 +293,9 @@ def integrity_report(df: DataFrame, key: str, not_null_cols: Sequence[str]) -> D
         F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
         for c in not_null_cols
     ]
+    if ts_col is not None:
+        aggs += [
+            F.min(ts_col).alias("time_min"),
+            F.max(ts_col).alias("time_max"),
+        ]
     return df.agg(*aggs)

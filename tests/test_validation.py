@@ -68,3 +68,23 @@ def test_proximity_match(spark):
     ).collect()}
     assert got[1]["cts"].replace(tzinfo=timezone.utc) == _t(65)   # nearest within ±120s
     assert got[2]["cts"] is None                                  # no candidate in range
+
+
+def test_integrity_report_full_bundle(spark):
+    """The reference's post-load check bundle: count, PK uniqueness,
+    null criticals, time range (05_load_candidates_to_db.py:197-259)."""
+    from datetime import datetime, timezone
+
+    from datamine_v2_0_spark.operators.aggregates import integrity_report
+
+    t = lambda s: datetime(2025, 1, 1, 0, 0, s, tzinfo=timezone.utc)
+    df = spark.createDataFrame(
+        [(1, "a", t(0)), (2, None, t(30)), (2, "c", t(10))],
+        "k long, v string, ts timestamp",
+    )
+    r = integrity_report(df, "k", ["v"], ts_col="ts").first()
+    assert r["row_count"] == 3
+    assert r["distinct_keys"] == 2       # duplicate PK surfaces here
+    assert r["null_v"] == 1
+    assert r["time_min"] == t(0).replace(tzinfo=None)
+    assert r["time_max"] == t(30).replace(tzinfo=None)
