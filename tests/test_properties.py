@@ -108,3 +108,41 @@ def test_clamp_algebra(x, lo, hi):
     clamped = min(max(x, lo), hi)
     assert lo <= clamped <= hi
     assert min(max(clamped, lo), hi) == clamped
+
+
+def test_chunk_documents_reconstruction_invariants(spark):
+    """Randomized chunking invariants, one Spark pass per parameter set:
+    full chunks everywhere except the tail, contiguous indices, and
+    dropping each later chunk's first `overlap` tokens reconstructs the
+    original token stream exactly."""
+    import random
+    from collections import defaultdict
+
+    from datamine_v2_0_spark.operators.text import chunk_documents
+
+    rng = random.Random(11)
+    docs = [
+        (i, " ".join(f"t{j}" for j in range(rng.randrange(0, 200))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for chunk, overlap in ((16, 4), (32, 31), (8, 0)):
+        rows = chunk_documents(df, "text", "doc_id", chunk, overlap).collect()
+        by_doc = defaultdict(list)
+        for r in rows:
+            by_doc[r["doc_id"]].append(r)
+        for doc_id, text in docs:
+            toks = text.split()
+            chunks = sorted(by_doc[doc_id], key=lambda r: r["chunk_idx"])
+            if not toks:
+                assert chunks == []
+                continue
+            assert [c["chunk_idx"] for c in chunks] == list(range(len(chunks)))
+            recon = chunks[0]["chunk_text"].split()
+            for c in chunks[1:]:
+                recon.extend(c["chunk_text"].split()[overlap:])
+            assert recon == toks, (doc_id, chunk, overlap)
+            for c in chunks[:-1]:
+                assert c["n_tokens"] == chunk
+            for c in chunks:
+                assert c["n_tokens"] == len(c["chunk_text"].split())
