@@ -42,6 +42,8 @@ def stratified_split(
     train_fraction: float = 0.8,
     seed: int = 42,
     id_col: str | None = None,
+    assert_balance: bool = False,
+    balance_tol: float = 0.1,
 ) -> tuple[DataFrame, DataFrame]:
     """Per-class train/test split via a deterministic hash partition.
 
@@ -54,12 +56,34 @@ def stratified_split(
     Bernoulli guarantee sampleBy gives), which is what stratify=y means at
     scale. ``id_col=None`` hashes all columns — fine for distinct rows;
     pass a unique id to make duplicates split independently-but-
-    deterministically by id."""
+    deterministically by id.
+
+    ``assert_balance=True`` verifies the stratification outcome: every
+    class's train fraction must land within ``balance_tol`` of
+    train_fraction, else ValueError (one small aggregate job)."""
     cols = [F.col(id_col)] if id_col else [F.col(c) for c in df.columns]
     bucket = F.pmod(F.xxhash64(*cols, F.lit(seed)), F.lit(1_000_000))
     cut = int(train_fraction * 1_000_000)
     train = df.filter(bucket < cut)
     test = df.filter(bucket >= cut)
+    if assert_balance:
+        stats = (
+            df.groupBy(label_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(bucket < cut, 1)).alias("n_train"),
+            )
+            .collect()
+        )
+        bad = {
+            r[label_col]: r["n_train"] / r["n"]
+            for r in stats
+            if abs(r["n_train"] / r["n"] - train_fraction) > balance_tol
+        }
+        if bad:
+            raise ValueError(
+                f"stratified_split class imbalance beyond {balance_tol}: {bad}"
+            )
     return train, test
 
 

@@ -440,6 +440,8 @@ def connected_components(
     the alternating large-star/small-star formulation (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — same join
     machinery, O(log n) rounds."""
+    if max_iterations < 1:
+        raise ValueError("max_iterations must be >= 1")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -555,11 +557,13 @@ def connected_components_star(
         )
         if checkpoint:
             small = small.localCheckpoint(eager=True)
-        # fixpoint: the edge SET is unchanged (counts can tie while edges
-        # move, so compare set difference, not size)
+        # fixpoint: the edge SET is unchanged. Both frames are distinct
+        # sets, so equal cardinality + one-sided inclusion ⇒ equality —
+        # two cheap counts and at most one exceptAll join per round
+        # instead of two
         if (
-            small.exceptAll(edges).limit(1).count() == 0
-            and edges.exceptAll(small).limit(1).count() == 0
+            small.count() == edges.count()
+            and small.exceptAll(edges).limit(1).count() == 0
         ):
             edges = small
             break
@@ -688,7 +692,7 @@ def simhash_candidates(
         # remaining high bits so all n_bits are covered
         shift = i * width
         w = n_bits - shift if i == n_blocks - 1 else width
-        if w >= n_bits and shift == 0:  # single block = the whole signature
+        if n_blocks == 1:  # single block = the whole signature
             return F.col("simhash")
         # mask also clears the sign-extension bits of the arithmetic shift
         return F.shiftright(F.col("simhash"), shift).bitwiseAND(

@@ -77,6 +77,12 @@ def _pnm_header(buf: bytes, n_tokens: int) -> tuple[list[int], int]:
                 j += 1
             toks.append(int(buf[i:j]))
             i = j
+    # the spec mandates EXACTLY ONE whitespace byte before the raster
+    # (so a first pixel of value 9-13 isn't eaten); special-case the
+    # common spec-violating Windows '\r\n' terminator, which would
+    # otherwise shift every raster byte by one
+    if buf[i : i + 2] == b"\r\n":
+        return toks, i + 2
     return toks, i + 1
 
 
@@ -181,6 +187,11 @@ def extract_media_features(
                 payload = payload or b""
                 if decode_stub:
                     feats = _fake_features(payload)
+                elif not payload:
+                    # a NULL/empty blob is a data problem, not a format
+                    # problem: emit null features instead of killing the
+                    # whole job on one bad row
+                    feats = None
                 else:
                     feats = [float(v) for v in _decode_image(payload).ravel()[:8]]
                 rows.append(

@@ -78,6 +78,7 @@ def write_label_studio_tasks(
         .collect()
     )
     os.makedirs(output_dir, exist_ok=True)
+    seen_names: dict[str, tuple[str, str]] = {}
     for r in keys:
         if r["t"] is None or r["d"] is None:
             raise ValueError("NULL truck/date key in Label Studio task feed")
@@ -88,6 +89,16 @@ def write_label_studio_tasks(
             r"[A-Za-z0-9._\-]+", date
         ) or ".." in (truck, date):
             raise ValueError(f"unsafe task key for filename: {truck!r}/{date!r}")
+        # '_' is legal inside keys, so distinct key pairs can collide on
+        # the joined name (('A_1','07') vs ('A','1_07')) — refuse rather
+        # than silently overwrite one labeling unit with another
+        name = f"{truck}_{date}"
+        if name in seen_names and seen_names[name] != (truck, date):
+            raise ValueError(
+                f"task filename collision: {seen_names[name]!r} and "
+                f"{(truck, date)!r} both map to {name!r}"
+            )
+        seen_names[name] = (truck, date)
         task = {
             "data": {
                 "truck_id": truck,

@@ -120,3 +120,16 @@ def test_compare_models_ab_harness(spark):
     # separable data: the real model wins; the stump can't split 3 classes
     assert got["deep"]["accuracy"] > 0.9
     assert got["deep"]["accuracy"] > got["stump"]["accuracy"]
+
+
+def test_stratified_split_balance_assertion(spark):
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(400)], "id long, cls string"
+    )
+    # hash split concentrates per-class fractions near 0.8: passes at a
+    # reasonable tolerance, raises at an absurd one
+    stratified_split(df, "cls", 0.8, seed=1, id_col="id",
+                     assert_balance=True, balance_tol=0.1)
+    with pytest.raises(ValueError, match="imbalance"):
+        stratified_split(df, "cls", 0.8, seed=1, id_col="id",
+                         assert_balance=True, balance_tol=0.001)

@@ -564,3 +564,21 @@ def test_simhash_candidates_filters_tiny_docs(spark):
         ).collect()
     }
     assert got == {(10, 11)}
+
+
+def test_decode_crlf_header_and_empty_payload(spark):
+    # spec-violating CRLF after maxval must not shift the raster
+    crlf = b"P6\r\n2 2\r\n255\r\n" + bytes(range(100, 220, 10))
+    assert mm._decode_image(crlf).ravel().tolist() == list(range(100, 220, 10))
+    # empty payload on the real-decode path: null features, job survives
+    media = spark.createDataFrame(
+        [(1, "image", None)], "media_id long, media_type string, payload string"
+    )
+    got = mm.extract_media_features(media, decode_stub=False).collect()
+    assert got[0]["features"] is None and got[0]["n_bytes"] == 0
+
+
+def test_connected_components_rejects_zero_budget(spark):
+    pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="max_iterations"):
+        dd.connected_components(pairs, max_iterations=0)

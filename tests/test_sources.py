@@ -162,3 +162,14 @@ def test_rows_as_view(spark):
     )
     assert df.count() == 2
     assert spark.sql("SELECT SUM(v) AS s FROM tmp_vals").first()["s"] == 3
+
+
+def test_label_studio_task_writer_rejects_filename_collision(spark, tmp_path):
+    from datamine_v2_0_spark.sources.annotations import write_label_studio_tasks
+
+    df = spark.createDataFrame(
+        [("A_1", "07", 1.0), ("A", "1_07", 2.0)],
+        "truck_id string, date string, v double",
+    )
+    with pytest.raises(ValueError, match="collision"):
+        write_label_studio_tasks(df, str(tmp_path / "out"))
