@@ -73,6 +73,17 @@ def main() -> None:
     w = Window.partitionBy("g").orderBy("v")
     warm_df.select(F.row_number().over(w), F.lag("v").over(w)).count()
 
+    # machine-speed calibration: a fixed pure-JVM workload timed the same
+    # way as the queries, so cross-round totals can be normalized for
+    # ambient host variance (observed 40-70% day-to-day on shared
+    # hypervisors with identical code)
+    t0 = time.time()
+    # hash-bound, overflow-free under ANSI (sum(id*id) would overflow)
+    spark.range(200_000_000).selectExpr(
+        "sum(pmod(xxhash64(id), 1000)) AS s"
+    ).write.format("noop").mode("overwrite").save()
+    calib = round(time.time() - t0, 3)
+
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn, _sql = QUERIES[name]
@@ -87,6 +98,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "sf": sf,
+        "calib_sec": calib,
     }
     print(json.dumps(out))
 
