@@ -69,6 +69,65 @@ def list_partitions(spark: SparkSession, path: str, partition_col: str) -> list[
     return [r[partition_col] for r in rows]
 
 
+def write_sorted_for_skipping(
+    df: DataFrame,
+    path: str,
+    sort_cols: Sequence[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Range-partition + sort-within-files on ``sort_cols`` so parquet
+    row-group min/max statistics become a clustered index: a range or
+    point predicate on the sort key skips whole files AND whole row
+    groups inside files at scan time (the footer stats don't overlap).
+    This is the standard data-skipping layout for append-heavy 100 TB
+    fact tables where directory partitioning on the column would be too
+    fine-grained (e.g. timestamps, ids).
+
+    ``num_files=None`` keeps the range-exchange's own partitioning
+    (spark.sql.shuffle.partitions ranges)."""
+    cols = [F.col(c) for c in sort_cols]
+    out = (
+        df.repartitionByRange(num_files, *cols)
+        if num_files
+        else df.repartitionByRange(*cols)
+    )
+    (
+        out.sortWithinPartitions(*cols)
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Rows emitted by the scan node(s) of an EXECUTED plan — the
+    empirical data-skipping measure (scan output << table rows proves
+    row-group stats pruned the read).
+
+    Execute THIS DataFrame first via ``df.collect()``: actions like
+    ``df.count()`` build a separate query execution and leave this
+    plan's metrics at zero."""
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def _walk(node) -> int:
+        total = 0
+        name = node.nodeName()
+        if "Scan" in name:
+            metrics = node.metrics()
+            it = metrics.iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    total += kv._2().value()
+        for i in range(node.children().size()):
+            total += _walk(node.children().apply(i))
+        return total
+
+    return _walk(plan)
+
+
 def write_table_idempotent(
     df: DataFrame, name: str, recreate: bool = False
 ) -> None:
