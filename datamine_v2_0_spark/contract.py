@@ -1168,6 +1168,26 @@ FROM documents d LEFT JOIN comp c USING (doc_id)
 """
 
 
+def q_dedup_canonical(spark, sf_dir):
+    """End-to-end corpus dedup: near-dup pairs -> connected components ->
+    keep the smallest-id representative per group. The user-facing 'give
+    me the deduplicated corpus' query; oracle = recursive-closure SQL
+    filtered to group representatives."""
+    df = _t(spark, sf_dir, "documents")
+    pairs = dd.jaccard_pairs_inverted(df, "text", "doc_id", threshold=0.2)
+    groups = dd.dedup_groups(df, "doc_id", pairs)
+    return groups.filter(F.col("group_id") == F.col("doc_id")).select("doc_id")
+
+
+SQL_DEDUP_CANONICAL = SQL_DEDUP_GROUPS.replace(
+    """SELECT d.doc_id, COALESCE(c.group_id, d.doc_id) AS group_id
+FROM documents d LEFT JOIN comp c USING (doc_id)""",
+    """SELECT d.doc_id
+FROM documents d LEFT JOIN comp c USING (doc_id)
+WHERE COALESCE(c.group_id, d.doc_id) = d.doc_id""",
+)
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: the LSH scale path (banded hyperplane
     prefilter -> exact cosine verify), oracle-checked against DuckDB's
@@ -2168,6 +2188,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),
@@ -2211,8 +2232,8 @@ QUERIES: dict[str, tuple] = {
     "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
     "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
-    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
     # ------------------- slot 51+ (r2-green evidence) -------------------
+    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
     "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
     "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
     "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
