@@ -2149,6 +2149,56 @@ def q_text_packed(spark, sf_dir):
     )
 
 
+def q_text_packed_nextfit(spark, sf_dir):
+    """Order-preserving next-fit sequence packing over the chunked
+    corpus; the sequential bin recurrence is replayed exactly by a
+    DuckDB recursive CTE, making this the oracle-checked packing
+    variant (FFD reorders by size and stays rows-only)."""
+    df = _t(spark, sf_dir, "documents")
+    chunks = tx.chunk_documents(df, "text", "doc_id", chunk_tokens=24, overlap=8)
+    sharded = chunks.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(8)))
+    return tx.pack_chunks_nextfit(
+        sharded, "shard", ["doc_id", "chunk_idx"], "n_tokens", capacity=64
+    )
+
+
+SQL_TEXT_PACKED_NEXTFIT = r"""
+WITH RECURSIVE norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+  WHERE len(trim(regexp_replace(text, '\s+', ' ', 'g'))) > 0
+), sized AS (
+  SELECT doc_id, len(w) AS n,
+         CASE WHEN len(w) <= 24 THEN 1
+              ELSE CAST(CEIL((len(w) - 24) / CAST(16 AS DOUBLE)) + 1 AS INTEGER)
+         END AS nw
+  FROM norm
+), ex AS (
+  SELECT doc_id, n, unnest(range(0, nw)) AS chunk_idx FROM sized
+), items AS (
+  SELECT CAST(doc_id % 8 AS BIGINT) AS shard, doc_id,
+         CAST(chunk_idx AS INTEGER) AS chunk_idx,
+         CAST(LEAST(24, n - chunk_idx * 16) AS INTEGER) AS n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY doc_id % 8
+                            ORDER BY doc_id, chunk_idx) AS rn
+  FROM ex
+), packed AS (
+  SELECT shard, doc_id, chunk_idx, n_tokens, rn,
+         CAST(1 AS BIGINT) AS bin_id, CAST(n_tokens AS BIGINT) AS fill
+  FROM items WHERE rn = 1
+  UNION ALL
+  SELECT i.shard, i.doc_id, i.chunk_idx, i.n_tokens, i.rn,
+         CASE WHEN p.fill + i.n_tokens <= 64 THEN p.bin_id
+              ELSE p.bin_id + 1 END,
+         CASE WHEN p.fill + i.n_tokens <= 64 THEN p.fill + i.n_tokens
+              ELSE CAST(i.n_tokens AS BIGINT) END
+  FROM packed p JOIN items i ON i.shard = p.shard AND i.rn = p.rn + 1
+)
+SELECT shard, doc_id, chunk_idx, n_tokens, bin_id FROM packed
+"""
+
+
 def q_dedup_exact_keep(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(df, "text", "doc_id").select("doc_id")
@@ -2200,6 +2250,7 @@ QUERIES: dict[str, tuple] = {
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "text_packed_nextfit": (q_text_packed_nextfit, SQL_TEXT_PACKED_NEXTFIT),
     # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
@@ -2231,8 +2282,8 @@ QUERIES: dict[str, tuple] = {
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
-    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
     # ------------------- slot 51+ (r2-green evidence) -------------------
+    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
     "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
     "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
     "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),

@@ -251,6 +251,53 @@ def pack_chunks(
     )
 
 
+def pack_chunks_nextfit(
+    df: DataFrame,
+    shard_col: str,
+    id_cols: list[str],
+    tokens_col: str,
+    capacity: int = 2048,
+) -> DataFrame:
+    """Next-fit sequence packing: walk chunks in id order within each
+    shard, keep filling the current bin until the next chunk would
+    overflow, then open a new one. Order-preserving and single-pass —
+    the streaming-friendly packing (FFD in :func:`pack_chunks` packs
+    tighter but reorders by size). An oversize chunk lands alone: its
+    fill already exceeds capacity, so the very next chunk opens a new
+    bin. Sequential state per shard → applyInPandas kernel; unlike FFD
+    the sequential recurrence is SQL-expressible (recursive CTE), so
+    this variant is oracle-checkable.
+
+    Returns the input columns plus bin_id (1-based, dense per shard)."""
+    import pandas as pd
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    out_schema = StructType(
+        [f for f in df.select(shard_col, *id_cols, tokens_col).schema.fields]
+        + [StructField("bin_id", LongType())]
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = pdf.sort_values(id_cols)
+        assigned = []
+        bin_id, fill = 0, 0
+        for t in order[tokens_col]:
+            t = int(t)
+            if bin_id == 0 or fill + t > capacity:
+                bin_id += 1
+                fill = t
+            else:
+                fill += t
+            assigned.append(bin_id)
+        out = order.assign(bin_id=assigned)
+        return out[[shard_col] + id_cols + [tokens_col, "bin_id"]]
+
+    return df.select(shard_col, *id_cols, tokens_col).groupBy(shard_col).applyInPandas(
+        _pack, schema=out_schema
+    )
+
+
 def fingerprint(col: Column) -> Column:
     """Key-collision fingerprint: lowercase → split → distinct → sort →
     join → sha256. Word-order-insensitive duplicate key."""

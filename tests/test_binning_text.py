@@ -157,3 +157,17 @@ def test_pack_chunks_invariants(spark):
     assert {r["chunk_id"]: r["bin_id"] for r in zb}[1] != {
         r["chunk_id"]: r["bin_id"] for r in zb
     }[2]
+
+
+def test_pack_chunks_nextfit_sequence(spark):
+    from datamine_v2_0_spark.operators.text import pack_chunks_nextfit
+
+    rows = [(0, i, t) for i, t in enumerate([30, 30, 30, 90, 10, 10, 50, 5])]
+    df = spark.createDataFrame(rows, "shard int, chunk_id int, n_tokens long")
+    got = {r["chunk_id"]: r["bin_id"] for r in
+           pack_chunks_nextfit(df, "shard", ["chunk_id"], "n_tokens",
+                               capacity=64).collect()}
+    # 30+30 fit; +30 overflows -> bin2; 90 oversize alone -> bin3 (and
+    # forces bin4 next); 10+10+5? no: order preserved: 10,10 -> bin4,
+    # 50 overflows 20+50>64? 10+10=20, +50=70>64 -> bin5, +5 fits bin5
+    assert got == {0: 1, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4, 6: 5, 7: 5}
