@@ -1547,6 +1547,31 @@ FROM p3
 """
 
 
+def q_agg_incremental(spark, sf_dir):
+    """Continuous-aggregate refresh: materialize the 5-minute rollup
+    over ~3/4 of the events, then refresh with the remaining quarter as
+    the arriving delta — recomputing only delta-touched buckets and
+    upserting. The oracle is the FULL recompute, so the hash match
+    proves refresh == recompute (the TimescaleDB continuous-aggregate
+    maintenance invariant)."""
+    ev = _t(spark, sf_dir, "events")
+    aggs = [
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    old_raw = ev.filter(F.col("event_id") % 4 != 0)
+    delta = ev.filter(F.col("event_id") % 4 == 0)
+    materialized = agg.tumbling_agg(old_raw, "ts", "5 minutes", aggs)
+    refreshed = agg.refresh_tumbling(
+        materialized, ev, delta, "ts", "5 minutes", aggs
+    )
+    return refreshed.select(
+        F.col("bucket_start").cast("string").alias("bucket_start"),
+        "avg_value",
+        "n",
+    )
+
+
 def q_agg_rollup(spark, sf_dir):
     df = _t(spark, sf_dir, "lineitem")
     return (
@@ -2254,6 +2279,7 @@ QUERIES: dict[str, tuple] = {
     # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
     "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
@@ -2281,8 +2307,8 @@ QUERIES: dict[str, tuple] = {
     "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
     "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
-    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
     # ------------------- slot 51+ (r2-green evidence) -------------------
+    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
     "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
     "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
     "sort_topk": (q_sort_topk, SQL_SORT_TOPK),

@@ -236,6 +236,51 @@ def tumbling_agg(
     )
 
 
+def refresh_tumbling(
+    materialized: DataFrame,
+    raw: DataFrame,
+    delta: DataFrame,
+    ts: str,
+    duration: str,
+    aggs: Sequence[Column],
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Continuous-aggregate maintenance (hypertable-rollup refresh):
+    given yesterday's ``materialized`` tumbling rollup, the full ``raw``
+    table, and the newly-arrived ``delta`` rows, recompute ONLY the
+    buckets the delta touches from raw and upsert them over the
+    materialized rows — the refreshed table equals a full recompute
+    (which is exactly what the oracle asserts), but the work is
+    proportional to |delta buckets|, not table size.
+
+    Plan shape at scale: the affected-bucket set (tiny) broadcasts into
+    a semi join that prunes the raw scan — with raw partitioned by time
+    this is partition pruning, so refresh cost is |delta| + touched
+    partitions."""
+    keys = list(extra_keys) + ["bucket_start"]
+    affected = (
+        delta.select(F.window(ts, duration).start.alias("__bs")).distinct()
+    )
+    # project the bucket onto raw first — a window expression can't sit
+    # inside a join condition
+    touched_raw = (
+        raw.withColumn("__bs", F.window(ts, duration).start)
+        .join(F.broadcast(affected), "__bs", "left_semi")
+        .drop("__bs")
+    )
+    recomputed = tumbling_agg(touched_raw, ts, duration, aggs, extra_keys)
+    from datamine_v2_0_spark.operators.joins import upsert
+
+    # recomputed buckets always win over the stale materialized rows
+    out = upsert(
+        materialized.withColumn("__gen", F.lit(0)),
+        recomputed.withColumn("__gen", F.lit(1)),
+        keys,
+        "__gen",
+    )
+    return out.drop("__gen")
+
+
 def crosstab_pivot(df: DataFrame, row_key: str, col_key: str, values: Sequence[str]) -> DataFrame:
     """A13: ``groupby(a,b).size().unstack()`` — pivot with an explicit value
     list (always pass `values`: it skips the extra distinct-scan Spark

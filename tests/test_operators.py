@@ -611,3 +611,29 @@ def test_ivf_topk_partition_sweep_exact(spark):
                          k=5, n_cells=8, nprobe=4).collect()}
     hit = len(part & {(a, b) for a, b, _ in exact}) / len(exact)
     assert 0.5 <= hit <= 1.0
+
+
+def test_refresh_tumbling_recomputes_only_touched_buckets(spark):
+    """Continuous-aggregate semantics: a poisoned materialized row in a
+    delta-touched bucket is overwritten by the recompute; a poisoned row
+    in an untouched bucket survives verbatim (proof the refresh did NOT
+    recompute it)."""
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [
+        Row(ts=_ts(f"2025-01-01 00:{m:02d}:00"), v=float(m)) for m in range(10)
+    ]
+    raw = spark.createDataFrame(rows)
+    aggs = [F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")]
+    # materialized rollup with BOTH buckets poisoned
+    poisoned = spark.createDataFrame(
+        [(datetime(2025, 1, 1, 0, 0, tzinfo=timezone.utc), -999.0, -1),
+         (datetime(2025, 1, 1, 0, 5, tzinfo=timezone.utc), -999.0, -1)],
+        "bucket_start timestamp, s double, n long",
+    )
+    delta = raw.filter(F.minute("ts") >= 5)  # touches only the 00:05 bucket
+    out = {r["bucket_start"].minute: (r["s"], r["n"]) for r in
+           agg.refresh_tumbling(poisoned, raw, delta, "ts", "5 minutes",
+                                aggs).collect()}
+    assert out[5] == (sum(range(5, 10)), 5)   # touched: recomputed
+    assert out[0] == (-999.0, -1)             # untouched: left alone
