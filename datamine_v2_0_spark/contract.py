@@ -574,6 +574,52 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY absd, p_ts) = 1
 """
 
 
+def q_join_asof_backward(spark, sf_dir):
+    """pandas merge_asof(direction='backward') semantics: latest purchase
+    at-or-before each error, within tolerance."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    matched = jn.asof_nearest_join(
+        errors,
+        purchases,
+        [("user_id", "p_user_id")],
+        "ts",
+        "p_ts",
+        3600.0,
+        "event_id",
+        direction="backward",
+    )
+    delta = (
+        F.unix_micros(F.col("ts")) - F.unix_micros(F.col("p_ts"))
+    ).cast("double") / F.lit(1_000_000.0)
+    return matched.select("event_id", "p_event_id", delta.alias("delta_s"))
+
+
+SQL_JOIN_ASOF_BACKWARD = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     p AS (SELECT event_id AS p_event_id, user_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+     j AS (
+       SELECT e.event_id, p.p_event_id, e.ts, p.p_ts,
+              CAST(date_diff('microsecond', p.p_ts, e.ts) AS DOUBLE)
+                  / 1000000.0 AS d
+       FROM e JOIN p ON e.user_id = p.user_id
+       WHERE CAST(date_diff('microsecond', p.p_ts, e.ts) AS DOUBLE)
+             / 1000000.0 BETWEEN 0.0 AND 3600.0
+     )
+SELECT event_id, p_event_id, d AS delta_s
+FROM j
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, p_ts) = 1
+"""
+
+
 def q_join_overlap(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     a = o.select(
@@ -2284,6 +2330,7 @@ QUERIES: dict[str, tuple] = {
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
+    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
@@ -2306,8 +2353,8 @@ QUERIES: dict[str, tuple] = {
     "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
     "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
     "join_asof": (q_join_asof, SQL_JOIN_ASOF),
-    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     # ------------------- slot 51+ (r2-green evidence) -------------------
+    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
     "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
     "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),

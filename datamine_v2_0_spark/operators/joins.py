@@ -115,22 +115,32 @@ def asof_nearest_join(
     tolerance_seconds: float,
     left_id: str,
     broadcast_right: bool = True,
+    direction: str = "nearest",
 ) -> DataFrame:
-    """J7: nearest-neighbor-in-time join — for each left row, the single
-    right row minimizing |t_l - t_r| within tolerance
-    (claudeinstructions.md:60-84, rewritten to window rank-1).
+    """J7: as-of-in-time join — for each left row, the single right row
+    within tolerance (claudeinstructions.md:60-84, rewritten to window
+    rank-1), with pandas ``merge_asof`` direction semantics:
+    'nearest' minimizes |t_l - t_r|; 'backward' takes the latest right
+    row at-or-before t_l; 'forward' the earliest at-or-after.
 
     Ties break on the right timestamp then remaining right columns being
     ordered by right_ts — deterministic given unique right timestamps."""
+    if direction not in ("nearest", "backward", "forward"):
+        raise ValueError(f"direction must be nearest/backward/forward, got {direction!r}")
     r = F.broadcast(right) if broadcast_right else right
     cond = None
     for lk, rk in keys:
         c = left[lk] == r[rk]
         cond = c if cond is None else (cond & c)
-    diff = F.abs(
+    signed = (
         F.unix_micros(left[left_ts]) - F.unix_micros(r[right_ts])
     ).cast("double") / F.lit(1_000_000.0)
+    diff = F.abs(signed)
     rng = diff <= F.lit(tolerance_seconds)
+    if direction == "backward":
+        rng = rng & (signed >= 0)  # right at or before left
+    elif direction == "forward":
+        rng = rng & (signed <= 0)  # right at or after left
     cond = rng if cond is None else (cond & rng)
     joined = left.join(r, cond, "inner").withColumn("__absdiff", diff)
     w = Window.partitionBy(left[left_id]).orderBy("__absdiff", r[right_ts])

@@ -637,3 +637,24 @@ def test_refresh_tumbling_recomputes_only_touched_buckets(spark):
                                 aggs).collect()}
     assert out[5] == (sum(range(5, 10)), 5)   # touched: recomputed
     assert out[0] == (-999.0, -1)             # untouched: left alone
+
+
+def test_asof_join_directions(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k="a", ts=_ts("2025-01-01 00:01:00"))]
+    )
+    right = spark.createDataFrame(
+        [Row(rid=10, rk="a", rts=_ts("2025-01-01 00:00:30")),   # 30s before
+         Row(rid=11, rk="a", rts=_ts("2025-01-01 00:01:10"))]   # 10s after
+    )
+    def run(direction):
+        got = jn.asof_nearest_join(
+            left, right, [("k", "rk")], "ts", "rts", 3600.0, "id",
+            direction=direction,
+        ).collect()
+        return [r["rid"] for r in got]
+    assert run("nearest") == [11]    # 10s beats 30s
+    assert run("backward") == [10]   # only at-or-before rows qualify
+    assert run("forward") == [11]
+    with pytest.raises(ValueError, match="direction"):
+        run("sideways")
