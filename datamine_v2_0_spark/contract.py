@@ -2283,6 +2283,150 @@ QUALIFY ROW_NUMBER() OVER (
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style per-doc repetition signals: duplicate-word fraction,
+    duplicate-word char fraction, top-bigram char fraction."""
+    df = _t(spark, sf_dir, "documents")
+    return tx.repetition_signals(df, "text", "doc_id")
+
+
+SQL_TEXT_REPETITION = r"""
+WITH norm AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE len(trim(text)) > 0
+), u AS (
+  SELECT doc_id, unnest(w) AS unit FROM norm
+), pu AS (
+  SELECT doc_id, unit, COUNT(*) AS c FROM u GROUP BY doc_id, unit
+), du AS (
+  SELECT doc_id,
+         CAST(SUM(c) AS BIGINT) AS n_units,
+         CAST(SUM(c) - COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS dup_f,
+         CAST(SUM((c - 1) * len(unit)) AS DOUBLE)
+             / CAST(SUM(c * len(unit)) AS DOUBLE) AS dupc_f,
+         CAST(SUM(c * len(unit)) AS BIGINT) AS total_chars
+  FROM pu GROUP BY doc_id
+), g AS (
+  SELECT doc_id, unnest([w[i] || ' ' || w[i+1]
+                 for i in generate_series(1, len(w) - 1)]) AS gram
+  FROM norm WHERE len(w) >= 2
+), pg AS (
+  SELECT doc_id, gram, COUNT(*) AS c FROM g GROUP BY doc_id, gram
+), tg AS (
+  SELECT doc_id, gram, c,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY c DESC, gram DESC) AS rn
+  FROM pg
+)
+SELECT du.doc_id, du.n_units,
+       ROUND(du.dup_f, 6) AS dup_unit_frac,
+       ROUND(du.dupc_f, 6) AS dup_unit_char_frac,
+       ROUND(COALESCE(
+           CAST(t.c * (len(t.gram) - 1) AS DOUBLE)
+               / CAST(du.total_chars AS DOUBLE),
+           0.0), 6) AS top_bigram_char_frac
+FROM du LEFT JOIN (SELECT doc_id, gram, c FROM tg WHERE rn = 1) t
+  USING (doc_id)
+"""
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: docs with doc_id % 29 == 0 act as the
+    eval set; every remaining (training) doc is scored by distinct
+    4-gram overlap with it. Eval grams broadcast; train side never
+    shuffles its exploded grams."""
+    df = _t(spark, sf_dir, "documents")
+    ev = df.filter(F.col("doc_id") % 29 == 0)
+    tr = df.filter(F.col("doc_id") % 29 != 0)
+    return tx.decontaminate(tr, ev, "text", "doc_id", n=4)
+
+
+SQL_TEXT_DECONTAMINATE = r"""
+WITH norm AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM documents WHERE len(trim(text)) > 0
+), g AS (
+  SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+                 for i in generate_series(1, len(w) - 3)])) AS gram
+  FROM norm WHERE len(w) >= 4
+), eg AS (
+  SELECT DISTINCT gram FROM g WHERE doc_id % 29 = 0
+), h AS (
+  SELECT g.doc_id, COUNT(*) AS n_hits
+  FROM g JOIN eg USING (gram)
+  WHERE g.doc_id % 29 <> 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_eval_grams,
+       COALESCE(h.n_hits, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN h USING (doc_id)
+WHERE d.doc_id % 29 <> 0
+"""
+
+
+def q_dedup_lines(spark, sf_dir):
+    """Corpus-frequency unit removal (RefinedWeb line-dedup generalized
+    to a configurable unit): drop every word occurring in >= 60% of all
+    docs (corpus-adaptive boilerplate scrub on the newline-free
+    synthetic corpus), reassemble docs preserving order."""
+    df = _t(spark, sf_dir, "documents")
+    return dd.remove_common_units(
+        df, "text", "doc_id", min_doc_frac=0.6, delim=r"\s+", joiner=" "
+    )
+
+
+SQL_DEDUP_LINES = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(text), '\s+') AS u
+  FROM documents WHERE len(trim(text)) > 0
+), units AS (
+  SELECT doc_id, unnest(u) AS unit,
+         unnest(generate_series(1, len(u))) AS pos
+  FROM base
+), tot AS (
+  SELECT COUNT(*) AS n_docs FROM base
+), freq AS (
+  SELECT unit, COUNT(DISTINCT doc_id) AS nd FROM units GROUP BY unit
+), common AS (
+  SELECT unit FROM freq, tot WHERE nd >= n_docs * 0.6
+), kept AS (
+  SELECT * FROM units WHERE unit NOT IN (SELECT unit FROM common)
+), clean AS (
+  SELECT doc_id, string_agg(unit, ' ' ORDER BY pos) AS clean_text,
+         COUNT(*) AS n_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT b.doc_id,
+       COALESCE(c.clean_text, '') AS clean_text,
+       CAST(len(b.u) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
+FROM base b LEFT JOIN clean c USING (doc_id)
+"""
+
+
+def q_filt_balance_strata(spark, sf_dir):
+    """Deterministic corpus balancing: every language downsampled to the
+    smallest language's count, keeping lowest doc_ids."""
+    df = _t(spark, sf_dir, "documents")
+    return flt.balance_strata(df, "lang", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+SQL_FILT_BALANCE_STRATA = r"""
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+), m AS (
+  SELECT MIN(n) AS mn FROM c
+), r AS (
+  SELECT doc_id, lang, source,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT doc_id, lang, source FROM r, m WHERE rn <= mn
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks the
@@ -2340,6 +2484,11 @@ QUERIES: dict[str, tuple] = {
     "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
+    # --- new in r3: corpus-curation operators ---------------------------
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
     # --- red in r2, fixed (BIGINT cast): must re-verify ------------------
     "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
     # --- r2-green core families (fill the 50-slot window) ---------------

@@ -774,3 +774,65 @@ def simhash_signatures(
         F.col(id_col),
         simhash_from_hashes(F.col("__hashes"), n_bits).alias("simhash"),
     )
+
+
+def remove_common_units(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_doc_frac: float = 0.5,
+    delim: str = r"\n",
+    joiner: str = "\n",
+) -> DataFrame:
+    """Corpus-frequency unit removal: split every document into units
+    (lines by default — RefinedWeb-style line-level dedup; pass
+    ``delim=r"\\s+"``/``joiner=" "`` for corpus-adaptive token scrub),
+    drop every unit that occurs in at least ``min_doc_frac`` of all
+    documents (boilerplate: nav bars, cookie banners, license headers),
+    and reassemble each document preserving original unit order.
+
+    Plan shape at scale: posexplode → groupBy(unit) distinct-doc count
+    (partial-agg) → the common-unit set is SMALL by construction (only
+    units crossing the corpus-wide threshold), so AQE turns the
+    left_anti into a broadcast; reassembly is one shuffle on id with
+    array_sort(collect_list(struct(pos, unit))) — no global sort. The
+    document count rides in as a broadcast 1-row aggregate, never a
+    driver collect.
+
+    Returns every (non-empty) document: (id, clean_text, n_removed)."""
+    t = F.trim(F.col(text_col))
+    base = df.select(
+        F.col(id_col), F.split(t, delim).alias("__u")
+    ).filter(F.length(t) > 0)
+    units = base.select(
+        F.col(id_col), F.posexplode("__u").alias("pos", "unit")
+    )
+    total = base.select(F.count(F.lit(1)).alias("__n_docs"))
+    freq = units.groupBy("unit").agg(
+        F.count_distinct(F.col(id_col)).alias("__nd")
+    )
+    common = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(F.col("__nd") >= F.col("__n_docs") * F.lit(min_doc_frac))
+        .select("unit")
+    )
+    kept = units.join(common, "unit", "left_anti")
+    clean = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "unit"))),
+                lambda x: x["unit"],
+            ),
+            joiner,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("__n_kept"),
+    )
+    return base.select(F.col(id_col), F.size("__u").alias("__n_units")).join(
+        clean, id_col, "left"
+    ).select(
+        F.col(id_col),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        (F.col("__n_units") - F.coalesce("__n_kept", F.lit(0)))
+        .cast("long")
+        .alias("n_removed"),
+    )

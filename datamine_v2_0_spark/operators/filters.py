@@ -72,3 +72,32 @@ def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     """P10: Bernoulli sample — scan-level, no global sort (replaces
     ``ORDER BY RANDOM() LIMIT n``, which is a full shuffle at scale)."""
     return df.sample(fraction=fraction, seed=seed)
+
+
+def balance_strata(
+    df: DataFrame, strata_col: str, order_col: str, cap: int | None = None
+) -> DataFrame:
+    """Downsample every stratum to the size of the SMALLEST stratum
+    (optionally further capped) by keeping the first rows per stratum in
+    ``order_col`` order — deterministic corpus balancing (e.g. equalize
+    languages/sources before training-mix assembly).
+
+    Declarative end-to-end: the per-stratum counts → global min is a
+    1-row aggregate broadcast into the plan (no driver collect), and
+    membership is a row_number window per stratum. At scale the window
+    sorts each stratum once — for heavily skewed strata where even one
+    sort is too much, take a deterministic hash-mod pre-sample down to
+    ~cap first and rank that."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
+    m = counts.agg(F.min("__c").alias("__m"))
+    if cap is not None:
+        m = m.select(F.least(F.col("__m"), F.lit(cap)).alias("__m"))
+    w = Window.partitionBy(strata_col).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .crossJoin(F.broadcast(m))
+        .filter(F.col("__rn") <= F.col("__m"))
+        .drop("__rn", "__m")
+    )

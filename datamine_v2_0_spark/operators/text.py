@@ -117,6 +117,23 @@ def redact_pii(col: Column) -> Column:
     return out
 
 
+def word_grams(words: Column, n: int) -> Column:
+    """Array of word n-grams (space-joined) from an array-of-words
+    column; shorter-than-n arrays yield an empty array. Pure JVM
+    higher-order functions — no explode until the caller wants one."""
+    cnt = F.size(words) - F.lit(n - 1)
+    idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+
+
+def _norm_words(text_col: str) -> tuple[Column, Column]:
+    """(normalized text, words array): collapse whitespace runs, trim."""
+    t = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    return t, F.split(t, " ")
+
+
 def top_ngrams(
     df: DataFrame, text_col: str, n: int = 2, k: int = 20
 ) -> DataFrame:
@@ -129,13 +146,9 @@ def top_ngrams(
     words = F.split(t, " ")
     # empty/whitespace-only docs split to [''] (size 1): without the
     # length guard, n=1 would count an empty-string "unigram" per doc
-    cnt = F.when(F.length(t) > 0, F.size(words) - F.lit(n - 1)).otherwise(
-        F.lit(0)
+    grams = F.when(F.length(t) > 0, word_grams(words, n)).otherwise(
+        F.array().cast("array<string>")
     )
-    idx = F.when(cnt > 0, F.sequence(F.lit(0), cnt - 1)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     exploded = df.select(F.explode(grams).alias("ngram"))
     counted = exploded.groupBy("ngram").agg(F.count(F.lit(1)).alias("n_occur"))
     # orderBy+limit compiles to TakeOrderedAndProject (per-partition heap
@@ -361,4 +374,127 @@ def text_profile(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         quality_score(c).alias("quality"),
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fingerprint"),
+    )
+
+
+def repetition_signals(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Per-document repetition quality signals (the Gopher/MassiveText
+    repetition-filter family): fraction of duplicate word occurrences,
+    fraction of characters inside duplicate word occurrences, and the
+    character fraction claimed by the single most frequent word bigram.
+    High values flag boilerplate / keyword-stuffed / degenerate docs.
+
+    Plan shape at scale: explode words → partial-agg groupBy
+    (doc, word) → groupBy doc; bigram branch mirrors it and joins back
+    on doc. Three shuffles total, all map-side-combinable, no Python.
+    Empty docs are excluded (no units to measure).
+
+    Returns (id, n_units, dup_unit_frac, dup_unit_char_frac,
+    top_bigram_char_frac), fractions rounded to 6.
+    """
+    t, words = _norm_words(text_col)
+    base = df.select(F.col(id_col), words.alias("__w")).filter(F.length(t) > 0)
+
+    units = base.select(F.col(id_col), F.explode("__w").alias("unit"))
+    per_unit = units.groupBy(id_col, "unit").agg(F.count(F.lit(1)).alias("c"))
+    ulen = F.length("unit")
+    doc_units = per_unit.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n_units"),
+        (
+            (F.sum("c") - F.count(F.lit(1))) / F.sum("c")
+        ).alias("__dup_f"),
+        (
+            F.sum((F.col("c") - 1) * ulen) / F.sum(F.col("c") * ulen)
+        ).alias("__dupc_f"),
+        F.sum(F.col("c") * ulen).cast("long").alias("__total_chars"),
+    )
+
+    grams = base.select(
+        F.col(id_col), F.explode(word_grams(F.col("__w"), 2)).alias("gram")
+    )
+    per_gram = grams.groupBy(id_col, "gram").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c"), F.desc("gram"))
+    top = (
+        per_gram.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        # gram length minus the joiner space = chars of the two words
+        .select(
+            F.col(id_col),
+            (F.col("c") * (F.length("gram") - 1)).alias("__top_chars"),
+        )
+    )
+
+    return doc_units.join(top, id_col, "left").select(
+        F.col(id_col),
+        "n_units",
+        F.round("__dup_f", 6).alias("dup_unit_frac"),
+        F.round("__dupc_f", 6).alias("dup_unit_char_frac"),
+        F.round(
+            F.coalesce(
+                F.col("__top_chars") / F.col("__total_chars"), F.lit(0.0)
+            ),
+            6,
+        ).alias("top_bigram_char_frac"),
+    )
+
+
+def word_ngram_set(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    """Distinct word n-grams per document as (id, gram) rows — the
+    building block for overlap-based decontamination. Distinctness is
+    applied inside the array (array_distinct) BEFORE the explode, so
+    the shuffle-free exploded stream is already per-doc-unique."""
+    t, words = _norm_words(text_col)
+    return (
+        df.select(F.col(id_col), words.alias("__w"))
+        .filter(F.length(t) > 0)
+        .select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_grams(F.col("__w"), n))).alias(
+                "gram"
+            ),
+        )
+    )
+
+
+def decontaminate(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with an evaluation/benchmark set (the GPT-3/Llama
+    n-gram-overlap protocol; n=13 is the customary production value).
+
+    Plan shape at scale: the eval side collapses to a distinct-gram set
+    — benchmarks are tiny relative to a training corpus, so it is
+    BROADCAST and the training side never shuffles its exploded grams;
+    the only exchange is the per-doc hit-count aggregation (small). For
+    corpora where even the gram strings are too wide, pre-hash both
+    sides with xxhash64 — counts are unchanged modulo 64-bit collisions.
+
+    Returns every training doc: (id, n_eval_grams, contaminated)."""
+    train_grams = word_ngram_set(train_df, text_col, id_col, n)
+    eval_grams = (
+        word_ngram_set(eval_df, text_col, id_col, n)
+        .select("gram")
+        .distinct()
+    )
+    # train_grams is per-doc-distinct → count(*) == distinct grams hit
+    hits = (
+        train_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_eval_grams"))
+    )
+    return train_df.select(F.col(id_col)).join(hits, id_col, "left").select(
+        F.col(id_col),
+        F.coalesce("n_eval_grams", F.lit(0)).cast("long").alias(
+            "n_eval_grams"
+        ),
+        (F.coalesce("n_eval_grams", F.lit(0)) > 0).alias("contaminated"),
     )

@@ -1,0 +1,135 @@
+"""Corpus-curation operators: repetition signals, decontamination,
+corpus-frequency unit removal, stratum balancing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datamine_v2_0_spark.operators import dedup as dd
+from datamine_v2_0_spark.operators import filters as flt
+from datamine_v2_0_spark.operators import text as tx
+
+
+def test_repetition_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "x x x x"), (3, "unique words only here")],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in tx.repetition_signals(df, "text", "doc_id").collect()
+    }
+    r1 = rows[1]
+    assert r1["n_units"] == 3
+    assert r1["dup_unit_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    assert r1["dup_unit_char_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # bigrams 'a a' and 'a b' both count 1; tie breaks to the larger
+    # gram string 'a b'; chars = 1 * (len('a b') - 1) = 2 of 3 total
+    assert r1["top_bigram_char_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    r2 = rows[2]
+    assert r2["dup_unit_frac"] == pytest.approx(3 / 4, abs=1e-6)
+    assert r2["top_bigram_char_frac"] == pytest.approx(
+        3 * 2 / 4, abs=1e-6
+    )  # 'x x' occurs 3x, 2 chars each, 4 total chars
+    r3 = rows[3]
+    assert r3["dup_unit_frac"] == 0.0
+    assert r3["dup_unit_char_frac"] == 0.0
+
+
+def test_repetition_signals_excludes_empty(spark):
+    df = spark.createDataFrame([(1, "a b"), (2, "   ")], ["doc_id", "text"])
+    out = tx.repetition_signals(df, "text", "doc_id")
+    assert [r["doc_id"] for r in out.collect()] == [1]
+
+
+def test_decontaminate_flags_overlap(spark):
+    ev = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], ["doc_id", "text"]
+    )
+    tr = spark.createDataFrame(
+        [
+            (1, "we saw the quick brown fox yesterday"),  # shares 3-grams
+            (2, "completely different text with no overlap at all"),
+            (3, "hi"),  # shorter than n: zero grams, never contaminated
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in tx.decontaminate(tr, ev, "text", "doc_id", n=3).collect()
+    }
+    assert out[1]["contaminated"] and out[1]["n_eval_grams"] == 2
+    assert not out[2]["contaminated"] and out[2]["n_eval_grams"] == 0
+    assert not out[3]["contaminated"]
+    assert set(out) == {1, 2, 3}  # every training doc reported
+
+
+def test_decontaminate_counts_distinct_grams_once(spark):
+    ev = spark.createDataFrame([(9, "p q r")], ["doc_id", "text"])
+    tr = spark.createDataFrame(
+        [(1, "p q r and p q r again")], ["doc_id", "text"]
+    )
+    out = tx.decontaminate(tr, ev, "text", "doc_id", n=3).collect()[0]
+    assert out["n_eval_grams"] == 1  # 'p q r' hit once despite 2 occurrences
+
+
+def test_remove_common_units_line_dedup(spark):
+    boiler = "subscribe to our newsletter"
+    df = spark.createDataFrame(
+        [
+            (1, f"{boiler}\nreal content one\nmore real text"),
+            (2, f"{boiler}\nother interesting body"),
+            (3, f"{boiler}\nthird unique line"),
+            (4, boiler),  # only boilerplate: collapses to empty
+        ],
+        ["doc_id", "text"],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dd.remove_common_units(
+            df, "text", "doc_id", min_doc_frac=0.75
+        ).collect()
+    }
+    assert out[1]["clean_text"] == "real content one\nmore real text"
+    assert out[1]["n_removed"] == 1
+    assert out[2]["clean_text"] == "other interesting body"
+    assert out[4]["clean_text"] == "" and out[4]["n_removed"] == 1
+    # unit order preserved even with removals in the middle
+    df2 = spark.createDataFrame(
+        [(1, "keep1\nCOMMON\nkeep2"), (2, "COMMON"), (3, "COMMON")],
+        ["doc_id", "text"],
+    )
+    out2 = dd.remove_common_units(df2, "text", "doc_id", min_doc_frac=0.9)
+    r1 = {r["doc_id"]: r for r in out2.collect()}[1]
+    assert r1["clean_text"] == "keep1\nkeep2"
+
+
+def test_remove_common_units_no_common(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha\nbeta"), (2, "gamma\ndelta")], ["doc_id", "text"]
+    )
+    out = dd.remove_common_units(df, "text", "doc_id", min_doc_frac=0.99)
+    for r in out.collect():
+        assert r["n_removed"] == 0
+
+
+def test_balance_strata_equalizes(spark):
+    df = spark.createDataFrame(
+        [(i, "big") for i in range(10)] + [(100, "small"), (101, "small")],
+        ["id", "stratum"],
+    )
+    out = flt.balance_strata(df, "stratum", "id")
+    got = sorted((r["stratum"], r["id"]) for r in out.collect())
+    # both strata cut to the min size (2), keeping lowest ids
+    assert got == [("big", 0), ("big", 1), ("small", 100), ("small", 101)]
+
+
+def test_balance_strata_cap(spark):
+    df = spark.createDataFrame(
+        [(i, "a") for i in range(5)] + [(i, "b") for i in range(10, 14)],
+        ["id", "stratum"],
+    )
+    out = flt.balance_strata(df, "stratum", "id", cap=2)
+    counts = out.groupBy("stratum").count().collect()
+    assert {r["stratum"]: r["count"] for r in counts} == {"a": 2, "b": 2}
