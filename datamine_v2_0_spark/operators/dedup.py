@@ -216,18 +216,30 @@ def minhash_lsh_candidates(
         F.col(id_col),
         F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
-    a = banded.alias("a")
-    b = banded.alias("b")
+    # pairs come from grouping each (band, bucket) and expanding in-bucket
+    # combinations with higher-order functions — NOT a banded self-join:
+    # the join form scans the corpus and evaluates the signature UDF TWICE
+    # (once per side) and shuffles both copies; this form is one UDF pass
+    # and one shuffle. Bucket pair-count is quadratic in bucket size either
+    # way — that's the LSH operating point's job to keep small.
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+        .filter(F.size("__ids") >= 2)
+    )
+    n = F.size("__ids")
+    pairs = F.flatten(
+        F.transform(
+            "__ids",
+            lambda x, i: F.transform(
+                F.slice(F.col("__ids"), i + 2, n - i - 1),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
     return (
-        a.join(
-            b,
-            (F.col(f"a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b")
         .distinct()
     )
 
@@ -711,20 +723,40 @@ def simhash_candidates(
             )
         ).alias("b"),
     ).select(id_col, "simhash", "b.bi", "b.bv")
-    a = blocks.select(
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("__sa"), "bi", "bv"
+    # in-bucket combination expansion, not a blocked self-join: the join
+    # form evaluates the (60-64-term bit-vote) signature expression twice
+    # — once per side — and shuffles both copies; grouping each block
+    # bucket and expanding pairs with higher-order functions is one
+    # signature pass and one shuffle. array_sort on struct(id, sig)
+    # orders by id, so emitted pairs already satisfy id_a < id_b.
+    buckets = (
+        blocks.groupBy("bi", "bv")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(id_col).alias("id"), "simhash"))
+            ).alias("__e")
+        )
+        .filter(F.size("__e") >= 2)
     )
-    b = blocks.select(
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("__sb"), "bi", "bv"
+    n = F.size("__e")
+    pairs = F.flatten(
+        F.transform(
+            "__e",
+            lambda x, i: F.transform(
+                F.slice(F.col("__e"), i + 2, n - i - 1),
+                lambda y: F.struct(
+                    x["id"].alias("id_a"),
+                    y["id"].alias("id_b"),
+                    F.bit_count(
+                        x["simhash"].bitwiseXOR(y["simhash"])
+                    ).alias("hamming"),
+                ),
+            ),
+        )
     )
     return (
-        a.join(b, ["bi", "bv"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb"))).alias("hamming"),
-        )
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_a", "p.id_b", "p.hamming")
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
