@@ -403,12 +403,27 @@ def embedding_neardup_pairs(
             F.col(id_col),
             F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
         )
-        a = banded.select(F.col(id_col).alias("id_a"), "__band", "__key")
-        b = banded.select(F.col(id_col).alias("id_b"), "__band", "__key")
+        # in-bucket combination expansion (see minhash_lsh_candidates):
+        # a banded self-join would run the hyperplane-projection UDF
+        # once per side; this is one UDF pass + one shuffle, ids only
+        buckets = (
+            banded.groupBy("__band", "__key")
+            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
+            .filter(F.size("__ids") >= 2)
+        )
+        n = F.size("__ids")
+        bucket_pairs = F.flatten(
+            F.transform(
+                "__ids",
+                lambda x, i: F.transform(
+                    F.slice(F.col("__ids"), i + 2, n - i - 1),
+                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                ),
+            )
+        )
         cand = (
-            a.join(b, ["__band", "__key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
+            buckets.select(F.explode(bucket_pairs).alias("p"))
+            .select("p.id_a", "p.id_b")
             .distinct()
         )
         va = base.select(

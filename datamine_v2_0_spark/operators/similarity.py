@@ -322,16 +322,22 @@ def lsh_topk(
             F.explode(variants).alias("__key"),
         )
     q = F.broadcast(q_exact)
-    pairs = (
+    # score BEFORE the dedup shuffle: the band join is broadcast
+    # (map-side), so computing cosine right there means the distinct
+    # shuffles 3 narrow columns instead of two dim-wide float vectors
+    # per candidate hit — cos_sim is deterministic per pair, so
+    # distinct-on-(pair, score) equals distinct-on-pair
+    scored = (
         c.join(q, ["__band", "__key"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id", "__cvec", "__qvec")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__cvec"), F.col("__qvec")), round_to
+            ).alias("cos_sim"),
+        )
         .distinct()
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
     return (
