@@ -2404,6 +2404,37 @@ FROM base b LEFT JOIN clean c USING (doc_id)
 """
 
 
+def q_filt_token_budget(spark, sf_dir):
+    """Training-mix assembly: fill a 500-token budget per source in
+    portable pseudorandom order (Knuth multiplicative hash of doc_id)."""
+    df = _t(spark, sf_dir, "documents")
+    t = df.select(
+        "doc_id", "source", tx.token_count_ws(F.col("text")).alias("n_tokens")
+    )
+    return flt.sample_to_token_budget(
+        t, "source", "n_tokens", "doc_id", budget=500
+    )
+
+
+SQL_FILT_TOKEN_BUDGET = r"""
+WITH t AS (
+  SELECT doc_id, source,
+         CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens
+  FROM documents
+), o AS (
+  SELECT doc_id, source, n_tokens,
+         CAST(SUM(n_tokens) OVER (
+             PARTITION BY source
+             ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296,
+                      doc_id) AS BIGINT) AS cum_tokens
+  FROM t
+)
+SELECT doc_id, source, n_tokens, cum_tokens
+FROM o WHERE cum_tokens - n_tokens < 500
+"""
+
+
 def q_filt_balance_strata(spark, sf_dir):
     """Deterministic corpus balancing: every language downsampled to the
     smallest language's count, keeping lowest doc_ids."""
@@ -2489,6 +2520,7 @@ QUERIES: dict[str, tuple] = {
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
+    "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
     # --- red in r2, fixed (BIGINT cast): must re-verify ------------------
     "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
     # --- r2-green core families (fill the 50-slot window) ---------------

@@ -74,6 +74,40 @@ def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
     return df.sample(fraction=fraction, seed=seed)
 
 
+def sample_to_token_budget(
+    df: DataFrame,
+    stratum_col: str,
+    tokens_col: str,
+    id_col: str,
+    budget: int,
+) -> DataFrame:
+    """Training-mix assembly: per stratum (source/language/domain), take
+    documents in a deterministic pseudorandom order until the stratum's
+    token budget is filled. A doc is kept while the running total BEFORE
+    it is under budget, so each stratum overshoots by at most one doc
+    and a budget > 0 always yields at least one doc per stratum.
+
+    The scan order is a portable Knuth multiplicative hash of the id —
+    reproducible in any SQL engine (unlike xxhash64), overflow-free for
+    ids up to ~9e18 after the inner mod, and uncorrelated with insert
+    order so the sample isn't biased toward old/early docs.
+
+    Plan shape at scale: one window (sort within stratum partitions) —
+    the same cost profile as any per-stratum ranking; no collect, no
+    self-join. Returns the input rows plus cum_tokens."""
+    order = F.pmod(
+        F.pmod(F.col(id_col), F.lit(1000000007)) * F.lit(2654435761),
+        F.lit(4294967296),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(id_col))
+    return (
+        df.withColumn("cum_tokens", F.sum(tokens_col).over(w).cast("long"))
+        .filter(F.col("cum_tokens") - F.col(tokens_col) < budget)
+    )
+
+
 def balance_strata(
     df: DataFrame, strata_col: str, order_col: str, cap: int | None = None
 ) -> DataFrame:

@@ -133,3 +133,37 @@ def test_balance_strata_cap(spark):
     out = flt.balance_strata(df, "stratum", "id", cap=2)
     counts = out.groupBy("stratum").count().collect()
     assert {r["stratum"]: r["count"] for r in counts} == {"a": 2, "b": 2}
+
+
+def test_sample_to_token_budget_semantics(spark):
+    df = spark.createDataFrame(
+        [(i, "s1", 40) for i in range(10)]
+        + [(i, "s2", 400) for i in range(100, 103)],
+        ["id", "src", "toks"],
+    )
+    out = flt.sample_to_token_budget(df, "src", "toks", "id", budget=100)
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["src"], []).append(r)
+    # s1: 40-token docs fill a 100 budget with 3 docs (40+40 < 100, +1 overshoot)
+    assert len(by_src["s1"]) == 3
+    assert max(r["cum_tokens"] for r in by_src["s1"]) == 120
+    # s2: a single 400-token doc overshoots but the first doc always lands
+    assert len(by_src["s2"]) == 1
+    # deterministic: same result on re-run
+    again = flt.sample_to_token_budget(
+        df, "src", "toks", "id", budget=100
+    ).collect()
+    assert sorted(r["id"] for r in again) == sorted(r["id"] for r in rows)
+
+
+def test_sample_to_token_budget_order_is_hash_not_id(spark):
+    df = spark.createDataFrame(
+        [(i, "s", 50) for i in range(20)], ["id", "src", "toks"]
+    )
+    out = flt.sample_to_token_budget(df, "src", "toks", "id", budget=150)
+    kept = sorted(r["id"] for r in out.collect())
+    assert len(kept) == 3
+    # the Knuth-hash order should not simply take the lowest ids
+    assert kept != [0, 1, 2]
