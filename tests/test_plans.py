@@ -120,3 +120,47 @@ def test_group_resolution_plans_stay_equi_join(spark):
     assert not has_cartesian(
         dd.ngram_jaccard_pairs(cands, docs, "text", "doc_id", threshold=0.2)
     )
+
+
+def test_corpus_curation_plans(spark):
+    """The r3 curation operators' scale contracts: decontamination joins
+    the eval gram set broadcast (train grams never shuffle), unit removal
+    and budget sampling never form a cross product beyond the intentional
+    1-row aggregate broadcasts, and the LSH candidate stages contain NO
+    join at all (in-bucket pair expansion replaced the banded self-join,
+    halving signature computation)."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.operators import filters as flt
+    from datamine_v2_0_spark.operators import text as tx
+    from datamine_v2_0_spark.plans import has_broadcast_join
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    tr = docs.filter(F.col("doc_id") % 29 != 0)
+    dec = tx.decontaminate(tr, ev, "text", "doc_id", n=4)
+    assert has_broadcast_join(dec)
+    plan = dec._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+
+    rm = dd.remove_common_units(
+        docs, "text", "doc_id", min_doc_frac=0.6, delim=r"\s+", joiner=" "
+    )
+    rm_plan = rm._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in rm_plan
+
+    tok = docs.select(
+        "doc_id", "source", tx.token_count_ws(F.col("text")).alias("n")
+    )
+    tb = flt.sample_to_token_budget(tok, "source", "n", "doc_id", budget=500)
+    assert "CartesianProduct" not in (
+        tb._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # the rebuilt LSH candidate stages are join-free aggregate pipelines
+    for cand in (
+        dd.minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=32, bands=8),
+        dd.simhash_candidates(docs, "text", "doc_id", max_hamming=3),
+    ):
+        p = cand._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in p, p
