@@ -84,13 +84,14 @@ def main() -> None:
     ).write.format("noop").mode("overwrite").save()
     calib = round(time.time() - t0, 3)
 
-    # two passes per query, report the min: single-shot timings on this
+    # three passes per query, report the min: single-shot timings on this
     # shared hypervisor swing 40-70% run-to-run on IDENTICAL code (e.g.
     # text_tokens, pure codegen, measured 1.1s / 3.9s / 10.7s minutes
-    # apart), so the min is the only stable per-query statistic. Both
-    # pass totals are disclosed below.
+    # apart), and pass 1 still carries per-query one-time costs (codegen
+    # templates, Python worker pools for each distinct UDF), so min-of-2
+    # can report a half-warm number. All pass totals are disclosed below.
     passes: list[dict[str, float]] = []
-    for _ in range(2):
+    for _ in range(3):
         times: dict[str, float] = {}
         for name in HEADLINE:
             fn, _sql = QUERIES[name]
@@ -110,7 +111,7 @@ def main() -> None:
         "queries": best,
         "sf": sf,
         "calib_sec": calib,
-        "timing": "min of 2 passes per query",
+        "timing": "min of 3 passes per query",
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
     }
     print(json.dumps(out))
