@@ -2458,6 +2458,134 @@ SELECT doc_id, lang, source FROM r, m WHERE rn <= mn
 """
 
 
+def q_text_quality_gate(spark, sf_dir):
+    """Gopher/MassiveText document-quality gate: per-doc signals (word
+    count, mean word length, symbol ratio, alpha-word fraction,
+    bullet/ellipsis line fractions, required-stopword count) plus the
+    published threshold verdict. The synthetic corpus has no bullets or
+    ellipses, so the query plants them deterministically from doc_id —
+    every rule fires for real on some slice of the data."""
+    df = _t(spark, sf_dir, "documents")
+    sid = F.col("doc_id")
+    staged = F.concat(
+        F.when(sid % 3 == 0, F.lit("- bullet item\n")).otherwise(F.lit("")),
+        F.col("text"),
+        F.when(sid % 5 == 0, F.lit("\nto be continued...")).otherwise(
+            F.lit("")
+        ),
+        F.when(sid % 7 == 0, F.lit(" ## #")).otherwise(F.lit("")),
+    )
+    base = df.select("doc_id", staged.alias("text"))
+    return tx.gopher_gate(base, "text", "doc_id", min_words=10)
+
+
+SQL_TEXT_QUALITY_GATE = r"""
+WITH staged AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 3 = 0 THEN '- bullet item' || chr(10) ELSE '' END)
+         || text
+         || (CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' ELSE '' END)
+         || (CASE WHEN doc_id % 7 = 0 THEN ' ## #' ELSE '' END) AS text
+  FROM documents
+), base AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\s+')
+              ELSE [] END AS w,
+         string_split(text, chr(10)) AS l
+  FROM staged
+), sig AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         ROUND(CASE WHEN len(w) > 0
+               THEN list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                    / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) AS mean_word_len,
+         ROUND(CASE WHEN len(w) > 0
+               THEN (len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '(\.\.\.|…)')))
+                    / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) AS symbol_word_ratio,
+         ROUND(CASE WHEN len(w) > 0
+               THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) AS alpha_word_frac,
+         ROUND(CASE WHEN len(l) > 0
+               THEN len(list_filter(l, x -> regexp_matches(trim(x), '^[-*•]')))
+                    / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS bullet_line_frac,
+         ROUND(CASE WHEN len(l) > 0
+               THEN len(list_filter(l, x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
+                    / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+         (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+         ) AS n_required_stopwords
+  FROM base
+)
+SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
+       bullet_line_frac, ellipsis_line_frac, n_required_stopwords,
+       (n_words >= 10 AND n_words <= 100000
+        AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+        AND symbol_word_ratio <= 0.1
+        AND bullet_line_frac <= 0.9
+        AND ellipsis_line_frac <= 0.3
+        AND alpha_word_frac >= 0.8
+        AND n_required_stopwords >= 2) AS passes
+FROM sig
+"""
+
+
+def q_text_lm_score(spark, sf_dir):
+    """Corpus-self-trained unigram LM score per document (CCNet-style
+    perplexity filtering, cheapest member): mean log10 word probability
+    under the corpus unigram distribution."""
+    df = _t(spark, sf_dir, "documents")
+    return tx.unigram_logprob(df, "text", "doc_id")
+
+
+SQL_TEXT_LM_SCORE = r"""
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
+  FROM documents WHERE len(trim(text)) > 0
+), vocab AS (
+  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), tot AS (
+  SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM vocab
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+       ROUND(AVG(log10(CAST(c AS DOUBLE) / tot)), 6) AS avg_logp
+FROM toks JOIN vocab USING (w) CROSS JOIN tot
+GROUP BY doc_id
+"""
+
+
+def q_agg_grouping_sets(spark, sf_dir):
+    """Arbitrary GROUPING SETS (beyond rollup/cube): per-returnflag and
+    per-linestatus marginals in one pass, with grouping ids to
+    disambiguate the NULL rows."""
+    df = _t(spark, sf_dir, "lineitem")
+    return df.groupingSets(
+        [["l_returnflag"], ["l_linestatus"]],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.grouping_id("l_returnflag", "l_linestatus").cast("long").alias("gid"),
+    )
+
+
+SQL_AGG_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       ROUND(SUM(l_quantity), 4) AS sum_qty,
+       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks the
@@ -2521,6 +2649,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
     "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
+    # --- new in r3: quality-filter / LM-score / grouping-sets ------------
+    "text_quality_gate": (q_text_quality_gate, SQL_TEXT_QUALITY_GATE),
+    "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     # --- red in r2, fixed (BIGINT cast): must re-verify ------------------
     "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
     # --- r2-green core families (fill the 50-slot window) ---------------

@@ -440,6 +440,150 @@ def repetition_signals(
     )
 
 
+# Gopher's required-stopword rule: a clean natural-language doc contains
+# at least 2 of these (Rae et al. 2021, MassiveText filtering).
+_GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document Gopher/MassiveText document-quality signals: word
+    count, mean word length, symbol-to-word ratio (# and ellipsis),
+    fraction of words with an alphabetic character, fraction of lines
+    that are bullets / end in ellipsis, and the count of required
+    stopwords present. Pure Column algebra over arrays (split + HOF
+    filter/aggregate) — whole-stage codegen, zero shuffles, zero Python;
+    the scan is the only exchange-free stage a 100 TB filter pass needs.
+
+    Returns (id, n_words, mean_word_len, symbol_word_ratio,
+    alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
+    n_required_stopwords); ratios rounded to 6, empty docs → zeros.
+    """
+    c = F.col(text_col)
+    t, words_all = _norm_words(text_col)
+    words = F.when(F.length(t) > 0, words_all).otherwise(
+        F.array().cast("array<string>")
+    )
+    n_words = F.size(words)
+    safe_n = F.when(n_words > 0, n_words.cast("double"))
+    mean_len = F.coalesce(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+        )
+        / safe_n,
+        F.lit(0.0),
+    )
+    alpha_frac = F.coalesce(
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / safe_n,
+        F.lit(0.0),
+    )
+    symbols = F.coalesce(F.regexp_count(c, F.lit("#")), F.lit(0)) + F.coalesce(
+        F.regexp_count(c, F.lit(r"(\.\.\.|…)")), F.lit(0)
+    )
+    symbol_ratio = F.coalesce(symbols / safe_n, F.lit(0.0))
+
+    lines = F.split(c, "\n")
+    n_lines = F.size(lines)
+    safe_l = F.when(n_lines > 0, n_lines.cast("double"))
+    bullet_frac = F.coalesce(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("^[-*•]"))) / safe_l,
+        F.lit(0.0),
+    )
+    ellipsis_frac = F.coalesce(
+        F.size(F.filter(lines, lambda l: F.trim(l).rlike("(\\.\\.\\.|…)$")))
+        / safe_l,
+        F.lit(0.0),
+    )
+
+    lower = F.lower(c)
+    stop_hits: Column = F.lit(0)
+    for wd in _GOPHER_STOPWORDS:
+        stop_hits = stop_hits + F.when(
+            lower.rlike(rf"\b{wd}\b"), F.lit(1)
+        ).otherwise(F.lit(0))
+
+    return df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        F.round(mean_len, 6).alias("mean_word_len"),
+        F.round(symbol_ratio, 6).alias("symbol_word_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        F.round(bullet_frac, 6).alias("bullet_line_frac"),
+        F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
+        stop_hits.alias("n_required_stopwords"),
+    )
+
+
+def gopher_gate(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher quality-filter verdict: signals plus a ``passes`` boolean
+    applying the published MassiveText thresholds (all parameterized).
+    One narrow projection — composable in front of dedup/tokenize stages
+    without forcing an exchange."""
+    s = gopher_signals(df, text_col, id_col)
+    return s.withColumn(
+        "passes",
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_word_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_line_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_line_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_frac)
+        & (F.col("n_required_stopwords") >= min_stopwords),
+    )
+
+
+def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Corpus-self-trained unigram language-model score per document —
+    the CCNet/perplexity-filter family's cheapest member: documents whose
+    mean per-word log10 probability under the corpus unigram
+    distribution is far below typical are gibberish / boilerplate
+    candidates.
+
+    Plan shape at scale: explode words → groupBy(word) vocabulary (one
+    map-side-combinable shuffle), total count folded in as a broadcast
+    1-row cross join, word→logp lookup is a shuffle join on the
+    exploded stream, then one groupBy(doc) — every stage partial-aggs
+    before exchanging, nothing driver-side. Vocabulary for a 100 TB
+    corpus (~10⁷ distinct words) stays a normal shuffle join; no
+    broadcast of the vocab is assumed.
+
+    Returns (id, n_words, avg_logp) for non-empty docs, rounded to 6.
+    """
+    t, words = _norm_words(text_col)
+    toks = (
+        df.select(F.col(id_col), words.alias("__w"))
+        .filter(F.length(t) > 0)
+        .select(F.col(id_col), F.explode("__w").alias("__word"))
+    )
+    vocab = toks.groupBy("__word").agg(F.count(F.lit(1)).alias("__c"))
+    total = vocab.agg(F.sum("__c").cast("double").alias("__tot"))
+    return (
+        toks.join(vocab, "__word")
+        .crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(
+                F.avg(F.log10(F.col("__c").cast("double") / F.col("__tot"))), 6
+            ).alias("avg_logp"),
+        )
+    )
+
+
 def word_ngram_set(
     df: DataFrame, text_col: str, id_col: str, n: int
 ) -> DataFrame:

@@ -167,3 +167,62 @@ def test_sample_to_token_budget_order_is_hash_not_id(spark):
     assert len(kept) == 3
     # the Knuth-hash order should not simply take the lowest ids
     assert kept != [0, 1, 2]
+
+
+def test_gopher_signals_known_values(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "- first\n- second\nplain text here"),
+            (2, "wait for it...\nok"),
+            (3, "abc 123 def"),
+            (4, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {
+        r["doc_id"]: r for r in tx.gopher_signals(df, "text", "doc_id").collect()
+    }
+    r1 = rows[1]
+    assert r1["bullet_line_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r1["ellipsis_line_frac"] == 0.0
+    r2 = rows[2]
+    assert r2["ellipsis_line_frac"] == pytest.approx(1 / 2, abs=1e-6)
+    # '...' counts as one symbol over 4 words
+    assert r2["symbol_word_ratio"] == pytest.approx(1 / 4, abs=1e-6)
+    r3 = rows[3]
+    assert r3["n_words"] == 3
+    assert r3["alpha_word_frac"] == pytest.approx(2 / 3, abs=1e-6)
+    assert r3["mean_word_len"] == pytest.approx(3.0, abs=1e-6)
+    r4 = rows[4]
+    assert r4["n_words"] == 0
+    assert r4["mean_word_len"] == 0.0
+    assert r4["alpha_word_frac"] == 0.0
+
+
+def test_gopher_gate_thresholds(spark):
+    good = "the quick brown fox jumps over that lazy sleeping dog with style"
+    bad = "### ### ### ### ### ### ### ### ### ### ### ###"
+    df = spark.createDataFrame([(1, good), (2, bad)], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r
+        for r in tx.gopher_gate(df, "text", "doc_id", min_words=10).collect()
+    }
+    assert rows[1]["passes"] is True
+    assert rows[1]["n_required_stopwords"] >= 2
+    assert rows[2]["passes"] is False
+    assert rows[2]["alpha_word_frac"] == 0.0
+
+
+def test_unigram_logprob_known_values(spark):
+    import math
+
+    df = spark.createDataFrame([(1, "a a b"), (2, "b b")], ["doc_id", "text"])
+    rows = {
+        r["doc_id"]: r for r in tx.unigram_logprob(df, "text", "doc_id").collect()
+    }
+    # corpus counts: a=2, b=3, total=5
+    exp1 = (2 * math.log10(2 / 5) + math.log10(3 / 5)) / 3
+    exp2 = math.log10(3 / 5)
+    assert rows[1]["n_words"] == 3
+    assert rows[1]["avg_logp"] == pytest.approx(exp1, abs=1e-6)
+    assert rows[2]["avg_logp"] == pytest.approx(exp2, abs=1e-6)
