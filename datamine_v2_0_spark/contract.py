@@ -43,6 +43,7 @@ from datamine_v2_0_spark.operators import text as tx
 from datamine_v2_0_spark.operators import windows as win
 from datamine_v2_0_spark.operators.joins import resolve_priority
 from datamine_v2_0_spark.pipeline import cpd
+from datamine_v2_0_spark.pipeline.curation import curate_corpus
 from datamine_v2_0_spark.pipeline.features import build_features
 from datamine_v2_0_spark.pipeline.silver import silver_transform
 
@@ -2586,6 +2587,127 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def q_pipeline_curation(spark, sf_dir):
+    """The canonical pre-training curation chain end-to-end: Gopher
+    quality gate → exact dedup (keep lowest id) → 4-gram
+    decontamination against the doc_id %% 29 == 0 eval slice → token /
+    quality stats for the survivors. One lazy lineage, four narrow
+    shuffles total (dedup groupBy + semi join, decontamination hit-agg
+    + semi join); the gate and the final stats are exchange-free
+    codegen."""
+    df = _t(spark, sf_dir, "documents")
+    ev = df.filter(F.col("doc_id") % 29 == 0)
+    tr = df.filter(F.col("doc_id") % 29 != 0)
+    # min_stopwords=1: the synthetic corpus draws from a tech vocabulary
+    # where only ~half the docs contain a Gopher-required stopword at
+    # all; 1 keeps the rule live without making the gate vacuous.
+    return curate_corpus(
+        tr, ev, "text", "doc_id", min_words=10, ngram=4, min_stopwords=1
+    )
+
+
+SQL_PIPELINE_CURATION = r"""
+WITH train AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 29 <> 0
+), evaldocs AS (
+  SELECT doc_id, text FROM documents WHERE doc_id % 29 = 0
+), base AS (
+  SELECT doc_id, text,
+         CASE WHEN len(trim(text)) > 0
+              THEN string_split_regex(trim(text), '\s+')
+              ELSE [] END AS w,
+         string_split(text, chr(10)) AS l
+  FROM train
+), sig AS (
+  SELECT doc_id, text,
+         len(w) AS n_words,
+         ROUND(CASE WHEN len(w) > 0
+               THEN list_aggregate(list_transform(w, x -> length(x)), 'sum')
+                    / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) AS mean_word_len,
+         ROUND(CASE WHEN len(w) > 0
+               THEN (len(regexp_extract_all(text, '#'))
+                     + len(regexp_extract_all(text, '(\.\.\.|…)')))
+                    / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) AS symbol_word_ratio,
+         ROUND(CASE WHEN len(w) > 0
+               THEN len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+                    / CAST(len(w) AS DOUBLE) ELSE 0.0 END, 6) AS alpha_word_frac,
+         ROUND(CASE WHEN len(l) > 0
+               THEN len(list_filter(l, x -> regexp_matches(trim(x), '^[-*•]')))
+                    / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS bullet_line_frac,
+         ROUND(CASE WHEN len(l) > 0
+               THEN len(list_filter(l, x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
+                    / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS ellipsis_line_frac,
+         (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+          + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+         ) AS n_stop
+  FROM base
+), passed AS (
+  SELECT doc_id, text FROM sig
+  WHERE n_words >= 10 AND n_words <= 100000
+    AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND symbol_word_ratio <= 0.1
+    AND bullet_line_frac <= 0.9
+    AND ellipsis_line_frac <= 0.3
+    AND alpha_word_frac >= 0.8
+    AND n_stop >= 1
+), keepers AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM passed
+  GROUP BY trim(regexp_replace(lower(text), '\s+', ' ', 'g'))
+), deduped AS (
+  SELECT p.doc_id, p.text FROM passed p JOIN keepers k USING (doc_id)
+), dgrams AS (
+  SELECT doc_id,
+         unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+                for i in generate_series(1, len(w) - 3)])) AS gram
+  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+        FROM deduped WHERE len(trim(text)) > 0)
+  WHERE len(w) >= 4
+), egrams AS (
+  SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+3], ' ')
+                for i in generate_series(1, len(w) - 3)])) AS gram
+  FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+        FROM evaldocs WHERE len(trim(text)) > 0)
+  WHERE len(w) >= 4
+), dirty AS (
+  SELECT DISTINCT dg.doc_id FROM dgrams dg JOIN egrams USING (gram)
+), clean AS (
+  SELECT d.doc_id, d.text FROM deduped d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM dirty)
+), stats AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+         CASE WHEN len(text) > 0
+              THEN len(regexp_extract_all(text, '[^\sA-Za-z0-9]'))
+                   / CAST(len(text) AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS praw
+  FROM clean
+), stats2 AS (
+  SELECT doc_id, text, n_tokens, praw,
+         CASE WHEN n_tokens > 0
+              THEN len(regexp_extract_all(lower(text),
+                       '\b(the|and|of|to|is|in|that|it|for|with)\b'))
+                   / CAST(n_tokens AS DOUBLE)
+              ELSE CAST(0.0 AS DOUBLE) END AS sraw
+  FROM stats
+)
+SELECT doc_id, n_tokens,
+       ROUND((LEAST(len(text) / CAST(500.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+              + LEAST(sraw * CAST(4.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+              + GREATEST(CAST(0.0 AS DOUBLE),
+                         CAST(1.0 AS DOUBLE) - praw * CAST(4.0 AS DOUBLE)))
+             / CAST(3.0 AS DOUBLE), 6) AS quality
+FROM stats2
+"""
+
+
 # ---------------------------------------------------------------- registry
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks the
@@ -2649,7 +2771,8 @@ QUERIES: dict[str, tuple] = {
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
     "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
-    # --- new in r3: quality-filter / LM-score / grouping-sets ------------
+    # --- new in r3: curation pipeline / quality / LM / grouping-sets ----
+    "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
     "text_quality_gate": (q_text_quality_gate, SQL_TEXT_QUALITY_GATE),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),

@@ -9,6 +9,8 @@ inside whole-stage codegen over a 100 TB corpus with zero Python cost.
 
 from __future__ import annotations
 
+from typing import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Minimal high-frequency stopword profiles. Scoring = count of profile-word
@@ -445,7 +447,12 @@ def repetition_signals(
 _GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
 
 
-def gopher_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def gopher_signals(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    keep: Sequence[str] = (),
+) -> DataFrame:
     """Per-document Gopher/MassiveText document-quality signals: word
     count, mean word length, symbol-to-word ratio (# and ellipsis),
     fraction of words with an alphabetic character, fraction of lines
@@ -456,7 +463,10 @@ def gopher_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
     Returns (id, n_words, mean_word_len, symbol_word_ratio,
     alpha_word_frac, bullet_line_frac, ellipsis_line_frac,
-    n_required_stopwords); ratios rounded to 6, empty docs → zeros.
+    n_required_stopwords) plus any ``keep`` passthrough columns (so a
+    downstream stage can filter-then-continue without re-joining the
+    source — the signals are a projection, not a new lineage); ratios
+    rounded to 6, empty docs → zeros.
     """
     c = F.col(text_col)
     t, words_all = _norm_words(text_col)
@@ -510,6 +520,7 @@ def gopher_signals(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         F.round(bullet_frac, 6).alias("bullet_line_frac"),
         F.round(ellipsis_frac, 6).alias("ellipsis_line_frac"),
         stop_hits.alias("n_required_stopwords"),
+        *[F.col(k) for k in keep],
     )
 
 
@@ -526,12 +537,13 @@ def gopher_gate(
     max_ellipsis_frac: float = 0.3,
     min_alpha_frac: float = 0.8,
     min_stopwords: int = 2,
+    keep: Sequence[str] = (),
 ) -> DataFrame:
     """Gopher quality-filter verdict: signals plus a ``passes`` boolean
     applying the published MassiveText thresholds (all parameterized).
     One narrow projection — composable in front of dedup/tokenize stages
     without forcing an exchange."""
-    s = gopher_signals(df, text_col, id_col)
+    s = gopher_signals(df, text_col, id_col, keep=keep)
     return s.withColumn(
         "passes",
         (F.col("n_words") >= min_words)

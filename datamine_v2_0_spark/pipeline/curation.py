@@ -1,0 +1,69 @@
+"""End-to-end training-corpus curation: quality gate → exact dedup →
+benchmark decontamination → per-doc token/quality stats.
+
+The canonical pre-training data pipeline (the C4 / MassiveText /
+RefinedWeb recipe) expressed as a composition of this engine's
+operators, each stage keeping its scale contract:
+
+1. **Quality gate** (`text.gopher_gate`) — pure Column algebra over the
+   scan, zero exchanges; drops boilerplate/gibberish before anything
+   pays a shuffle for it.
+2. **Exact dedup** (`dedup.exact_dedup`) — one groupBy on the content
+   hash plus a semi join; the minimal possible plan for
+   keep-lowest-id exact dedup.
+3. **Decontamination** (`text.decontaminate`) — the eval set collapses
+   to a broadcast distinct-gram set, so the (huge) training side never
+   shuffles its exploded grams; one per-doc hit aggregation.
+4. **Stats projection** — token counts + composite quality, again pure
+   codegen over the surviving rows.
+
+Nothing in the chain materializes, collects, or re-reads: it is one
+lazy DataFrame lineage whose only exchanges are the dedup groupBy/semi
+join and the decontamination hit-agg/semi join — four narrow shuffles
+for the whole corpus pass, independent of scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from datamine_v2_0_spark.operators import dedup as dd
+from datamine_v2_0_spark.operators import text as tx
+
+
+def curate_corpus(
+    train_df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_words: int = 10,
+    ngram: int = 4,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Run the full curation chain; returns the surviving documents as
+    (id, n_tokens, quality) — the rows a tokenizer stage would consume.
+    """
+    gated = tx.gopher_gate(
+        train_df,
+        text_col,
+        id_col,
+        min_words=min_words,
+        min_stopwords=min_stopwords,
+        keep=[text_col],
+    ).filter(F.col("passes"))
+
+    deduped = dd.exact_dedup(gated, text_col, id_col)
+
+    flags = tx.decontaminate(deduped, eval_df, text_col, id_col, n=ngram)
+    clean = deduped.join(
+        flags.filter(~F.col("contaminated")).select(id_col),
+        id_col,
+        "left_semi",
+    )
+
+    c = F.col(text_col)
+    return clean.select(
+        F.col(id_col),
+        tx.token_count_ws(c).alias("n_tokens"),
+        tx.quality_score(c).alias("quality"),
+    )

@@ -226,3 +226,30 @@ def test_unigram_logprob_known_values(spark):
     assert rows[1]["n_words"] == 3
     assert rows[1]["avg_logp"] == pytest.approx(exp1, abs=1e-6)
     assert rows[2]["avg_logp"] == pytest.approx(exp2, abs=1e-6)
+
+
+def test_curate_corpus_end_to_end(spark):
+    from datamine_v2_0_spark.pipeline.curation import curate_corpus
+
+    good = "the quick brown fox jumps over that lazy sleeping dog today"
+    contaminated = (
+        "the alpha beta gamma delta words resting beside calm water today"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),  # exact duplicate -> dropped, id 1 kept
+            (3, contaminated),  # shares a 4-gram with the eval set
+            (4, "tiny doc"),  # fails min_words
+            (5, "the solemn river winds through ancient valleys beneath pale skies"),
+        ],
+        ["doc_id", "text"],
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta")], ["doc_id", "text"]
+    )
+    out = curate_corpus(train, ev, "text", "doc_id", min_stopwords=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert sorted(rows) == [1, 5]
+    assert rows[1]["n_tokens"] == 11
+    assert 0.0 <= rows[1]["quality"] <= 1.0

@@ -164,3 +164,34 @@ def test_corpus_curation_plans(spark):
     ):
         p = cand._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in p, p
+
+
+def test_gopher_gate_is_exchange_free(spark):
+    """The quality gate is a pure projection over the scan: zero
+    exchanges, zero Python eval nodes — the property that lets a 100 TB
+    filter pass run at scan speed ahead of any shuffle-paying stage."""
+    from datamine_v2_0_spark.operators import text as tx
+    from datamine_v2_0_spark.plans import count_exchanges, python_eval_nodes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    gate = tx.gopher_gate(docs, "text", "doc_id", min_words=10)
+    assert count_exchanges(gate) == 0
+    assert python_eval_nodes(gate) == 0
+
+
+def test_curation_pipeline_plan(spark):
+    """End-to-end curation stays on the scale contract: no cartesian
+    product anywhere, the decontamination gram join broadcasts, and no
+    Python eval node appears (the whole chain is JVM codegen)."""
+    from datamine_v2_0_spark.pipeline.curation import curate_corpus
+    from datamine_v2_0_spark.plans import has_cartesian, python_eval_nodes
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    tr = docs.filter(F.col("doc_id") % 29 != 0)
+    out = curate_corpus(tr, ev, "text", "doc_id", min_stopwords=1)
+    assert not has_cartesian(out)
+    assert python_eval_nodes(out) == 0
+    assert "BroadcastHashJoin" in (
+        out._jdf.queryExecution().executedPlan().toString()
+    )
