@@ -42,6 +42,7 @@ HEADLINE = [
     "join_interval_priority",  # interval labeling + priority resolve
     "pipeline_silver",       # full silver transform chain
     "pipeline_features",     # full window-function feature stack
+    "pipeline_curation",     # gate -> dedup -> decontaminate -> stats
     "cpd_candidates",        # downsample + applyInPandas PELT
 ]
 
