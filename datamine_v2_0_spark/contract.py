@@ -33,6 +33,7 @@ from datamine_v2_0_spark.functions.scalars import (
     validate_json,
 )
 from datamine_v2_0_spark.operators import aggregates as agg
+from datamine_v2_0_spark.operators import bpe
 from datamine_v2_0_spark.operators import dedup as dd
 from datamine_v2_0_spark.operators import filters as flt
 from datamine_v2_0_spark.operators import joins as jn
@@ -2587,6 +2588,21 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def q_text_bpe(spark, sf_dir):
+    """Learned BPE tokenization end-to-end: train 30 merges from the
+    corpus word-frequency table (one groupBy; driver loop is
+    corpus-size-independent), broadcast the ranks, tokenize every doc
+    with the cached Arrow-batched apply kernel. Genuinely non-SQL
+    (iterative merge learning) → rows-only check; semantics are pinned
+    by hand-verified merge tests and the reconstruction invariant
+    (tests/test_bpe.py)."""
+    df = _t(spark, sf_dir, "documents")
+    merges = bpe.train_bpe(df, "text", num_merges=30)
+    return bpe.apply_bpe(df, "text", "doc_id", merges).select(
+        "doc_id", "n_tokens"
+    )
+
+
 def q_pipeline_curation(spark, sf_dir):
     """The canonical pre-training curation chain end-to-end: Gopher
     quality gate → exact dedup (keep lowest id) → 4-gram
@@ -2829,4 +2845,5 @@ QUERIES: dict[str, tuple] = {
     "cpd_candidates": (q_cpd_candidates, None),
     "agg_approx": (q_agg_approx, None),
     "text_packed": (q_text_packed, None),
+    "text_bpe": (q_text_bpe, None),
 }
