@@ -2588,6 +2588,81 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
 
 
+def q_filt_shuffle_shards(spark, sf_dir):
+    """Deterministic corpus shuffle for training-order assembly:
+    seeded-hash shard + intra-shard position (the scale-correct 'ORDER
+    BY random()' — hash exchange + per-shard sorts, never one global
+    range sort)."""
+    df = _t(spark, sf_dir, "documents")
+    return flt.shard_shuffle(df, "doc_id", n_shards=8, seed=7).select(
+        "doc_id", "shard", "pos"
+    )
+
+
+SQL_FILT_SHUFFLE_SHARDS = """
+WITH h AS (
+  SELECT doc_id,
+         ((doc_id % 1000000007) * 2654435761 + 7) % 4294967296 AS hh
+  FROM documents
+)
+SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY hh % 8 ORDER BY hh, doc_id)
+            AS BIGINT) AS pos
+FROM h
+"""
+
+
+def q_filt_hash_split(spark, sf_dir):
+    """Deterministic 90/5/5 train/valid/test assignment by seeded
+    hashed id — disjoint, exhaustive, stable across runs and cluster
+    sizes; a pure projection with zero exchanges."""
+    df = _t(spark, sf_dir, "documents")
+    return flt.hash_split(df, "doc_id", seed=3).select("doc_id", "split")
+
+
+SQL_FILT_HASH_SPLIT = """
+WITH h AS (
+  SELECT doc_id,
+         (((doc_id % 1000000007) * 2654435761 + 3) % 4294967296)
+             / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN u < 0.9 THEN 'train'
+            WHEN u < 0.95 THEN 'valid'
+            ELSE 'test' END AS split
+FROM h
+"""
+
+
+def q_filt_weighted_mix(spark, sf_dir):
+    """Training-mixture sampling: per-language keep rates decided by
+    seeded id hash (en down-weighted, others kept whole/partial) — the
+    rate table folds into the plan as a literal CASE, no join."""
+    df = _t(spark, sf_dir, "documents")
+    return flt.weighted_mix(
+        df,
+        "lang",
+        {"en": 0.5, "de": 1.0, "fr": 0.75},
+        "doc_id",
+        seed=11,
+        default_rate=0.25,
+    ).select("doc_id", "lang")
+
+
+SQL_FILT_WEIGHTED_MIX = """
+WITH h AS (
+  SELECT doc_id, lang,
+         (((doc_id % 1000000007) * 2654435761 + 11) % 4294967296)
+             / 4294967296.0 AS u
+  FROM documents
+)
+SELECT doc_id, lang FROM h
+WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
+                    WHEN 'fr' THEN 0.75 ELSE 0.25 END
+"""
+
+
 def q_text_bpe(spark, sf_dir):
     """Learned BPE tokenization end-to-end: train 30 merges from the
     corpus word-frequency table (one groupBy; driver loop is
@@ -2782,6 +2857,9 @@ QUERIES: dict[str, tuple] = {
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
     # --- new in r3: corpus-curation operators ---------------------------
+    "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
+    "filt_hash_split": (q_filt_hash_split, SQL_FILT_HASH_SPLIT),
+    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),

@@ -135,3 +135,101 @@ def balance_strata(
         .filter(F.col("__rn") <= F.col("__m"))
         .drop("__rn", "__m")
     )
+
+
+def _portable_hash(id_col: Column, seed: int) -> Column:
+    """Seeded Knuth multiplicative hash, portable to any SQL engine
+    (unlike xxhash64) and overflow-free under ANSI: the inner mod keeps
+    the product under 2^63 for any BIGINT id."""
+    return F.pmod(
+        F.pmod(id_col, F.lit(1000000007)) * F.lit(2654435761)
+        + F.lit(seed),
+        F.lit(4294967296),
+    )
+
+
+def shard_shuffle(
+    df: DataFrame, id_col: str, n_shards: int, seed: int = 0
+) -> DataFrame:
+    """Deterministic corpus shuffle for training-order assembly: assign
+    each row a shard and an intra-shard position from a seeded portable
+    hash of its id. Writing shard-by-shard in position order yields the
+    same global pseudorandom document order on every run and engine.
+
+    This is the scale-correct form of 'ORDER BY random()': a global
+    sort is one range exchange over the full corpus, while shard +
+    intra-shard rank is a hash exchange plus PER-SHARD sorts — the same
+    plan a sharded training-data writer needs anyway
+    (``repartition(shard).sortWithinPartitions(pos)``)."""
+    h = _portable_hash(F.col(id_col), seed)
+    from pyspark.sql import Window
+
+    shard = F.pmod(h, F.lit(n_shards)).cast("int")
+    w = Window.partitionBy("__shard").orderBy(
+        F.col("__h").asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__shard", shard)
+        .withColumn("pos", F.row_number().over(w).cast("long"))
+        .withColumnsRenamed({"__shard": "shard"})
+        .drop("__h")
+    )
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: Sequence[tuple[str, float]] = (
+        ("train", 0.9),
+        ("valid", 0.05),
+        ("test", 0.05),
+    ),
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic train/valid/test assignment by hashed id: the unit
+    interval is cut at the cumulative weights and each row falls where
+    its seeded hash lands. Disjoint and exhaustive by construction,
+    stable across runs/engines/cluster sizes, and new rows never move
+    existing rows between splits (the property random splits lack).
+    Pure projection — zero exchanges."""
+    u = _portable_hash(F.col(id_col), seed) / F.lit(4294967296.0)
+    expr = None
+    cum = 0.0
+    for name, wt in weights:
+        cum += wt
+        cond = u < F.lit(cum)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(
+            cond, F.lit(name)
+        )
+    # float-edge guard: anything at/above the final boundary takes the
+    # last label so the assignment is exhaustive even when the weights
+    # sum to 1.0 exactly
+    expr = expr.otherwise(F.lit(weights[-1][0]))
+    return df.withColumn("split", expr)
+
+
+def weighted_mix(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict[str, float],
+    id_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Training-mixture sampling: keep each row with its stratum's
+    rate (e.g. {'web': 0.3, 'code': 1.0}), decided by seeded hash of
+    the id — deterministic, re-runnable, engine-portable, and exact in
+    expectation per stratum. Pure projection + filter; the rate table
+    folds into the plan as a literal CASE (no join, no shuffle)."""
+    u = _portable_hash(F.col(id_col), seed) / F.lit(4294967296.0)
+    rate = None
+    for name, r in rates.items():
+        cond = F.col(stratum_col) == name
+        rate = F.when(cond, F.lit(float(r))) if rate is None else rate.when(
+            cond, F.lit(float(r))
+        )
+    rate = rate.otherwise(F.lit(float(default_rate))) if rate is not None else F.lit(
+        float(default_rate)
+    )
+    return df.filter(u < rate)

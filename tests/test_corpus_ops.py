@@ -253,3 +253,85 @@ def test_curate_corpus_end_to_end(spark):
     assert sorted(rows) == [1, 5]
     assert rows[1]["n_tokens"] == 11
     assert 0.0 <= rows[1]["quality"] <= 1.0
+
+
+def test_shard_shuffle_deterministic_and_complete(spark):
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = flt.shard_shuffle(df, "doc_id", n_shards=4, seed=7)
+    rows = out.collect()
+    assert len(rows) == 200
+    # every shard numbers positions 1..n densely
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(1, len(poss) + 1))
+    # order differs from id order (it is a shuffle)
+    first_shard = sorted(by_shard)[0]
+    ids_in_order = [
+        r["doc_id"] for r in sorted(rows, key=lambda r: (r["shard"], r["pos"]))
+    ]
+    assert ids_in_order != sorted(ids_in_order)
+    # deterministic across runs
+    again = flt.shard_shuffle(df, "doc_id", n_shards=4, seed=7).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+    # different seed -> different order
+    other = flt.shard_shuffle(df, "doc_id", n_shards=4, seed=8).collect()
+    assert sorted(map(tuple, other)) != sorted(map(tuple, rows))
+
+
+def test_hash_split_disjoint_exhaustive_stable(spark):
+    df = spark.range(1000).withColumnRenamed("id", "doc_id")
+    out = flt.hash_split(df, "doc_id", seed=3)
+    rows = out.collect()
+    assert len(rows) == 1000
+    frac = {}
+    for r in rows:
+        frac[r["split"]] = frac.get(r["split"], 0) + 1
+    assert set(frac) == {"train", "valid", "test"}
+    assert frac["train"] > 800  # ~90%
+    # growing the corpus never moves existing rows between splits
+    bigger = {
+        r["doc_id"]: r["split"]
+        for r in flt.hash_split(
+            spark.range(2000).withColumnRenamed("id", "doc_id"), "doc_id", seed=3
+        ).collect()
+    }
+    for r in rows:
+        assert bigger[r["doc_id"]] == r["split"]
+
+
+def test_weighted_mix_rates(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "code") for i in range(2000)],
+        ["doc_id", "lang"],
+    )
+    out = flt.weighted_mix(
+        df, "lang", {"en": 0.25, "code": 1.0}, "doc_id", seed=5
+    ).collect()
+    n_en = sum(1 for r in out if r["lang"] == "en")
+    n_code = sum(1 for r in out if r["lang"] == "code")
+    assert n_code == 1000  # rate 1.0 keeps everything
+    assert 150 < n_en < 350  # ~25% of 1000
+    # unknown stratum with default_rate=0 is dropped entirely
+    df2 = spark.createDataFrame([(1, "other")], ["doc_id", "lang"])
+    assert flt.weighted_mix(df2, "lang", {"en": 1.0}, "doc_id").count() == 0
+
+
+def test_sampler_plans_are_narrow(spark):
+    from datamine_v2_0_spark.plans import count_exchanges
+
+    df = spark.range(100).withColumnRenamed("id", "doc_id")
+    # split and mix are pure projections/filters: zero exchanges
+    assert count_exchanges(flt.hash_split(df, "doc_id")) == 0
+    assert (
+        count_exchanges(
+            flt.weighted_mix(
+                df.withColumn("lang", F.lit("en")), "lang", {"en": 0.5}, "doc_id"
+            )
+        )
+        == 0
+    )
+    # shard shuffle is exactly one hash exchange (the per-shard window)
+    assert count_exchanges(flt.shard_shuffle(df, "doc_id", n_shards=4)) == 1
