@@ -146,3 +146,79 @@ def test_chunk_documents_reconstruction_invariants(spark):
                 assert c["n_tokens"] == chunk
             for c in chunks:
                 assert c["n_tokens"] == len(c["chunk_text"].split())
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd")),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    st.integers(min_value=0, max_value=60),
+)
+@settings(max_examples=40, deadline=None)
+def test_bpe_encode_reconstruction(words, num_merges):
+    """encode_word output always concatenates back to word + </w>, for
+    any merge table learned from any corpus slice (driver-side kernels
+    only — no Spark job per example)."""
+    from collections import Counter
+
+    from datamine_v2_0_spark.operators import bpe
+
+    # learn merges from the word multiset without Spark: replicate the
+    # driver loop's input shape
+    vocab = {}
+    for w in words:
+        syms = tuple(w) + (bpe.END,)
+        vocab[syms] = vocab.get(syms, 0) + 1
+    merges = []
+    for _ in range(num_merges):
+        pairs = Counter()
+        for syms, freq in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += freq
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        vocab = {
+            bpe._merge_word(syms, best): freq for syms, freq in vocab.items()
+        }
+        merges.append(best)
+    ranks = {m: i for i, m in enumerate(merges)}
+    for w in words:
+        toks = bpe.encode_word(w, ranks)
+        assert "".join(toks) == w + bpe.END
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "d"]),
+            st.floats(min_value=0.01, max_value=1.0),
+        ),
+        min_size=1,
+        max_size=4,
+        unique_by=lambda t: t[0],
+    ),
+    st.integers(min_value=0, max_value=2**40),
+)
+@settings(max_examples=200, deadline=None)
+def test_hash_split_assignment_total_function(weights, doc_id):
+    """The split CASE is exhaustive and deterministic for ANY weight
+    list (normalized or not) and any id — mirror of the Column logic in
+    plain Python over the same portable hash."""
+    u = ((doc_id % 1000000007) * 2654435761 + 3) % 4294967296 / 4294967296.0
+    cum = 0.0
+    label = None
+    for name, wt in weights:
+        cum += wt
+        if u < cum:
+            label = name
+            break
+    if label is None:
+        label = weights[-1][0]
+    assert label in [n for n, _ in weights]

@@ -165,3 +165,34 @@ def test_streaming_session_windows(spark, stream_src):
     # gaps: [0..8] then [40..42] -> 2 sessions
     assert len(rows) == 2
     assert sorted(r["n"] for r in rows) == [3, 6]
+
+
+def test_quality_gate_composes_with_streams(spark, tmp_path):
+    """The curation gate is a stateless projection, so it runs unchanged
+    under readStream (append mode, no watermark needed) — a stream of
+    documents can be quality-filtered with the exact batch operator."""
+    from datamine_v2_0_spark.operators import text as tx
+
+    path = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over that lazy sleeping dog today"),
+            (2, "### ###"),
+        ],
+        ["doc_id", "text"],
+    ).write.mode("overwrite").parquet(path)
+
+    stream = spark.readStream.schema("doc_id long, text string").parquet(path)
+    out = tx.gopher_gate(stream, "text", "doc_id", min_words=10)
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("gate_sink")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM gate_sink").collect()}
+    assert rows[1]["passes"] is True
+    assert rows[2]["passes"] is False
