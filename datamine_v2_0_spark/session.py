@@ -68,6 +68,13 @@ def get_spark(
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # runtime row-level filtering for large shuffle joins: build a
+        # bloom filter from the small/filtered side and push it into the
+        # big side's scan — at 100 TB this prunes most of a fact-table
+        # shuffle for selective dim joins; free locally, decisive at scale.
+        # (runtimeFilter.semiJoinReduction is NOT enabled: on this Spark
+        # 4.1 build it deadlocks trivial actions — verified bisect)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if driver_mem and SparkSession.getActiveSession() is None:
         builder = builder.config("spark.driver.memory", driver_mem)
