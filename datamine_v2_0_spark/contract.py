@@ -2515,15 +2515,8 @@ WITH staged AS (
          ROUND(CASE WHEN len(l) > 0
                THEN len(list_filter(l, x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
                     / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS ellipsis_line_frac,
-         (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
-         ) AS n_required_stopwords
+         len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with'])) AS n_required_stopwords
   FROM base
 )
 SELECT doc_id, n_words, mean_word_len, symbol_word_ratio, alpha_word_frac,
@@ -2728,15 +2721,8 @@ WITH train AS (
          ROUND(CASE WHEN len(l) > 0
                THEN len(list_filter(l, x -> regexp_matches(trim(x), '(\.\.\.|…)$')))
                     / CAST(len(l) AS DOUBLE) ELSE 0.0 END, 6) AS ellipsis_line_frac,
-         (CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
-          + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
-         ) AS n_stop
+         len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+             ['the','be','to','of','and','that','have','with'])) AS n_stop
   FROM base
 ), passed AS (
   SELECT doc_id, text FROM sig

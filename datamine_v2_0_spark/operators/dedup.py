@@ -36,15 +36,22 @@ def content_hash(col: Column) -> Column:
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact near-duplicate removal: keep the lowest id per content hash.
 
-    One shuffle (groupBy hash); at 100 TB the hash groupBy is the minimal
-    possible plan and AQE handles bucket skew (e.g. empty docs)."""
-    h = content_hash(F.col(text_col)).alias("__h")
-    keep = (
-        df.select(h, F.col(id_col))
-        .groupBy("__h")
-        .agg(F.min(id_col).alias(id_col))
+    ONE shuffle and ONE computation of the input: rank-1 per hash via a
+    window instead of groupBy-min + semi join. The join form computes
+    the upstream lineage twice (once per join branch) — ruinous when the
+    input is itself an unmaterialized transform chain — and pays a
+    second exchange; the window pays the same hash exchange once and
+    its sort-within-partition is over tiny per-hash groups. AQE handles
+    bucket skew (e.g. empty docs)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("__h").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__h", content_hash(F.col(text_col)))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__h", "__rn")
     )
-    return df.join(keep, id_col, "left_semi")
 
 
 def word_shingles(col: Column, n: int = 3) -> Column:

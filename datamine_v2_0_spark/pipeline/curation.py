@@ -54,12 +54,23 @@ def curate_corpus(
 
     deduped = dd.exact_dedup(gated, text_col, id_col)
 
-    flags = tx.decontaminate(deduped, eval_df, text_col, id_col, n=ngram)
-    clean = deduped.join(
-        flags.filter(~F.col("contaminated")).select(id_col),
-        id_col,
-        "left_semi",
+    # contaminated ids only (not per-doc flags): the training side's
+    # gram stream joins the broadcast eval gram set, and the resulting
+    # hit-id set — tiny by construction — anti-joins the corpus. The
+    # flag-reporting form (text.decontaminate) would re-derive the
+    # whole upstream chain a second time just to emit the zero rows.
+    eval_grams = (
+        tx.word_ngram_set(eval_df, text_col, id_col, ngram)
+        .select("gram")
+        .distinct()
     )
+    dirty_ids = (
+        tx.word_ngram_set(deduped, text_col, id_col, ngram)
+        .join(F.broadcast(eval_grams), "gram")
+        .select(id_col)
+        .distinct()
+    )
+    clean = deduped.join(dirty_ids, id_col, "left_anti")
 
     c = F.col(text_col)
     return clean.select(
