@@ -2544,15 +2544,18 @@ SQL_TEXT_LM_SCORE = r"""
 WITH toks AS (
   SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS w
   FROM documents WHERE len(trim(text)) > 0
-), vocab AS (
-  SELECT w, COUNT(*) AS c FROM toks GROUP BY w
+), counted AS (
+  SELECT doc_id, COUNT(*) OVER (PARTITION BY w) AS c FROM toks
+), per_doc AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+         AVG(log10(CAST(c AS DOUBLE))) AS avg_log_c
+  FROM counted GROUP BY doc_id
 ), tot AS (
-  SELECT CAST(SUM(c) AS DOUBLE) AS tot FROM vocab
+  SELECT CAST(SUM(n_words) AS DOUBLE) AS tot FROM per_doc
 )
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
-       ROUND(AVG(log10(CAST(c AS DOUBLE) / tot)), 6) AS avg_logp
-FROM toks JOIN vocab USING (w) CROSS JOIN tot
-GROUP BY doc_id
+SELECT doc_id, n_words,
+       ROUND(avg_log_c - log10(tot), 6) AS avg_logp
+FROM per_doc CROSS JOIN tot
 """
 
 

@@ -568,34 +568,49 @@ def unigram_logprob(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     distribution is far below typical are gibberish / boilerplate
     candidates.
 
-    Plan shape at scale: explode words → groupBy(word) vocabulary (one
-    map-side-combinable shuffle), total count folded in as a broadcast
-    1-row cross join, word→logp lookup is a shuffle join on the
-    exploded stream, then one groupBy(doc) — every stage partial-aggs
-    before exchanging, nothing driver-side. Vocabulary for a 100 TB
-    corpus (~10⁷ distinct words) stays a normal shuffle join; no
-    broadcast of the vocab is assumed.
+    Plan shape at scale: explode words ONCE → per-word occurrence count
+    as a window over the word exchange (same shuffle volume as a
+    vocab-join plan, but the corpus-sized token stream is scanned and
+    shuffled exactly once — a groupBy-vocab + join would re-derive the
+    explode on both join branches) → per-doc aggregation → the global
+    token total folds back in as a 1-row broadcast cross join over the
+    ALREADY doc-sized aggregate (avg log p(w) = avg log c − log total).
 
     Returns (id, n_words, avg_logp) for non-empty docs, rounded to 6.
     """
+    from pyspark.sql import Window
+
     t, words = _norm_words(text_col)
     toks = (
         df.select(F.col(id_col), words.alias("__w"))
         .filter(F.length(t) > 0)
         .select(F.col(id_col), F.explode("__w").alias("__word"))
     )
-    vocab = toks.groupBy("__word").agg(F.count(F.lit(1)).alias("__c"))
-    total = vocab.agg(F.sum("__c").cast("double").alias("__tot"))
-    return (
-        toks.join(vocab, "__word")
-        .crossJoin(F.broadcast(total))
+    wc = Window.partitionBy("__word")
+    per_doc = (
+        toks.withColumn("__c", F.count(F.lit(1)).over(wc))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_words"),
-            F.round(
-                F.avg(F.log10(F.col("__c").cast("double") / F.col("__tot"))), 6
-            ).alias("avg_logp"),
+            F.avg(F.log10(F.col("__c").cast("double"))).alias("__avg_log_c"),
         )
+    )
+    # global token total from size(words) BEFORE the explode: the
+    # second pass this scalar costs is a scan + array-size sum, not a
+    # replay of the explode/shuffle lineage (Catalyst can't reuse the
+    # doc exchange here — it prunes the window out of the total branch,
+    # which un-canonicalizes the exchange)
+    total = (
+        df.select(words.alias("__w"))
+        .filter(F.length(t) > 0)
+        .agg(F.sum(F.size("__w")).cast("double").alias("__tot"))
+    )
+    return per_doc.crossJoin(F.broadcast(total)).select(
+        id_col,
+        "n_words",
+        F.round(
+            F.col("__avg_log_c") - F.log10(F.col("__tot")), 6
+        ).alias("avg_logp"),
     )
 
 
