@@ -105,6 +105,10 @@ def main() -> None:
     best = {
         name: min(p[name] for p in passes) for name in HEADLINE
     }
+    # the query set grows across rounds (r3 added pipeline_curation);
+    # r2_set_total sums only the queries present in the r2 headline so
+    # cross-round totals compare like-for-like
+    r2_set = [n for n in HEADLINE if n != "pipeline_curation"]
     out = {
         "metric": "headline_query_total",
         "value": round(sum(best.values()), 3),
@@ -113,6 +117,7 @@ def main() -> None:
         "sf": sf,
         "calib_sec": calib,
         "timing": "min of 3 passes per query",
+        "r2_set_total": round(sum(best[n] for n in r2_set), 3),
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
     }
     print(json.dumps(out))

@@ -8,19 +8,27 @@ operators, each stage keeping its scale contract:
 1. **Quality gate** (`text.gopher_gate`) — pure Column algebra over the
    scan, zero exchanges; drops boilerplate/gibberish before anything
    pays a shuffle for it.
-2. **Exact dedup** (`dedup.exact_dedup`) — one groupBy on the content
-   hash plus a semi join; the minimal possible plan for
-   keep-lowest-id exact dedup.
-3. **Decontamination** (`text.decontaminate`) — the eval set collapses
-   to a broadcast distinct-gram set, so the (huge) training side never
-   shuffles its exploded grams; one per-doc hit aggregation.
+2. **Exact dedup** (`dedup.exact_dedup`) — rank-1 per content hash via
+   one window exchange; the minimal possible plan for keep-lowest-id
+   exact dedup (and single-computation of its input, unlike
+   groupBy+join).
+3. **Decontamination** — the eval set collapses to a broadcast
+   distinct-gram set, so the (huge) training side never shuffles its
+   exploded grams; the contaminated-id set is tiny and anti-joins back.
 4. **Stats projection** — token counts + composite quality, again pure
    codegen over the surviving rows.
 
-Nothing in the chain materializes, collects, or re-reads: it is one
-lazy DataFrame lineage whose only exchanges are the dedup groupBy/semi
-join and the decontamination hit-agg/semi join — four narrow shuffles
-for the whole corpus pass, independent of scale.
+Nothing in the chain collects or re-reads eagerly: it is one lazy
+DataFrame lineage. The dedup stage is a single hash exchange (window
+rank-1, not groupBy+join), and the contamination stage anti-joins a
+tiny hit-id set. One caveat by construction: the anti join's two
+branches both derive from the deduped frame, and Catalyst cannot
+canonical-match their exchanges after per-branch column pruning — so
+the scan+gate+dedup prefix executes twice. At test scale that is two
+cheap scans; on a 100 TB run, insert an explicit materialization
+barrier (write the deduped survivors to a staging table, or
+``.localCheckpoint()`` on smaller clusters) between dedup and
+decontamination if the doubled prefix dominates.
 """
 
 from __future__ import annotations

@@ -335,3 +335,22 @@ def test_sampler_plans_are_narrow(spark):
     )
     # shard shuffle is exactly one hash exchange (the per-shard window)
     assert count_exchanges(flt.shard_shuffle(df, "doc_id", n_shards=4)) == 1
+
+
+def test_gopher_signals_null_text(spark):
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    df = spark.createDataFrame(
+        [(1, None)],
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("text", StringType()),
+            ]
+        ),
+    )
+    r = tx.gopher_signals(df, "text", "doc_id").collect()[0]
+    assert r["n_words"] == 0
+    assert r["mean_word_len"] == 0.0
+    assert r["bullet_line_frac"] == 0.0
+    assert r["n_required_stopwords"] == 0
