@@ -1315,6 +1315,24 @@ def q_sim_lsh_topk(spark, sf_dir):
     )
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Two-stage product-quantization ANN (the FAISS IndexPQ shape):
+    spherical PQ codebooks (16 subspaces × 32 centroids, seeded) encode
+    the corpus to 16-code rows, the ADC scan shortlists 100 candidates
+    per query with m lookups each, and only the shortlist joins back to
+    full vectors for the exact cosine re-rank. At this operating point
+    the shortlist provably contains the exact top-5 (hash-checked
+    against the exact-SQL oracle) — the candidates→exact-verify
+    certification the LSH and IVF tiers already use; recall@5 vs
+    shortlist size is measured in test_pq_rerank_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5)
+    return sim.pq_rerank_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=5,
+        m=16, k_codes=32, rerank_from=100,
+    )
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF ANN with a learned (seeded KMeans) coarse quantizer. Probing
     every cell makes the result provably equal to the exact top-k — the
@@ -2819,6 +2837,7 @@ QUERIES: dict[str, tuple] = {
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),
     "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_COSINE_TOPK),
+    "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_COSINE_TOPK),
     "mm_features": (q_mm_features, SQL_MM_FEATURES),
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),

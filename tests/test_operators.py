@@ -658,3 +658,61 @@ def test_asof_join_directions(spark):
     assert run("forward") == [11]
     with pytest.raises(ValueError, match="direction"):
         run("sideways")
+
+
+def test_pq_encode_shape_and_determinism(spark):
+    import os
+
+    import numpy as np
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    books = sim.train_pq(emb, "embedding", dim=64, m=8, k_codes=16, seed=1)
+    assert books.shape == (8, 16, 8)
+    again = sim.train_pq(emb, "embedding", dim=64, m=8, k_codes=16, seed=1)
+    assert np.array_equal(books, again)
+    codes = {r["neighbor_id"]: r["code"]
+             for r in sim.pq_encode(emb, "embedding", "vec_id", books).collect()}
+    assert len(codes) == emb.count()
+    for c in codes.values():
+        assert len(c) == 8 and all(0 <= x < 16 for x in c)
+
+
+def test_pq_rerank_recall(spark):
+    """The two-stage PQ search reaches full recall at the contract
+    operating point (shortlist 100 ≥ what quantization error needs on
+    this fixture); a starved shortlist loses neighbors — the re-rank
+    stage is what converts ADC ordering into exact ordering."""
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    full = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_rerank_topk(
+            emb, queries, "embedding", "vec_id", dim=64, k=5,
+            m=16, k_codes=32, rerank_from=100,
+        ).collect()
+    }
+    assert full == exact
+    starved = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_rerank_topk(
+            emb, queries, "embedding", "vec_id", dim=64, k=5,
+            m=8, k_codes=16, rerank_from=10,
+        ).collect()
+    }
+    assert len(starved & exact) < len(exact)
