@@ -200,3 +200,39 @@ def test_sorted_write_enables_row_group_skipping(spark, tmp_path):
     # one file; allow generous slack for row-group boundaries — but the
     # metric must be real (nonzero) and far below the 200k table
     assert 0 < read_rows <= 50_000, read_rows
+
+
+def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
+    """JSONL corpus: gzipped shard write -> schema-enforced read;
+    undecodable lines quarantine via PERMISSIVE instead of failing."""
+    import gzip
+    import os
+
+    from datamine_v2_0_spark.sources import jsonl
+
+    src = str(tmp_path / "corpus")
+    df = spark.createDataFrame(
+        [(str(i), f"doc body {i}", None) for i in range(100)],
+        jsonl.corpus_schema(),
+    )
+    jsonl.write_jsonl_corpus(df, src, n_shards=4, compression="gzip")
+    parts = [f for f in os.listdir(src) if f.startswith("part-")]
+    assert len(parts) == 4 and all(f.endswith(".gz") for f in parts)
+
+    back = jsonl.read_jsonl_corpus(spark, src, jsonl.corpus_schema())
+    clean, bad = jsonl.split_corrupt(back)
+    assert clean.count() == 100 and bad.count() == 0
+    assert sorted(clean.columns) == ["id", "meta", "text"]
+
+    # corrupt shard: one good line, one broken line
+    dirty_dir = str(tmp_path / "dirty")
+    os.makedirs(dirty_dir)
+    with gzip.open(os.path.join(dirty_dir, "part-x.json.gz"), "wt") as fh:
+        fh.write('{"id": "ok", "text": "fine"}\n')
+        fh.write('{"id": "broken", "text": \n')
+    d = jsonl.read_jsonl_corpus(spark, dirty_dir, jsonl.corpus_schema())
+    clean2, bad2 = jsonl.split_corrupt(d)
+    assert [r["id"] for r in clean2.collect()] == ["ok"]
+    quarantined = bad2.collect()
+    assert len(quarantined) == 1
+    assert quarantined[0]["_corrupt_record"].startswith('{"id": "broken"')
