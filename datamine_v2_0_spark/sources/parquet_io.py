@@ -152,3 +152,32 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(name)
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    n_shards: int,
+    seed: int = 0,
+    mode: str = "overwrite",
+) -> None:
+    """Materialize a deterministically shuffled training corpus: assign
+    each row a seeded-hash shard + intra-shard position
+    (`filters.shard_shuffle`), repartition BY the shard column so each
+    output dir is written by one task, and sort within partitions by
+    position. Reading shard dirs in order replays the same global
+    pseudorandom training order on every run and engine.
+
+    One hash exchange + per-shard sorts — the plan a sharded
+    training-data writer needs anyway; no global range sort anywhere."""
+    from datamine_v2_0_spark.operators.filters import shard_shuffle
+
+    shuffled = shard_shuffle(df, id_col, n_shards, seed=seed)
+    (
+        shuffled.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode(mode)
+        .partitionBy("shard")
+        .parquet(path)
+    )

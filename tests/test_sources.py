@@ -236,3 +236,37 @@ def test_jsonl_corpus_roundtrip_and_quarantine(spark, tmp_path):
     quarantined = bad2.collect()
     assert len(quarantined) == 1
     assert quarantined[0]["_corrupt_record"].startswith('{"id": "broken"')
+
+
+def test_write_training_shards_layout_and_order(spark, tmp_path):
+    """Sharded training-order writer: one dir per shard, rows inside a
+    shard stored in position order, and the (shard, pos) assignment
+    matches shard_shuffle exactly — the materialized form of the
+    deterministic corpus shuffle."""
+    import os
+
+    from datamine_v2_0_spark.operators.filters import shard_shuffle
+    from datamine_v2_0_spark.sources.parquet_io import write_training_shards
+
+    df = spark.range(500).withColumnRenamed("id", "doc_id")
+    path = str(tmp_path / "shards")
+    write_training_shards(df, path, "doc_id", n_shards=4, seed=7)
+
+    dirs = sorted(d for d in os.listdir(path) if d.startswith("shard="))
+    assert len(dirs) == 4
+
+    expect = {
+        (r["shard"], r["pos"]): r["doc_id"]
+        for r in shard_shuffle(df, "doc_id", 4, seed=7).collect()
+    }
+    total = 0
+    for d in dirs:
+        shard = int(d.split("=")[1])
+        part = spark.read.parquet(os.path.join(path, d))
+        rows = part.collect()  # single file per shard, stored order
+        total += len(rows)
+        poss = [r["pos"] for r in rows]
+        assert poss == sorted(poss), "rows not stored in position order"
+        for r in rows:
+            assert expect[(shard, r["pos"])] == r["doc_id"]
+    assert total == 500
