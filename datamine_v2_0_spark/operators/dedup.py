@@ -890,3 +890,53 @@ def remove_common_units(
         .cast("long")
         .alias("n_removed"),
     )
+
+
+def dedup_paragraph_occurrences(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    sep: str = r"\n\n",
+    joiner: str = "\n\n",
+) -> DataFrame:
+    """Corpus-wide keep-first paragraph dedup (the RefinedWeb/CCNet
+    boilerplate scrub at occurrence granularity): every repeated
+    paragraph keeps ONLY its first occurrence in (doc, position) order;
+    later copies are cut out of their documents and the documents are
+    reassembled in original paragraph order. Complements
+    `remove_common_units`, which drops units by corpus FREQUENCY — this
+    one preserves a single canonical copy.
+
+    Plan shape at scale: posexplode → one exchange on the paragraph
+    content (window rank-1; group sizes = duplication counts, AQE
+    handles boilerplate skew) → one exchange back on the doc id for
+    ordered reassembly. Two shuffles total, no joins, single
+    computation of the input. Whitespace-only paragraphs are dropped;
+    docs with no surviving paragraph are excluded.
+
+    Returns (id, text) with the cleaned text.
+    """
+    from pyspark.sql import Window
+
+    paras = F.split(F.col(text_col), sep)
+    exploded = df.select(
+        F.col(id_col), F.posexplode(paras).alias("__pos", "__para")
+    ).filter(F.trim("__para") != "")
+    w = Window.partitionBy("__para").orderBy(F.col(id_col).asc(), F.col("__pos").asc())
+    kept = exploded.withColumn("__rn", F.row_number().over(w)).filter(
+        F.col("__rn") == 1
+    )
+    return (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("__pos", "__para"))
+                    ),
+                    lambda s: s["__para"],
+                ),
+                joiner,
+            ).alias(text_col)
+        )
+    )
