@@ -50,17 +50,25 @@ from datamine_v2_0_spark.pipeline.silver import silver_transform
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load a testdata table; normalize the events nanosecond timestamp.
+    """Load a testdata table; normalize the events timestamp if needed.
 
-    The driver's ``events.parquet`` stores ``ts`` as parquet
+    Some driver generations store ``events.ts`` as parquet
     TIMESTAMP(NANOS), which Spark's vectorized reader rejects. Read it as
     a long (legacy conf) and truncate to microseconds with integer
     division (a double division would lose precision above 2^53 ns).
+    Newer generations store plain TIMESTAMP(MICROS) — pass through.
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type in ("bigint", "long"):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            # session tz is pinned to UTC, so NTZ -> TIMESTAMP is lossless
+            # and matches DuckDB's naive read of the same parquet
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
