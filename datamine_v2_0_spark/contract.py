@@ -2083,6 +2083,60 @@ FROM b GROUP BY price_q
 """
 
 
+def q_text_bm25(spark, sf_dir):
+    """BM25 top-5 per probe: every 100th document queries the full corpus
+    through the inverted index (contamination-audit shape)."""
+    from datamine_v2_0_spark.operators import retrieval as rt
+
+    df = _t(spark, sf_dir, "documents")
+    probes = df.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    return rt.bm25_topk(df, probes, "text", "doc_id", "qtext", "qid", k=5)
+
+
+SQL_TEXT_BM25 = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')),
+                             ' ')) AS term
+  FROM documents
+), tok AS (
+  SELECT doc_id, term FROM tokens WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+  FROM scored
+) WHERE rn <= 5
+"""
+
+
 def q_text_tfidf(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return tx.tfidf_top_terms(df, "text", "doc_id", k=3)
@@ -2849,6 +2903,7 @@ QUERIES: dict[str, tuple] = {
     "mm_features": (q_mm_features, SQL_MM_FEATURES),
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),

@@ -1,0 +1,115 @@
+"""Sparse lexical retrieval (BM25) over a document corpus.
+
+Training-data pipelines use lexical retrieval constantly: pulling the
+nearest training documents to an eval probe (contamination audits), mining
+hard negatives, and quality-weighted corpus sampling. This is the
+inverted-index counterpart of the dense-ANN operators in
+``operators/similarity.py``.
+
+BM25 (Robertson/Spärck Jones probabilistic relevance framework; the
+``k1``/``b`` parameterization and the non-negative ``ln(1 + ...)`` idf are
+the Lucene variant) is fully declarative here — the whole operator is
+Column algebra that Catalyst keeps inside whole-stage codegen:
+
+    scan → explode tokens → per-(doc, term) TF   [1 shuffle on (doc, term)]
+         → doc length + corpus avgdl             [narrow re-aggs of TF]
+         → per-term document frequency → idf     [1 shuffle on term]
+         → broadcast the (small) query-term set  [map-side semi filter]
+         → score matching postings → per-query top-k window
+
+The broadcast of the query terms is the scale pivot: the posting join
+filters the corpus down to query-matching (doc, term) rows BEFORE the
+idf/doclen joins, so at 100 TB only the touched slice of the inverted
+index ever shuffles into the scoring joins. Candidate generation is an
+equality join on ``term`` — never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from datamine_v2_0_spark.operators.dedup import normalize_text
+
+
+def _tokens(df: DataFrame, text_col: str, id_col: str, out: str) -> DataFrame:
+    """(id, term) posting rows; normalization shared with the dedup/tfidf
+    family so fingerprints and indexes agree on tokenization."""
+    return (
+        df.select(F.col(id_col), F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias(out))
+        .filter(F.col(out) != "")
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_text_col: str,
+    query_id_col: str,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    round_to: int = 6,
+) -> DataFrame:
+    """Top-k BM25 documents per query: (query_id, doc_id, score, rank).
+
+    ``queries`` is expected to be small relative to the corpus (probes,
+    eval sets) and is broadcast; ``docs`` is the 100 TB side. Scores are
+    rounded to ``round_to`` decimals BEFORE ranking so ties break on
+    ``doc_id`` identically across engines (same recipe as tfidf_top_terms).
+
+    Reference parity: the reference has no retrieval operator — this is
+    part of the beyond-reference LLM-data surface (SURVEY.md §2 extension),
+    built per Robertson et al., "Okapi at TREC-3" (1994).
+    """
+    tok = _tokens(docs, text_col, id_col, "term")
+    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # doc length = sum of term frequencies; re-agg of tf, not a new scan
+    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
+    )
+    # distinct query terms (BM25 query-side tf saturates to presence here)
+    qterms = (
+        _tokens(queries, query_text_col, query_id_col, "term")
+        .select(F.col(query_id_col).alias("query_id"), "term")
+        .distinct()
+    )
+    # broadcast-semi the postings FIRST: everything downstream sees only
+    # the query-matching slice of the inverted index
+    matched = tf.join(F.broadcast(qterms), "term")
+    scored = (
+        matched.join(idf, "term")
+        .join(dl, id_col)
+        .select(
+            "query_id",
+            F.col(id_col).alias("doc_id"),
+            (
+                F.col("idf")
+                * (F.col("tf") * (F.lit(k1) + 1.0))
+                / (
+                    F.col("tf")
+                    + F.lit(k1)
+                    * (F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("score"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("score"), round_to).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.col("doc_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,0 +1,83 @@
+"""BM25 lexical retrieval: scoring semantics, ranking, plan shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from datamine_v2_0_spark.operators import retrieval as rt
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "apple cherry"),
+            (3, "banana banana banana cherry"),
+            (4, "durian elderberry fig"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _run(spark, qrows, k=10, **kw):
+    q = spark.createDataFrame(qrows, ["qid", "qtext"])
+    out = rt.bm25_topk(
+        _corpus(spark), q, "text", "doc_id", "qtext", "qid", k=k, **kw
+    )
+    return [(r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in out.collect()]
+
+
+def test_bm25_single_term_known_value(spark):
+    """Hand-computed Lucene-BM25 for query 'apple' (df=2, N=4)."""
+    rows = _run(spark, [(0, "apple")])
+    # corpus: dl = [3, 2, 4, 3], avgdl = 3.0
+    idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+    def s(tf, dl):
+        return idf * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / 3.0))
+    got = {(d): sc for _, d, sc, _ in rows}
+    assert got[1] == pytest.approx(round(s(2, 3), 6), abs=1e-9)
+    assert got[2] == pytest.approx(round(s(1, 2), 6), abs=1e-9)
+    assert set(got) == {1, 2}  # docs without the term never appear
+
+
+def test_bm25_rank_order_and_k(spark):
+    rows = _run(spark, [(0, "banana cherry")], k=2)
+    assert len(rows) == 2
+    # doc 3 matches both terms with high tf -> rank 1
+    assert rows[0][1] == 3 and rows[0][3] == 1
+    ranks = [r[3] for r in rows]
+    assert ranks == [1, 2]
+
+
+def test_bm25_query_term_presence_not_frequency(spark):
+    """Repeating a term in the query must not change scores (distinct)."""
+    a = _run(spark, [(0, "apple")])
+    b = _run(spark, [(0, "apple apple apple")])
+    assert a == b
+
+
+def test_bm25_multi_query_isolated(spark):
+    rows = _run(spark, [(0, "apple"), (1, "durian")])
+    by_q = {}
+    for q, d, _, _ in rows:
+        by_q.setdefault(q, set()).add(d)
+    assert by_q[0] == {1, 2}
+    assert by_q[1] == {4}
+
+
+def test_bm25_no_match_empty(spark):
+    assert _run(spark, [(0, "zzz qqq")]) == []
+
+
+def test_bm25_plan_no_cartesian_and_broadcast(spark):
+    q = spark.createDataFrame([(0, "apple")], ["qid", "qtext"])
+    df = rt.bm25_topk(_corpus(spark), q, "text", "doc_id", "qtext", "qid")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # no all-pairs product; the single BroadcastNestedLoopJoin is the
+    # 1-row corpus-stats fold-in (linear, same pattern as unigram_logprob)
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
+    # query-term semi filter must be a broadcast hash join on term
+    assert "BroadcastHashJoin" in plan
