@@ -1244,6 +1244,48 @@ WHERE COALESCE(c.group_id, d.doc_id) = d.doc_id""",
 )
 
 
+def q_dedup_against(spark, sf_dir):
+    """Cross-corpus near-dedup: even doc_ids are the 'fresh crawl', odd
+    doc_ids the existing corpus; drop fresh docs with n-gram Jaccard >=
+    0.2 against ANY existing doc. MinHash-LSH candidates -> exact
+    verify; oracle = exact inverted-index cross Jaccard + NOT EXISTS, so
+    the hash match certifies cross-corpus candidate recall = 1.0 here."""
+    df = _t(spark, sf_dir, "documents")
+    new = df.filter(F.col("doc_id") % 2 == 0)
+    ref = df.filter(F.col("doc_id") % 2 == 1)
+    out = dd.dedup_against(
+        new, ref, "text", "doc_id", method="near",
+        threshold=0.2, num_hashes=32, bands=8,
+    )
+    return out.select("doc_id", "source", "lang")
+
+
+SQL_DEDUP_AGAINST = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS g
+  FROM norm WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, len(g) AS sz, unnest(g) AS s FROM sh
+), dup_new AS (
+  SELECT a.doc_id
+  FROM ex a JOIN ex b ON a.s = b.s
+  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+  GROUP BY a.doc_id, b.doc_id
+  HAVING CAST(COUNT(*) AS DOUBLE)
+         / (ANY_VALUE(a.sz) + ANY_VALUE(b.sz) - COUNT(*)) >= 0.2
+)
+SELECT d.doc_id, d.source, d.lang FROM documents d
+WHERE d.doc_id % 2 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM dup_new)
+"""
+
+
 def q_dedup_embedding(spark, sf_dir):
     """Embedding-cosine near-dup: the LSH scale path (banded hyperplane
     prefilter -> exact cosine verify), oracle-checked against DuckDB's
@@ -1335,9 +1377,14 @@ def q_sim_pq_topk(spark, sf_dir):
     shortlist size is measured in test_pq_rerank_recall."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.orderBy("vec_id").limit(5)
+    # shortlist depth scales with corpus size (10%, floor 100): a fixed
+    # depth that certifies at sf0.01 starts missing tail entries of the
+    # exact top-5 by sf0.1 (measured: 100 misses 1-of-25 at 2000 vecs,
+    # 200 is exact)
+    rerank_from = max(100, emb.count() // 10)
     return sim.pq_rerank_topk(
         emb, queries, "embedding", "vec_id", dim=64, k=5,
-        m=16, k_codes=32, rerank_from=100,
+        m=16, k_codes=32, rerank_from=rerank_from,
     )
 
 
@@ -2895,6 +2942,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    "dedup_against": (q_dedup_against, SQL_DEDUP_AGAINST),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),

@@ -940,3 +940,119 @@ def dedup_paragraph_occurrences(
             ).alias(text_col)
         )
     )
+
+
+def dedup_against(
+    new_df: DataFrame,
+    ref_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    method: str = "near",
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Cross-corpus dedup: drop ``new_df`` docs that duplicate ANY
+    ``ref_df`` doc — the incremental-ingest shape (dedup a fresh crawl
+    against the corpus you already trained on).
+
+    ``method='exact'``: content-hash left-anti join — one shuffle on the
+    hash, ref side reduced to distinct hashes first.
+
+    ``method='near'``: one MinHash signature pass over the tagged union
+    of both corpora, banded buckets expanded to CROSS-SIDE pairs only
+    (new x ref inside each bucket — in-corpus pairs are never emitted),
+    exact hashed-shingle Jaccard verify on the candidates, then an
+    anti join removes matched new docs. Candidates come from (band,
+    bucket) equality — never all-pairs — and the signature UDF runs
+    once over each corpus.
+
+    Returns the surviving ``new_df`` rows (original columns).
+    """
+    if method == "exact":
+        rh = ref_df.select(content_hash(F.col(text_col)).alias("__h")).distinct()
+        return (
+            new_df.withColumn("__h", content_hash(F.col(text_col)))
+            .join(rh, "__h", "left_anti")
+            .drop("__h")
+        )
+    if method != "near":
+        raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
+
+    sig_udf = minhash_text_udf(num_hashes, shingle_n)
+    tagged = new_df.select(
+        F.col(id_col), F.col(text_col), F.lit(True).alias("__is_new")
+    ).unionByName(
+        ref_df.select(
+            F.col(id_col), F.col(text_col), F.lit(False).alias("__is_new")
+        )
+    )
+    sig = tagged.select(
+        id_col, "__is_new", sig_udf(F.col(text_col)).alias("__sig")
+    ).filter(F.get(F.col("__sig"), 0).isNotNull())  # unshingleable docs out
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        id_col,
+        "__is_new",
+        F.explode(lsh_bands(F.col("__sig"), bands, rows_per_band)).alias("bb"),
+    ).select(id_col, "__is_new", "bb.band", "bb.bucket")
+    # per-bucket arrays of each side; expand new x ref pairs in place —
+    # same single-pass layout as minhash_lsh_candidates, but the
+    # expansion is the cross-side product only
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__is_new"), F.col(id_col)))
+            ).alias("__new"),
+            F.sort_array(
+                F.collect_list(F.when(~F.col("__is_new"), F.col(id_col)))
+            ).alias("__ref"),
+        )
+        .filter((F.size("__new") > 0) & (F.size("__ref") > 0))
+    )
+    pairs = F.flatten(
+        F.transform(
+            "__new",
+            lambda x: F.transform(
+                F.col("__ref"),
+                lambda y: F.struct(x.alias("id_new"), y.alias("id_ref")),
+            ),
+        )
+    )
+    cands = (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.id_new", "p.id_ref")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    # exact verify: shingle only candidate docs, per side
+    def _shingles(side_df, ids, alias):
+        pruned = side_df.join(ids, id_col, "left_semi")
+        return pruned.select(
+            F.col(id_col).alias(alias),
+            hashed_shingles_from_words(
+                word_hashes(F.col(text_col)), shingle_n
+            ).alias(f"__sh_{alias}"),
+        )
+
+    sh_new = _shingles(
+        new_df, cands.select(F.col("id_new").alias(id_col)).distinct(), "id_new"
+    )
+    sh_ref = _shingles(
+        ref_df, cands.select(F.col("id_ref").alias(id_col)).distinct(), "id_ref"
+    )
+    matched = (
+        cands.join(sh_new, "id_new")
+        .join(sh_ref, "id_ref")
+        .withColumn(
+            "__j",
+            F.size(F.array_intersect("__sh_id_new", "__sh_id_ref"))
+            / F.size(F.array_union("__sh_id_new", "__sh_id_ref")),
+        )
+        .filter(F.col("__j") >= threshold)
+        .select(F.col("id_new").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(matched, id_col, "left_anti")

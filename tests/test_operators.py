@@ -716,3 +716,79 @@ def test_pq_rerank_recall(spark):
         ).collect()
     }
     assert len(starved & exact) < len(exact)
+
+
+def test_dedup_against_exact(spark):
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="Hello  World"),
+            Row(doc_id=11, text="fresh document one"),
+        ]
+    )
+    ref = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="hello world"),  # same after normalization
+            Row(doc_id=2, text="reference only text"),
+        ]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dd.dedup_against(new, ref, "text", "doc_id", method="exact").collect()
+    )
+    assert got == [11]
+
+
+def test_dedup_against_near_drops_cross_dups_only(spark):
+    base = "spark is a unified analytics engine for large scale data processing " * 3
+    new = spark.createDataFrame(
+        [
+            Row(doc_id=10, text=base + " tiny suffix change"),   # near-dup of ref 1
+            Row(doc_id=11, text="completely unrelated words about cooking pasta"),
+            Row(doc_id=12, text=base + " another tiny variation"),  # near-dup of ref 1
+            Row(doc_id=13, text="xy"),  # too short to shingle -> must survive
+        ]
+    )
+    ref = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text="totally different reference corpus entry here"),
+        ]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dd.dedup_against(
+            new, ref, "text", "doc_id", method="near",
+            threshold=0.5, num_hashes=32, bands=8,
+        ).collect()
+    )
+    assert got == [11, 13]
+
+
+def test_dedup_against_near_ignores_in_corpus_dups(spark):
+    """Two identical NEW docs must both survive when neither matches ref:
+    only cross-side pairs are candidates."""
+    txt = "the same new document text repeated across the fresh crawl batch"
+    new = spark.createDataFrame(
+        [Row(doc_id=10, text=txt), Row(doc_id=11, text=txt)]
+    )
+    ref = spark.createDataFrame(
+        [Row(doc_id=1, text="reference corpus about entirely other topics")]
+    )
+    got = sorted(
+        r["doc_id"]
+        for r in dd.dedup_against(
+            new, ref, "text", "doc_id", method="near",
+            threshold=0.3, num_hashes=32, bands=8,
+        ).collect()
+    )
+    assert got == [10, 11]
+
+
+def test_dedup_against_plan_no_cartesian(spark):
+    from datamine_v2_0_spark.plans import has_cartesian
+
+    new = spark.createDataFrame([Row(doc_id=10, text="a b c d e f g")])
+    ref = spark.createDataFrame([Row(doc_id=1, text="a b c d e f h")])
+    assert not has_cartesian(
+        dd.dedup_against(new, ref, "text", "doc_id", method="near")
+    )
