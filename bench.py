@@ -38,6 +38,8 @@ HEADLINE = [
     "sim_cosine_topk",       # brute-force cosine top-k
     "sim_lsh_topk",          # banded hyperplane-LSH ANN
     "text_tfidf",            # TF-IDF top terms
+    "text_bm25",             # BM25 inverted-index retrieval
+    "dedup_against",         # cross-corpus near-dedup
     "win_sessionize",        # gaps-and-islands sessionization
     "join_interval_priority",  # interval labeling + priority resolve
     "pipeline_silver",       # full silver transform chain

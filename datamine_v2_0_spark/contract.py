@@ -2184,6 +2184,57 @@ SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
 """
 
 
+def q_evt_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel: one fold over each user's
+    sorted events (single shuffle) vs the oracle's k chained min-after-min
+    passes — same semantics, k× less shuffle at scale."""
+    from datamine_v2_0_spark.operators import events as ev
+
+    df = _t(spark, sf_dir, "events")
+    return ev.funnel_steps(df, ["view", "click", "purchase"], "user_id", "ts", "event_type")
+
+
+SQL_EVT_FUNNEL = """
+WITH t1 AS (
+  SELECT user_id, MIN(ts) AS ts1 FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+), t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > t1.ts1 GROUP BY e.user_id
+), t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id
+)
+SELECT CAST(0 AS INT) AS step, 'view' AS step_name, (SELECT COUNT(*) FROM t1) AS users
+UNION ALL
+SELECT CAST(1 AS INT), 'click', (SELECT COUNT(*) FROM t2)
+UNION ALL
+SELECT CAST(2 AS INT), 'purchase', (SELECT COUNT(*) FROM t3)
+"""
+
+
+def q_evt_cohort(spark, sf_dir):
+    """Weekly cohort retention triangle over the events stream."""
+    from datamine_v2_0_spark.operators import events as ev
+
+    df = _t(spark, sf_dir, "events")
+    return ev.cohort_retention(df, "user_id", "ts")
+
+
+SQL_EVT_COHORT = """
+WITH first AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events GROUP BY user_id
+)
+SELECT f.cohort_week,
+       CAST(date_diff('day', f.cohort_week, date_trunc('week', e.ts)) / 7 AS INT)
+         AS week_offset,
+       COUNT(DISTINCT e.user_id) AS users
+FROM events e JOIN first f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 def q_text_tfidf(spark, sf_dir):
     df = _t(spark, sf_dir, "documents")
     return tx.tfidf_top_terms(df, "text", "doc_id", k=3)
@@ -2952,6 +3003,8 @@ QUERIES: dict[str, tuple] = {
     "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
+    "evt_funnel": (q_evt_funnel, SQL_EVT_FUNNEL),
+    "evt_cohort": (q_evt_cohort, SQL_EVT_COHORT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
