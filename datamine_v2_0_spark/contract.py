@@ -2184,6 +2184,58 @@ SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
 """
 
 
+def q_ts_gapfill(spark, sf_dir):
+    """time_bucket_gapfill + locf + interpolate (TimescaleDB family):
+    per-user daily resample of the events value with gap buckets filled
+    both ways. One bucket-agg shuffle, per-key sequence() grid (no
+    driver collect), one shared window exchange."""
+    from datamine_v2_0_spark.operators import timeseries as tsr
+
+    df = _t(spark, sf_dir, "events")
+    return tsr.resample_gapfill(df, ["user_id"], "ts", "value", 86400)
+
+
+SQL_TS_GAPFILL = """
+WITH vals AS (
+  SELECT user_id,
+         make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000 AS BIGINT))
+           AS bucket,
+         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM vals GROUP BY 1
+), grid AS (
+  SELECT user_id,
+         unnest(generate_series(mn, mx, INTERVAL 86400 SECONDS)) AS bucket
+  FROM spans
+), g AS (
+  SELECT grid.user_id, grid.bucket, vals.value
+  FROM grid LEFT JOIN vals
+    ON vals.user_id = grid.user_id AND vals.bucket = grid.bucket
+)
+SELECT user_id, bucket, value,
+  last_value(value IGNORE NULLS) OVER wp AS value_locf,
+  CASE WHEN value IS NOT NULL THEN value
+       ELSE floor((
+         last_value(value IGNORE NULLS) OVER wp
+         + (first_value(value IGNORE NULLS) OVER wn
+            - last_value(value IGNORE NULLS) OVER wp)
+           * (epoch(bucket)
+              - last_value(CASE WHEN value IS NOT NULL THEN epoch(bucket) END
+                           IGNORE NULLS) OVER wp)
+           / (first_value(CASE WHEN value IS NOT NULL THEN epoch(bucket) END
+                          IGNORE NULLS) OVER wn
+              - last_value(CASE WHEN value IS NOT NULL THEN epoch(bucket) END
+                           IGNORE NULLS) OVER wp)
+         ) * 1e6 + 0.5) / 1e6 END AS value_interp
+FROM g
+WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       wn AS (PARTITION BY user_id ORDER BY bucket
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
 def q_evt_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel: one fold over each user's
     sorted events (single shuffle) vs the oracle's k chained min-after-min
@@ -3003,6 +3055,7 @@ QUERIES: dict[str, tuple] = {
     "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
     "evt_funnel": (q_evt_funnel, SQL_EVT_FUNNEL),
     "evt_cohort": (q_evt_cohort, SQL_EVT_COHORT),
+    "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
@@ -3010,7 +3063,6 @@ QUERIES: dict[str, tuple] = {
     "text_packed_nextfit": (q_text_packed_nextfit, SQL_TEXT_PACKED_NEXTFIT),
     # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
-    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
@@ -3046,6 +3098,7 @@ QUERIES: dict[str, tuple] = {
     "sql_views": (q_sql_views, SQL_SQL_VIEWS),
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

@@ -1,0 +1,69 @@
+"""Regular-grid resample with locf / linear-interpolation gap fill."""
+
+from __future__ import annotations
+
+from datetime import datetime as dt
+
+import pytest
+
+from datamine_v2_0_spark.operators import timeseries as tsr
+
+
+def _run(spark, rows, bucket_seconds=3600, **kw):
+    df = spark.createDataFrame(rows, ["dev", "ts", "v"])
+    out = tsr.resample_gapfill(df, ["dev"], "ts", "v", bucket_seconds, **kw)
+    return {
+        (r["dev"], str(r["bucket"])): (r["value"], r["value_locf"], r["value_interp"])
+        for r in out.collect()
+    }
+
+
+def test_gapfill_fills_interior_gap(spark):
+    rows = [
+        ("a", dt(2024, 1, 1, 0, 10), 10.0),
+        ("a", dt(2024, 1, 1, 3, 20), 40.0),  # hours 1 and 2 are gaps
+    ]
+    got = _run(spark, rows)
+    assert len(got) == 4
+    raw, locf, interp = got[("a", "2024-01-01 01:00:00")]
+    assert raw is None
+    assert locf == 10.0
+    assert interp == pytest.approx(20.0, abs=1e-9)  # 10 + (40-10)*1/3
+    _, locf2, interp2 = got[("a", "2024-01-01 02:00:00")]
+    assert locf2 == 10.0
+    assert interp2 == pytest.approx(30.0, abs=1e-9)
+
+
+def test_gapfill_bucket_agg_and_edges(spark):
+    rows = [
+        ("a", dt(2024, 1, 1, 0, 5), 1.0),
+        ("a", dt(2024, 1, 1, 0, 55), 3.0),  # same bucket -> avg 2.0
+        ("a", dt(2024, 1, 1, 1, 30), 7.0),
+    ]
+    got = _run(spark, rows)
+    assert got[("a", "2024-01-01 00:00:00")] == (2.0, 2.0, 2.0)
+    assert got[("a", "2024-01-01 01:00:00")] == (7.0, 7.0, 7.0)
+    assert len(got) == 2  # grid spans observed buckets only
+
+
+def test_gapfill_per_key_grids_independent(spark):
+    rows = [
+        ("a", dt(2024, 1, 1, 0, 0), 1.0),
+        ("a", dt(2024, 1, 1, 2, 0), 3.0),
+        ("b", dt(2024, 1, 1, 5, 0), 9.0),
+    ]
+    got = _run(spark, rows)
+    a_buckets = {k for k in got if k[0] == "a"}
+    b_buckets = {k for k in got if k[0] == "b"}
+    assert len(a_buckets) == 3 and len(b_buckets) == 1
+
+
+def test_gapfill_agg_variants(spark):
+    rows = [
+        ("a", dt(2024, 1, 1, 0, 5), 1.0),
+        ("a", dt(2024, 1, 1, 0, 55), 3.0),
+    ]
+    got = _run(spark, rows, agg="max")
+    assert got[("a", "2024-01-01 00:00:00")][0] == 3.0
+    got = _run(spark, rows, agg="count")
+    assert got[("a", "2024-01-01 00:00:00")][0] == 2.0
