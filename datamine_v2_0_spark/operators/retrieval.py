@@ -64,7 +64,16 @@ def bm25_topk(
     built per Robertson et al., "Okapi at TREC-3" (1994).
     """
     tok = _tokens(docs, text_col, id_col, "term")
-    tf = tok.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the TF table is the inverted index: dl, dfreq, corpus stats, and the
+    # posting join all branch from it. Catalyst gets no exchange reuse
+    # across those branches (different downstream groupings), so without
+    # materialization the corpus scan+tokenize+TF shuffle runs 4x (plan-
+    # audited: 5 scans, 0 ReusedExchange). Build the index ONCE.
+    tf = (
+        tok.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     # doc length = sum of term frequencies; re-agg of tf, not a new scan
     dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
