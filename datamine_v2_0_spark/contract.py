@@ -2184,6 +2184,57 @@ SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank FROM (
 """
 
 
+def q_qa_validate(spark, sf_dir):
+    """Declarative data-quality report over lineitem: all scalar rules in
+    ONE conditional aggregate on a single scan; the referential rule adds
+    one broadcast anti-join branch."""
+    from datamine_v2_0_spark.operators import quality as qa
+
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    return qa.validate_table(li, [
+        {"name": "shipdate_not_null", "kind": "not_null", "col": "l_shipdate"},
+        {"name": "qty_range", "kind": "in_range", "col": "l_quantity",
+         "lo": 1.0, "hi": 40.0},
+        {"name": "returnflag_domain", "kind": "in_set", "col": "l_returnflag",
+         "values": ["A", "N", "R"]},
+        {"name": "linenumber_pos", "kind": "in_range", "col": "l_linenumber",
+         "lo": 1, "hi": 3},
+        {"name": "pk_unique", "kind": "unique",
+         "cols": ["l_orderkey", "l_linenumber"]},
+        {"name": "order_fk", "kind": "ref", "col": "l_orderkey",
+         "dim": orders, "dim_col": "o_orderkey"},
+    ])
+
+
+SQL_QA_VALIDATE = """
+SELECT 'shipdate_not_null' AS rule, 'not_null' AS kind,
+       COUNT(*) FILTER (WHERE l_shipdate IS NULL) AS violations FROM lineitem
+UNION ALL
+SELECT 'qty_range', 'in_range',
+       COUNT(*) FILTER (WHERE l_quantity IS NOT NULL
+                        AND l_quantity NOT BETWEEN 1.0 AND 40.0) FROM lineitem
+UNION ALL
+SELECT 'returnflag_domain', 'in_set',
+       COUNT(*) FILTER (WHERE l_returnflag IS NOT NULL
+                        AND l_returnflag NOT IN ('A','N','R')) FROM lineitem
+UNION ALL
+SELECT 'linenumber_pos', 'in_range',
+       COUNT(*) FILTER (WHERE l_linenumber IS NOT NULL
+                        AND l_linenumber NOT BETWEEN 1 AND 3) FROM lineitem
+UNION ALL
+SELECT 'pk_unique', 'unique',
+       COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                        AND l_linenumber IS NOT NULL)
+       - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+UNION ALL
+SELECT 'order_fk', 'ref',
+       COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
+                        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+FROM lineitem
+"""
+
+
 def q_ts_gapfill(spark, sf_dir):
     """time_bucket_gapfill + locf + interpolate (TimescaleDB family):
     per-user daily resample of the events value with gap buckets filled
@@ -3056,6 +3107,7 @@ QUERIES: dict[str, tuple] = {
     "evt_funnel": (q_evt_funnel, SQL_EVT_FUNNEL),
     "evt_cohort": (q_evt_cohort, SQL_EVT_COHORT),
     "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
+    "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
@@ -3065,7 +3117,6 @@ QUERIES: dict[str, tuple] = {
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
-    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
@@ -3098,6 +3149,7 @@ QUERIES: dict[str, tuple] = {
     "sql_views": (q_sql_views, SQL_SQL_VIEWS),
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
