@@ -1244,6 +1244,36 @@ WHERE COALESCE(c.group_id, d.doc_id) = d.doc_id""",
 )
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric n-gram containment pairs (subset-duplication detector:
+    quotes/excerpts that Jaccard misses on size-mismatched pairs)."""
+    df = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs_inverted(df, "text", "doc_id", threshold=0.3)
+
+
+SQL_DEDUP_CONTAINMENT = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                        for i in generate_series(1, len(w) - 2)]) AS g
+  FROM norm WHERE len(w) >= 3
+), ex AS (
+  SELECT doc_id, len(g) AS sz, unnest(g) AS s FROM sh
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(a.sz), 6) AS cont_a_in_b,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(b.sz), 6) AS cont_b_in_a
+FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(a.sz) >= 0.3
+    OR CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(b.sz) >= 0.3
+"""
+
+
 def q_dedup_against(spark, sf_dir):
     """Cross-corpus near-dedup: even doc_ids are the 'fresh crawl', odd
     doc_ids the existing corpus; drop fresh docs with n-gram Jaccard >=
@@ -3095,6 +3125,7 @@ QUERIES: dict[str, tuple] = {
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
     "dedup_against": (q_dedup_against, SQL_DEDUP_AGAINST),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
     "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),
@@ -3109,7 +3140,6 @@ QUERIES: dict[str, tuple] = {
     "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
     "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "text_packed_nextfit": (q_text_packed_nextfit, SQL_TEXT_PACKED_NEXTFIT),
@@ -3150,6 +3180,7 @@ QUERIES: dict[str, tuple] = {
     "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

@@ -360,6 +360,69 @@ def jaccard_pairs_inverted(
     )
 
 
+def containment_pairs_inverted(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Asymmetric n-gram containment pairs via the same inverted-index
+    join as :func:`jaccard_pairs_inverted`:
+    ``cont_a_in_b = |A∩B| / |A|`` and ``cont_b_in_a = |A∩B| / |B|``.
+
+    Containment is the subset-duplication detector Jaccard structurally
+    misses: a 100-word quote fully embedded in a 10k-word article has
+    Jaccard ≈ 0.01 but containment 1.0 (Broder 1997 distinguishes the
+    two resemblance measures). Pairs emit when EITHER direction clears
+    ``threshold``; both scores are returned so callers can pick the
+    smaller doc as the duplicate."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
+    ).filter(F.size("__g") > 0)
+    if max_shingle_freq is None:
+        ex = sh.select(
+            F.col(id_col), F.size("__g").alias("__sz"), F.explode("__g").alias("__s")
+        )
+    else:
+        ex = sh.select(F.col(id_col), F.explode("__g").alias("__s"))
+        rare = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")).filter(
+            F.col("__df") <= max_shingle_freq
+        )
+        ex = ex.join(rare.select("__s"), "__s")
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+        ex = ex.join(sizes, id_col)
+    a = ex.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
+    )
+    b = ex.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s"
+    )
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.first("__sza").alias("__sza"),
+            F.first("__szb").alias("__szb"),
+        )
+    )
+    ca = F.col("__i") / F.col("__sza")
+    cb = F.col("__i") / F.col("__szb")
+    return (
+        inter.filter((ca >= threshold) | (cb >= threshold))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(ca, round_to).alias("cont_a_in_b"),
+            F.round(cb, round_to).alias("cont_b_in_a"),
+        )
+    )
+
+
 def embedding_neardup_pairs(
     df: DataFrame,
     vec_col: str,

@@ -792,3 +792,20 @@ def test_dedup_against_plan_no_cartesian(spark):
     assert not has_cartesian(
         dd.dedup_against(new, ref, "text", "doc_id", method="near")
     )
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    quote = "the quick brown fox jumps over the lazy dog near the river bank"
+    article = quote + " " + " ".join(f"filler{i} word{i} extra{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=quote), Row(doc_id=2, text=article)]
+    )
+    got = dd.containment_pairs_inverted(df, "text", "doc_id", threshold=0.9).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    assert r["cont_a_in_b"] == 1.0        # the quote is fully contained
+    assert r["cont_b_in_a"] < 0.2         # the article is not
+    # Jaccard on the same pair is far below any dedup threshold
+    j = dd.jaccard_pairs_inverted(df, "text", "doc_id", threshold=0.0).collect()
+    assert j and j[0]["jaccard"] < 0.15
