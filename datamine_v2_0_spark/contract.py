@@ -199,6 +199,43 @@ SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id HAVING COUNT(*) >= 10
 """
 
 
+def q_agg_hopping(spark, sf_dir):
+    """Hopping-window rollup: 1-hour windows sliding every 15 minutes
+    (each event lands in 4 windows)."""
+    out = agg.hopping_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        "15 minutes",
+        [
+            (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_value"),
+            F.count(F.lit(1)).alias("n"),
+        ],
+    )
+    return out.select(
+        F.col("window_start").cast("string").alias("window_start"),
+        "avg_value",
+        "n",
+    )
+
+
+SQL_AGG_HOPPING = """
+WITH e AS (
+  SELECT value, epoch(ts) AS sec FROM events
+), x AS (
+  SELECT e.value,
+         make_timestamp(CAST((floor(sec / 900) - t.j) * 900 * 1000000 AS BIGINT))
+           AS window_start
+  FROM e, LATERAL unnest(generate_series(0, 3)) AS t(j)
+  WHERE (floor(sec / 900) - t.j) * 900 > sec - 3600
+)
+SELECT CAST(window_start AS VARCHAR) AS window_start,
+       floor(AVG(value) * 1e6 + 0.5) / 1e6 AS avg_value,
+       COUNT(*) AS n
+FROM x GROUP BY 1
+"""
+
+
 def q_agg_tumbling(spark, sf_dir):
     out = agg.tumbling_agg(
         _t(spark, sf_dir, "events"),
@@ -3139,6 +3176,7 @@ QUERIES: dict[str, tuple] = {
     "evt_cohort": (q_evt_cohort, SQL_EVT_COHORT),
     "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
     "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
+    "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
@@ -3151,7 +3189,6 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
-    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     # --- new in r3: corpus-curation operators ---------------------------
@@ -3181,6 +3218,7 @@ QUERIES: dict[str, tuple] = {
     "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
     "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

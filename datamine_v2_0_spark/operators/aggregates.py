@@ -236,6 +236,34 @@ def tumbling_agg(
     )
 
 
+def hopping_agg(
+    df: DataFrame,
+    ts: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Hopping (sliding) window aggregation: each event contributes to
+    ``duration/slide`` overlapping windows, start-aligned to the slide.
+    The batch counterpart of the streaming sliding window — same
+    ``F.window(ts, duration, slide)`` bucketing, so batch and stream
+    rollups agree bucket-for-bucket.
+
+    Emits ``window_start``. Plan: the window expansion is a Generate
+    (explode) of the per-row bucket list, then one hash-agg shuffle —
+    shuffle volume is duration/slide × input, the unavoidable cost of
+    overlapping windows (pre-aggregate per slide-granule and re-window
+    if that multiplier ever dominates)."""
+    win = F.window(ts, duration, slide)
+    return (
+        df.groupBy(*extra_keys, win.alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
 def refresh_tumbling(
     materialized: DataFrame,
     raw: DataFrame,

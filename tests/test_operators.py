@@ -809,3 +809,25 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # Jaccard on the same pair is far below any dedup threshold
     j = dd.jaccard_pairs_inverted(df, "text", "doc_id", threshold=0.0).collect()
     assert j and j[0]["jaccard"] < 0.15
+
+
+def test_hopping_agg_overlap(spark):
+    from datetime import datetime as dt
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [(dt(2024, 1, 1, 0, 20), 10.0), (dt(2024, 1, 1, 0, 50), 30.0)],
+        ["ts", "value"],
+    )
+    out = agg.hopping_agg(
+        df, "ts", "1 hour", "15 minutes",
+        [F.avg("value").alias("v"), F.count(F.lit(1)).alias("n")],
+    ).collect()
+    got = {str(r["window_start"]): (r["v"], r["n"]) for r in out}
+    # every event belongs to exactly 4 windows (1h / 15m); the :20 event
+    # spans starts 23:30-00:15, the :50 event spans 00:00-00:45
+    assert len(got) == 6
+    assert got["2024-01-01 00:00:00"] == (20.0, 2)
+    assert got["2024-01-01 00:15:00"] == (20.0, 2)
+    assert got["2023-12-31 23:45:00"] == (10.0, 1)   # only the :20 event
+    assert got["2024-01-01 00:45:00"] == (30.0, 1)   # only the :50 event
