@@ -42,6 +42,29 @@ def streaming_tumbling_agg(
     )
 
 
+def streaming_hopping_agg(
+    stream: DataFrame,
+    ts: str,
+    duration: str,
+    slide: str,
+    aggs: Sequence[Column],
+    watermark: str = "10 seconds",
+    extra_keys: Sequence[str] = (),
+) -> DataFrame:
+    """Sliding (hopping) windows over event time with a late-data
+    watermark — the streaming twin of
+    :func:`operators.aggregates.hopping_agg`: identical
+    ``F.window(ts, duration, slide)`` bucketing, so a micro-batch
+    rollup and the batch rollup agree window-for-window."""
+    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
+    return (
+        src.groupBy(*extra_keys, F.window(ts, duration, slide).alias("w"))
+        .agg(*aggs)
+        .withColumn("window_start", F.col("w.start"))
+        .drop("w")
+    )
+
+
 def streaming_dedup(
     stream: DataFrame, key_cols: Sequence[str], ts: str, watermark: str = "1 hour"
 ) -> DataFrame:

@@ -12,6 +12,7 @@ from pyspark.sql import Row, functions as F
 from datamine_v2_0_spark.streaming.ops import (
     streaming_dedup,
     streaming_session_windows,
+    streaming_hopping_agg,
     streaming_tumbling_agg,
 )
 
@@ -68,6 +69,36 @@ def test_streaming_tumbling_matches_batch(spark, stream_src):
     }
     assert got == expected
     assert T0 in got and got[T0][0] == 4  # 0,1,2 + the dup at 1
+
+
+def test_streaming_hopping_matches_batch_operator(spark, stream_src):
+    """The streaming sliding window and the batch hopping_agg must agree
+    window-for-window (identical F.window bucketing)."""
+    from datamine_v2_0_spark.operators.aggregates import hopping_agg
+
+    def xform(df):
+        return streaming_hopping_agg(
+            df, "ts", "10 seconds", "5 seconds",
+            [F.count(F.lit(1)).alias("n"), F.round(F.avg("v"), 6).alias("avg_v")],
+            extra_keys=["k"],
+        )
+
+    got = {
+        r["window_start"].replace(tzinfo=timezone.utc): (r["n"], r["avg_v"])
+        for r in _run_stream(spark, stream_src, xform).collect()
+    }
+    batch = spark.read.parquet(stream_src)
+    expected = {
+        r["window_start"].replace(tzinfo=timezone.utc): (r["n"], r["avg_v"])
+        for r in hopping_agg(
+            batch, "ts", "10 seconds", "5 seconds",
+            [F.count(F.lit(1)).alias("n"), F.round(F.avg("v"), 6).alias("avg_v")],
+            extra_keys=["k"],
+        ).collect()
+    }
+    assert got == expected
+    # every event lands in exactly 2 windows (10s / 5s)
+    assert sum(n for n, _ in got.values()) == 2 * 9
 
 
 def test_streaming_dedup(spark, stream_src):
