@@ -549,6 +549,41 @@ GROUP BY c_mktsegment
 """
 
 
+def q_join_range_bin(spark, sf_dir):
+    """Key-free big-big range join via time-axis binning: 104 synthetic
+    30-minute maintenance windows (every 7 h over Jan 2024) vs the event
+    stream — no broadcast, no nested loop; the bin explode turns the
+    range predicate into an equi shuffle join."""
+    ev = _t(spark, sf_dir, "events")
+    base = 1704067200  # 2024-01-01 00:00:00 UTC
+    iv = spark.range(0, 104).select(
+        F.col("id").alias("window_id"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 25200).alias("w_start"),
+        F.timestamp_seconds(F.lit(base) + F.col("id") * 25200 + 1800).alias("w_end"),
+    )
+    joined = jn.range_bin_join(ev, iv, "ts", "w_start", "w_end", 3600)
+    return joined.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("avg_value"),
+    )
+
+
+SQL_JOIN_RANGE_BIN = """
+WITH iv AS (
+  SELECT i AS window_id,
+         make_timestamp(CAST((1704067200 + i*25200) AS BIGINT) * 1000000)
+           AS w_start,
+         make_timestamp(CAST((1704067200 + i*25200 + 1800) AS BIGINT) * 1000000)
+           AS w_end
+  FROM generate_series(0, 103) AS t(i)
+)
+SELECT iv.window_id, COUNT(*) AS n,
+       floor(AVG(e.value) * 1e6 + 0.5) / 1e6 AS avg_value
+FROM events e JOIN iv ON e.ts BETWEEN iv.w_start AND iv.w_end
+GROUP BY 1
+"""
+
+
 def q_join_interval(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     iv = _t(spark, sf_dir, "orders").select(
@@ -3177,6 +3212,7 @@ QUERIES: dict[str, tuple] = {
     "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
     "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
+    "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
@@ -3189,7 +3225,6 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
-    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     # --- new in r3: corpus-curation operators ---------------------------
     "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
@@ -3219,6 +3254,7 @@ QUERIES: dict[str, tuple] = {
     "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
+    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

@@ -174,6 +174,51 @@ def overlap_join(
     return left.join(r, cond, how)
 
 
+def range_bin_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts: str,
+    start: str,
+    end: str,
+    bin_seconds: int,
+    keys: Sequence[tuple[str, str]] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Big-big point-in-interval join without broadcast: bin the time
+    axis. Each point maps to ONE bucket; each interval explodes to every
+    bucket it covers (replication ≈ span/bin + 1); the join is then an
+    equi shuffle join on (bucket, keys) with the exact containment
+    predicate as a post-filter. Because a point owns exactly one bucket,
+    no pair can match twice — no dedup pass needed, and ``how='left'``
+    keeps unmatched points exactly once.
+
+    This is the standard range-join binning technique (e.g. the
+    Databricks range-join hint); vanilla Spark otherwise plans a
+    broadcast-nested-loop for pure range predicates. Pick
+    ``bin_seconds`` near the median interval span: too small inflates
+    interval replication, too large inflates the post-filter's false
+    candidates.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"how must be inner/left, got {how!r}")
+    b = F.lit(int(bin_seconds)).cast("long")
+    p = points.withColumn("__bin", F.floor(F.unix_timestamp(F.col(ts)) / b))
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_timestamp(F.col(start)) / b),
+                F.floor(F.unix_timestamp(F.col(end)) / b),
+            )
+        ),
+    )
+    cond = p["__bin"] == iv["__bin"]
+    for pk, ik in keys:
+        cond = cond & (p[pk] == iv[ik])
+    cond = cond & p[ts].between(iv[start], iv[end])
+    return p.join(iv, cond, how).drop("__bin")
+
+
 def fraction_of_total(
     df: DataFrame, keys: Sequence[str], round_to: int = 4
 ) -> DataFrame:

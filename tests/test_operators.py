@@ -831,3 +831,43 @@ def test_hopping_agg_overlap(spark):
     assert got["2024-01-01 00:15:00"] == (20.0, 2)
     assert got["2023-12-31 23:45:00"] == (10.0, 1)   # only the :20 event
     assert got["2024-01-01 00:45:00"] == (30.0, 1)   # only the :50 event
+
+
+def test_range_bin_join_matches_naive_and_plans_equi(spark):
+    from datetime import datetime as dt
+
+    points = spark.createDataFrame(
+        [(i, dt(2024, 1, 1, 0, m)) for i, m in enumerate([5, 20, 35, 50, 59])],
+        ["pid", "ts"],
+    )
+    iv = spark.createDataFrame(
+        [(100, dt(2024, 1, 1, 0, 15), dt(2024, 1, 1, 0, 40)),
+         (200, dt(2024, 1, 1, 0, 55), dt(2024, 1, 1, 1, 30)),
+         (300, dt(2024, 1, 2, 9, 0), dt(2024, 1, 2, 10, 0))],
+        ["wid", "s", "e"],
+    )
+    out = jn.range_bin_join(points, iv, "ts", "s", "e", 600)
+    got = sorted((r["pid"], r["wid"]) for r in out.collect())
+    assert got == [(1, 100), (2, 100), (4, 200)]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan and "CartesianProduct" not in plan
+
+    # left join keeps unmatched points exactly once
+    left = jn.range_bin_join(points, iv, "ts", "s", "e", 600, how="left")
+    rows = left.collect()
+    assert len(rows) == 5
+    assert sum(1 for r in rows if r["wid"] is None) == 2  # pids 0 and 3
+
+
+def test_range_bin_join_interval_spanning_many_bins(spark):
+    from datetime import datetime as dt
+
+    points = spark.createDataFrame(
+        [(1, dt(2024, 1, 1, 3, 0)), (2, dt(2024, 1, 1, 23, 0))], ["pid", "ts"]
+    )
+    iv = spark.createDataFrame(
+        [(9, dt(2024, 1, 1, 0, 0), dt(2024, 1, 1, 12, 0))], ["wid", "s", "e"]
+    )
+    # 1-hour bins, 12-hour interval: replicated 13x, still exactly one match
+    out = jn.range_bin_join(points, iv, "ts", "s", "e", 3600).collect()
+    assert [(r["pid"], r["wid"]) for r in out] == [(1, 9)]
