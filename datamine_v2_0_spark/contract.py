@@ -702,6 +702,52 @@ QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, p_ts) = 1
 """
 
 
+def q_join_asof_merge(spark, sf_dir):
+    """Big-big as-of via union-merge (one shuffle, zero join operators):
+    same backward at-or-before semantics as join_asof_backward but ALL
+    left rows survive (NULLs outside tolerance); oracle = DuckDB's
+    native ASOF LEFT JOIN with a tolerance gate."""
+    ev = _t(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("p_event_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    m = jn.asof_merge_join(
+        errors, purchases, ["user_id"], "ts", "p_ts",
+        ["p_event_id", "p_ts"], tolerance_seconds=3600.0,
+    )
+    return m.select(
+        "event_id",
+        F.col("asof_p_event_id").alias("p_event_id"),
+        (
+            (F.unix_micros("ts") - F.unix_micros("asof_p_ts")).cast("double")
+            / 1e6
+        ).alias("delta_s"),
+    )
+
+
+SQL_JOIN_ASOF_MERGE = """
+WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+     p AS (SELECT user_id, event_id AS p_event_id, ts AS p_ts
+           FROM events WHERE event_type = 'purchase'),
+     j AS (
+       SELECT e.event_id, p.p_event_id,
+              CAST(date_diff('microsecond', p.p_ts, e.ts) AS DOUBLE)
+                  / 1000000.0 AS d
+       FROM e ASOF LEFT JOIN p
+         ON e.user_id = p.user_id AND e.ts >= p.p_ts
+     )
+SELECT event_id,
+       CASE WHEN d <= 3600.0 THEN p_event_id END AS p_event_id,
+       CASE WHEN d <= 3600.0 THEN d END AS delta_s
+FROM j
+"""
+
+
 def q_join_overlap(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     a = o.select(
@@ -3213,6 +3259,7 @@ QUERIES: dict[str, tuple] = {
     "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
     "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
+    "join_asof_merge": (q_join_asof_merge, SQL_JOIN_ASOF_MERGE),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
@@ -3225,7 +3272,6 @@ QUERIES: dict[str, tuple] = {
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
-    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     # --- new in r3: corpus-curation operators ---------------------------
     "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
     "filt_hash_split": (q_filt_hash_split, SQL_FILT_HASH_SPLIT),
@@ -3255,6 +3301,7 @@ QUERIES: dict[str, tuple] = {
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
+    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

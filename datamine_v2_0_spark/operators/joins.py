@@ -151,6 +151,79 @@ def asof_nearest_join(
     )
 
 
+def asof_merge_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    tolerance_seconds: float | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """Big-big as-of join with NO join operator: the union-merge form.
+
+    Right rows become value carriers; both sides union, sort per key by
+    time (right before left at equal timestamps, so 'at-or-before' is
+    inclusive), and one window pass forward-fills the latest carried
+    value onto each left row — ONE shuffle on ``keys``, no broadcast, no
+    nested loop, no row explosion. This is the scale path when both
+    sides are large (the broadcast rank-1 form in
+    :func:`asof_nearest_join` stays the low-latency path for small
+    right sides). ``direction='forward'`` mirrors with a backward fill.
+
+    ``keys`` are common column names; ``value_cols`` are the right
+    columns to carry; rows beyond ``tolerance_seconds`` get NULLs.
+    Right timestamps must be unique per key for deterministic output
+    (ties otherwise carry the later union order).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward/forward, got {direction!r}")
+    keys = list(keys)
+    value_cols = list(value_cols)
+    rl = right.select(
+        *keys,
+        F.col(right_ts).alias("__t"),
+        F.lit(0).alias("__src"),
+        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+    )
+    ll = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
+    for c in value_cols:
+        ll = ll.withColumn(f"__v_{c}", F.lit(None).cast(dict(rl.dtypes)[f"__v_{c}"]))
+    u = ll.unionByName(rl, allowMissingColumns=True)
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__src").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
+        rt = F.last(F.when(F.col("__src") == 0, F.col("__t")), True).over(w)
+        gap = F.unix_micros(F.col("__t")) - F.unix_micros(rt)
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col("__t").asc(), F.col("__src").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
+        rt = F.first(F.when(F.col("__src") == 0, F.col("__t")), True).over(w)
+        gap = F.unix_micros(rt) - F.unix_micros(F.col("__t"))
+    within = (
+        F.lit(True)
+        if tolerance_seconds is None
+        else (gap.cast("double") / 1e6 <= F.lit(float(tolerance_seconds)))
+    )
+    out = u
+    for c in value_cols:
+        out = out.withColumn(f"__f_{c}", F.when(within, pick(f"__v_{c}")))
+    out = out.filter(F.col("__src") == 1)
+    keep = [col for col in left.columns] + [
+        F.col(f"__f_{c}").alias(f"asof_{c}") for c in value_cols
+    ]
+    return out.select(*keep)
+
+
 def overlap_join(
     left: DataFrame,
     right: DataFrame,

@@ -871,3 +871,55 @@ def test_range_bin_join_interval_spanning_many_bins(spark):
     # 1-hour bins, 12-hour interval: replicated 13x, still exactly one match
     out = jn.range_bin_join(points, iv, "ts", "s", "e", 3600).collect()
     assert [(r["pid"], r["wid"]) for r in out] == [(1, 9)]
+
+
+def test_asof_merge_backward_semantics(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 10, 0)), (2, "u", dt(2024, 1, 1, 12, 0)),
+         (3, "u", dt(2024, 1, 1, 9, 0)), (4, "v", dt(2024, 1, 1, 10, 0))],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 1, 9, 30), 100), ("u", dt(2024, 1, 1, 11, 0), 200),
+         ("v", dt(2024, 1, 1, 10, 0), 300)],
+        ["k", "rts", "val"],
+    )
+    out = jn.asof_merge_join(left, right, ["k"], "ts", "rts", ["val"])
+    got = {r["lid"]: r["asof_val"] for r in out.collect()}
+    assert got == {1: 100, 2: 200, 3: None, 4: 300}  # 4: equal ts inclusive
+
+
+def test_asof_merge_forward_and_tolerance(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 10, 0)), (2, "u", dt(2024, 1, 1, 23, 0))],
+        ["lid", "k", "ts"],
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 1, 10, 30), 7)], ["k", "rts", "val"]
+    )
+    fwd = jn.asof_merge_join(left, right, ["k"], "ts", "rts", ["val"], direction="forward")
+    got = {r["lid"]: r["asof_val"] for r in fwd.collect()}
+    assert got == {1: 7, 2: None}  # forward: at-or-after only
+    tol = jn.asof_merge_join(
+        left, right, ["k"], "ts", "rts", ["val"],
+        direction="forward", tolerance_seconds=60.0,
+    )
+    got = {r["lid"]: r["asof_val"] for r in tol.collect()}
+    assert got == {1: None, 2: None}  # 30 min gap > 60 s tolerance
+
+
+def test_asof_merge_plan_single_shuffle_no_join(spark):
+    from datetime import datetime as dt
+
+    left = spark.createDataFrame([(1, "u", dt(2024, 1, 1))], ["lid", "k", "ts"])
+    right = spark.createDataFrame([("u", dt(2024, 1, 1), 1)], ["k", "rts", "val"])
+    out = jn.asof_merge_join(left, right, ["k"], "ts", "rts", ["val"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "BroadcastNestedLoopJoin",
+                 "CartesianProduct"):
+        assert node not in plan
+    assert plan.count("Exchange hashpartitioning") == 1
