@@ -2435,6 +2435,35 @@ WINDOW wp AS (PARTITION BY user_id ORDER BY bucket
 """
 
 
+def q_scalar_json(spark, sf_dir):
+    """Typed JSON path extraction over the events props column, rolled
+    up per event type — the (props ->> 'k')::int shape."""
+    from datamine_v2_0_spark.functions.scalars import json_extract_typed
+
+    ev = _t(spark, sf_dir, "events")
+    k = json_extract_typed(F.col("props"), "$.k", "int")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        (F.floor(F.avg(k) * 1e6 + F.lit(0.5)) / 1e6).alias("avg_k"),
+    )
+
+
+SQL_SCALAR_JSON = """
+SELECT event_type,
+       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       floor(AVG(CAST(json_extract_string(props, '$.k') AS INT)) * 1e6 + 0.5)
+         / 1e6 AS avg_k
+FROM events GROUP BY event_type
+"""
+
+
 def q_evt_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel: one fold over each user's
     sorted events (single shuffle) vs the oracle's k chained min-after-min
@@ -3260,6 +3289,7 @@ QUERIES: dict[str, tuple] = {
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
     "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
     "join_asof_merge": (q_join_asof_merge, SQL_JOIN_ASOF_MERGE),
+    "scalar_json": (q_scalar_json, SQL_SCALAR_JSON),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
@@ -3275,7 +3305,6 @@ QUERIES: dict[str, tuple] = {
     # --- new in r3: corpus-curation operators ---------------------------
     "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
     "filt_hash_split": (q_filt_hash_split, SQL_FILT_HASH_SPLIT),
-    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
@@ -3302,6 +3331,7 @@ QUERIES: dict[str, tuple] = {
     "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
     "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
+    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

@@ -126,3 +126,11 @@ def bool_from_text(col: Column) -> Column:
         .when(norm.isin("f", "false", "0", "no", "n"), F.lit(False))
         .otherwise(F.lit(None).cast("boolean"))
     )
+
+
+def json_extract_typed(col: Column, path: str, dtype: str) -> Column:
+    """Typed JSON path extraction: ``get_json_object`` (SQL JSONPath
+    ``$.field`` form) cast to ``dtype``; invalid JSON, a missing path,
+    or an uncastable value all yield NULL — the Postgres
+    ``(props ->> 'k')::int`` shape the reference's JSONB columns imply."""
+    return F.get_json_object(col, path).cast(dtype)

@@ -181,3 +181,20 @@ def test_wkt_point_roundtrip_and_edges(spark):
     assert back[0]["p"]["lon"] == -105.123457 and back[0]["p"]["alt"] == 1609.3
     assert back[1]["p"]["lat"] == 2.5 and back[1]["p"]["alt"] is None
     assert back[2]["p"]["lon"] is None
+
+
+def test_json_extract_typed(spark):
+    from datamine_v2_0_spark.functions.scalars import json_extract_typed
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [('{"k": 7, "s": "x"}',), ('{"s": "no k"}',), ("not json",), (None,)],
+        ["props"],
+    )
+    got = df.select(
+        json_extract_typed(F.col("props"), "$.k", "int").alias("k"),
+        json_extract_typed(F.col("props"), "$.s", "string").alias("s"),
+    ).collect()
+    assert [(r["k"], r["s"]) for r in got] == [
+        (7, "x"), (None, "no k"), (None, None), (None, None),
+    ]
