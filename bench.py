@@ -40,6 +40,10 @@ HEADLINE = [
     "text_tfidf",            # TF-IDF top terms
     "text_bm25",             # BM25 inverted-index retrieval
     "dedup_against",         # cross-corpus near-dedup
+    "join_asof_merge",       # union-merge as-of (one shuffle, no join)
+    "join_range_bin",        # binned range join (no broadcast)
+    "ts_gapfill",            # gapfill resample + locf/interpolate
+    "evt_funnel",            # ordered funnel via one HOF fold
     "win_sessionize",        # gaps-and-islands sessionization
     "join_interval_priority",  # interval labeling + priority resolve
     "pipeline_silver",       # full silver transform chain
