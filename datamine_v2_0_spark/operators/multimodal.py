@@ -136,6 +136,53 @@ def _decode_image(payload: bytes) -> np.ndarray:
     )
 
 
+def _decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """Pure-stdlib PCM WAV decode (the audio twin of the PPM/BMP image
+    parsers): returns (mono float64 samples in [-1, 1], framerate,
+    n_channels). 8/16/32-bit PCM; compressed WAV raises ValueError."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            nch = w.getnchannels()
+            sw = w.getsampwidth()
+            fr = w.getframerate()
+            raw = w.readframes(w.getnframes())
+    except wave.Error as ex:
+        raise ValueError(f"unsupported audio payload: {ex}") from ex
+    if sw not in (1, 2, 4):
+        raise ValueError(f"unsupported PCM sample width {sw}")
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}[sw]
+    arr = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sw == 1:
+        arr = arr - 128.0  # 8-bit WAV is unsigned
+    arr = arr / {1: 128.0, 2: 32768.0, 4: 2147483648.0}[sw]
+    if nch > 1:
+        arr = arr.reshape(-1, nch).mean(axis=1)
+    return arr, fr, nch
+
+
+def _audio_features(payload: bytes, k: int = 8) -> list[float]:
+    """Signal-level WAV features: duration, rate, channels, RMS, peak,
+    zero-crossing rate, DC offset, sample count."""
+    arr, fr, nch = _decode_wav(payload)
+    if arr.size == 0:
+        return [0.0] * k
+    zcr = float((np.diff(np.signbit(arr)) != 0).mean()) if arr.size > 1 else 0.0
+    feats = [
+        float(arr.size) / fr,
+        float(fr),
+        float(nch),
+        float(np.sqrt((arr ** 2).mean())),
+        float(np.abs(arr).max()),
+        zcr,
+        float(arr.mean()),
+        float(arr.size),
+    ]
+    return [round(v, 6) for v in feats[:k]]
+
+
 def _fake_features(payload: bytes, k: int = 8) -> list[float]:
     """Deterministic fake 'embedding': byte histogram moments. Stands in
     for a real decode+featurize so the distributed plumbing is testable."""
@@ -192,6 +239,8 @@ def extract_media_features(
                     # problem: emit null features instead of killing the
                     # whole job on one bad row
                     feats = None
+                elif mtype == "audio":
+                    feats = _audio_features(payload)
                 else:
                     feats = [float(v) for v in _decode_image(payload).ravel()[:8]]
                 rows.append(

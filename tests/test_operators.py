@@ -923,3 +923,54 @@ def test_asof_merge_plan_single_shuffle_no_join(spark):
                  "CartesianProduct"):
         assert node not in plan
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def _tiny_wav(freq=440.0, rate=8000, n=800, channels=1) -> bytes:
+    import io
+    import math
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        frames = bytearray()
+        for i in range(n):
+            s = int(16000 * math.sin(2 * math.pi * freq * i / rate))
+            frames += struct.pack("<h", s) * channels
+        w.writeframes(bytes(frames))
+    return buf.getvalue()
+
+
+def test_decode_wav_features():
+    wav = _tiny_wav()
+    arr, fr, nch = mm._decode_wav(wav)
+    assert fr == 8000 and nch == 1 and arr.size == 800
+    assert abs(arr).max() <= 1.0
+    feats = mm._audio_features(wav)
+    dur, rate, ch, rms, peak, zcr, dc, n = feats
+    assert dur == pytest.approx(0.1, abs=1e-6)       # 800 / 8000
+    assert rate == 8000.0 and ch == 1.0 and n == 800.0
+    # full-scale-ish sine: rms ~ A/sqrt(2), zcr ~ 2f/rate
+    assert rms == pytest.approx(16000 / 32768 / 2 ** 0.5, rel=0.01)
+    assert zcr == pytest.approx(2 * 440 / 8000, rel=0.05)
+    assert abs(dc) < 1e-3
+    # stereo mixes down
+    arr2, _, nch2 = mm._decode_wav(_tiny_wav(channels=2))
+    assert nch2 == 2 and arr2.size == 800
+    with pytest.raises(ValueError):
+        mm._decode_wav(b"RIFFnotawav")
+
+
+def test_multimodal_audio_decode_end_to_end(spark):
+    wav = _tiny_wav()
+    media = spark.createDataFrame(
+        [(1, "audio", wav.decode("latin-1")), (2, "image", _tiny_ppm().decode("latin-1"))],
+        "media_id long, media_type string, payload string",
+    )
+    got = {r["media_id"]: r for r in
+           mm.extract_media_features(media, decode_stub=False).collect()}
+    assert got[1]["features"][1] == 8000.0            # framerate slot
+    assert got[2]["features"] == [float(v) for v in range(100, 180, 10)]
