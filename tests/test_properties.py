@@ -222,3 +222,60 @@ def test_hash_split_assignment_total_function(weights, doc_id):
     if label is None:
         label = weights[-1][0]
     assert label in [n for n, _ in weights]
+
+
+def test_asof_merge_equals_broadcast_rank1_on_random_data(spark):
+    """The union-merge as-of (one shuffle, zero joins) and the broadcast
+    rank-1 as-of must produce identical matches on randomized data —
+    two independent implementations cross-validating each other."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from datamine_v2_0_spark.operators import joins as jn
+
+    rng = random.Random(7)
+    base = datetime(2024, 1, 1)
+    keys = ["a", "b", "c"]
+    left = [
+        (i, rng.choice(keys), base.replace(hour=rng.randrange(24),
+                                           minute=rng.randrange(60),
+                                           second=rng.randrange(60)))
+        for i in range(120)
+    ]
+    # unique right timestamps per key (determinism precondition)
+    right = []
+    seen = set()
+    for j in range(60):
+        k = rng.choice(keys)
+        ts = base.replace(hour=rng.randrange(24), minute=rng.randrange(60),
+                          second=rng.randrange(60))
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        right.append((k, ts, float(j)))
+    ldf = spark.createDataFrame(left, ["lid", "k", "ts"])
+    rdf = spark.createDataFrame(right, ["k", "rts", "val"])
+
+    merged = {
+        r["lid"]: r["asof_val"]
+        for r in jn.asof_merge_join(
+            ldf, rdf, ["k"], "ts", "rts", ["val"],
+            tolerance_seconds=7200.0,
+        ).collect()
+    }
+    rank1 = {
+        r["lid"]: r["val"]
+        for r in jn.asof_nearest_join(
+            ldf,
+            rdf.select(F.col("k").alias("rk"), "rts", "val"),
+            [("k", "rk")],
+            "ts", "rts", 7200.0, "lid", direction="backward",
+        ).collect()
+    }
+    assert len(merged) == 120  # every left row survives the merge form
+    for lid, val in merged.items():
+        if val is None:
+            assert lid not in rank1  # inner rank-1 drops unmatched
+        else:
+            assert rank1[lid] == val
