@@ -2464,6 +2464,32 @@ FROM events GROUP BY event_type
 """
 
 
+def q_win_rolling_corr(spark, sf_dir):
+    """Trailing-100-row rolling Pearson correlation of value vs time per
+    user — a windowed trend-strength signal. Epoch is re-based to the
+    corpus start so both engines' co-moment accumulations stay
+    well-conditioned; floor-quantized at 6 dp."""
+    ev = _t(spark, sf_dir, "events")
+    w = win.ordered_window(["user_id"], ["ts", "event_id"])
+    x = (F.unix_micros("ts").cast("double") / 1e6) - F.lit(1704067200.0)
+    c = win.rolling_corr(F.col("value"), x, w, 99, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (F.floor(c * 1e6 + F.lit(0.5)) / 1e6).alias("trend_corr"),
+    )
+
+
+SQL_WIN_ROLLING_CORR = """
+SELECT event_id, user_id,
+       floor(corr(value, epoch(ts) - 1704067200.0) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 99 PRECEDING AND CURRENT ROW
+       ) * 1e6 + 0.5) / 1e6 AS trend_corr
+FROM events
+"""
+
+
 def q_evt_funnel(spark, sf_dir):
     """Ordered view->click->purchase funnel: one fold over each user's
     sorted events (single shuffle) vs the oracle's k chained min-after-min
@@ -3290,6 +3316,7 @@ QUERIES: dict[str, tuple] = {
     "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
     "join_asof_merge": (q_join_asof_merge, SQL_JOIN_ASOF_MERGE),
     "scalar_json": (q_scalar_json, SQL_SCALAR_JSON),
+    "win_rolling_corr": (q_win_rolling_corr, SQL_WIN_ROLLING_CORR),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
@@ -3298,7 +3325,6 @@ QUERIES: dict[str, tuple] = {
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
-    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
@@ -3332,6 +3358,7 @@ QUERIES: dict[str, tuple] = {
     "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
+    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

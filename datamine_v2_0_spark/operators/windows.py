@@ -54,6 +54,28 @@ def rolling_mean(col: str | Column, w: WindowSpec, before: int, after: int) -> C
     return F.avg(col).over(w.rowsBetween(-before, after))
 
 
+def rolling_corr(
+    x: str | Column, y: str | Column, w: WindowSpec, before: int, after: int
+) -> Column:
+    """Rolling Pearson correlation over a ROWS frame; constant or
+    single-row windows yield NULL. With y = epoch time this is a
+    windowed trend-strength signal.
+
+    Built from population co-moments rather than ``F.corr``: under ANSI
+    mode (Spark 4 default) corr's final division throws DIVIDE_BY_ZERO
+    on a zero-variance frame, and a CASE guard can't prevent it — the
+    window operator evaluates the aggregate before the projection sees
+    it. ``covar_pop / (stddev_pop * stddev_pop)`` equals sample corr
+    (the n-1 factors cancel), every sub-aggregate is total, and
+    ``try_divide`` turns the degenerate frames into NULL — matching SQL
+    engines' native corr semantics."""
+    f = w.rowsBetween(-before, after)
+    cov = F.covar_pop(x, y).over(f)
+    sx = F.stddev_pop(x).over(f)
+    sy = F.stddev_pop(y).over(f)
+    return F.try_divide(cov, sx * sy)
+
+
 def rolling_stddev(col: str | Column, w: WindowSpec, before: int, after: int) -> Column:
     """W11: trailing/centered rolling sample stddev."""
     return F.stddev(col).over(w.rowsBetween(-before, after))

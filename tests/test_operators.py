@@ -974,3 +974,20 @@ def test_multimodal_audio_decode_end_to_end(spark):
            mm.extract_media_features(media, decode_stub=False).collect()}
     assert got[1]["features"][1] == 8000.0            # framerate slot
     assert got[2]["features"] == [float(v) for v in range(100, 180, 10)]
+
+
+def test_rolling_corr_trend_and_nulls(spark):
+    rows = [("u", i, float(i) * 2.0 + 1.0) for i in range(5)]          # perfect up
+    rows += [("d", i, -3.0 * i + 10.0) for i in range(5)]              # perfect down
+    rows += [("c", i, 42.0) for i in range(5)]                         # constant
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    w = win.ordered_window(["k"], ["i"])
+    got = df.select(
+        "k", "i",
+        win.rolling_corr(F.col("v"), F.col("i").cast("double"), w, 9, 0).alias("c"),
+    ).collect()
+    by = {(r["k"], r["i"]): r["c"] for r in got}
+    assert by[("u", 4)] == pytest.approx(1.0, abs=1e-9)
+    assert by[("d", 4)] == pytest.approx(-1.0, abs=1e-9)
+    assert by[("c", 4)] is None      # zero variance -> NULL, not NaN
+    assert by[("u", 0)] is None      # single-row window
