@@ -58,6 +58,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     division (a double division would lose precision above 2^53 ns).
     Newer generations store plain TIMESTAMP(MICROS) — pass through.
     """
+    # the driver supplies its own SparkSession; epoch-bucketing queries
+    # (gapfill/hopping/cohort/range-bin) and NTZ->TIMESTAMP casts are only
+    # oracle-parity-correct under UTC, so pin it here rather than trusting
+    # the harness session's default
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
