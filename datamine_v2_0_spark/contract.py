@@ -204,6 +204,27 @@ SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id HAVING COUNT(*) >= 10
 """
 
 
+def q_agg_mad(spark, sf_dir):
+    """Robust per-group dispersion: median + median-absolute-deviation
+    of order totals per priority (outlier-resistant spread)."""
+    o = _t(spark, sf_dir, "orders")
+    return agg.grouped_mad(o, ["o_orderpriority"], "o_totalprice")
+
+
+SQL_AGG_MAD = """
+WITH med AS (
+  SELECT o_orderpriority,
+         median(o_totalprice) AS m, COUNT(*) AS n
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderpriority, ANY_VALUE(med.n) AS n,
+       ROUND(ANY_VALUE(med.m), 6) AS median,
+       ROUND(median(ABS(o.o_totalprice - med.m)), 6) AS mad
+FROM orders o JOIN med USING (o_orderpriority)
+GROUP BY o.o_orderpriority
+"""
+
+
 def q_agg_hopping(spark, sf_dir):
     """Hopping-window rollup: 1-hour windows sliding every 15 minutes
     (each event lands in 4 windows)."""
@@ -3318,6 +3339,7 @@ QUERIES: dict[str, tuple] = {
     "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
     "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
+    "agg_mad": (q_agg_mad, SQL_AGG_MAD),
     "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
     "join_asof_merge": (q_join_asof_merge, SQL_JOIN_ASOF_MERGE),
     "scalar_json": (q_scalar_json, SQL_SCALAR_JSON),
@@ -3330,7 +3352,6 @@ QUERIES: dict[str, tuple] = {
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
-    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
     # --- new in r3: corpus-curation operators ---------------------------
@@ -3364,6 +3385,7 @@ QUERIES: dict[str, tuple] = {
     "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
     "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
     "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
+    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
     # --- r2-green core families (fill the 50-slot window) ---------------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),

@@ -236,6 +236,36 @@ def tumbling_agg(
     )
 
 
+def grouped_mad(
+    df: DataFrame, keys: Sequence[str], value: str, round_to: int = 6
+) -> DataFrame:
+    """Per-group robust center/spread: (keys..., n, median, mad) where
+    mad = median(|x - median|) — the outlier-resistant stddev used for
+    telemetry anomaly thresholds (±k·MAD instead of ±k·σ, immune to the
+    very outliers being hunted).
+
+    Two exact-median passes: group medians (one shuffle on keys), join
+    back (co-partitioned on the same keys), deviations, second median.
+    Spark's percentile(0.5) is the exact interpolated median, matching
+    SQL engines' median()."""
+    keys = list(keys)
+    med = df.groupBy(*keys).agg(
+        F.expr(f"percentile({value}, 0.5)").alias("__med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    dev = df.join(med, keys).withColumn(
+        "__adev", F.abs(F.col(value) - F.col("__med"))
+    )
+    return (
+        dev.groupBy(*keys)
+        .agg(
+            F.first("n").alias("n"),
+            F.round(F.first("__med"), round_to).alias("median"),
+            F.round(F.expr("percentile(__adev, 0.5)"), round_to).alias("mad"),
+        )
+    )
+
+
 def hopping_agg(
     df: DataFrame,
     ts: str,

@@ -991,3 +991,23 @@ def test_rolling_corr_trend_and_nulls(spark):
     assert by[("d", 4)] == pytest.approx(-1.0, abs=1e-9)
     assert by[("c", 4)] is None      # zero variance -> NULL, not NaN
     assert by[("u", 0)] is None      # single-row window
+
+
+def test_grouped_mad_known_values(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 100.0]]   # outlier-heavy
+        + [("b", v) for v in [10.0, 10.0, 10.0]],
+        ["g", "v"],
+    )
+    got = {r["g"]: r for r in agg.grouped_mad(df, ["g"], "v").collect()}
+    # median 3; |dev| = [2,1,0,1,97] -> mad 1 (outlier barely moves it)
+    assert got["a"]["median"] == 3.0 and got["a"]["mad"] == 1.0
+    assert got["a"]["n"] == 5
+    # constant group: mad 0
+    assert got["b"]["median"] == 10.0 and got["b"]["mad"] == 0.0
+    # interpolated median on even count
+    df2 = spark.createDataFrame([("c", 1.0), ("c", 2.0)], ["g", "v"])
+    got2 = agg.grouped_mad(df2, ["g"], "v").collect()[0]
+    assert got2["median"] == 1.5 and got2["mad"] == 0.5
