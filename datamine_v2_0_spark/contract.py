@@ -2126,6 +2126,16 @@ def q_agg_approx(spark, sf_dir):
     )
 
 
+def q_agg_hll_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup: daily HLL user sketches -> weekly
+    distinct-user estimates via sketch union (never a rescan). No SQL
+    oracle (sketch binaries are engine-specific); pytest pins
+    union-vs-direct equality and estimate accuracy vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    daily = agg.hll_bucket_sketches(ev, "ts", "user_id", 86400)
+    return agg.hll_rollup(daily, 7 * 86400)
+
+
 def q_agg_salted(spark, sf_dir):
     """Salted two-phase aggregation — must be bit-identical to the plain
     groupBy (the oracle IS the plain form)."""
@@ -3439,4 +3449,5 @@ QUERIES: dict[str, tuple] = {
     "agg_approx": (q_agg_approx, None),
     "text_packed": (q_text_packed, None),
     "text_bpe": (q_text_bpe, None),
+    "agg_hll_rollup": (q_agg_hll_rollup, None),
 }

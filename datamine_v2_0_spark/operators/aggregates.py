@@ -236,6 +236,48 @@ def tumbling_agg(
     )
 
 
+def hll_bucket_sketches(
+    df: DataFrame,
+    ts: str,
+    id_col: str,
+    bucket_seconds: int = 86400,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-bucket mergeable HLL sketches: (bucket, sketch binary).
+
+    The materialized form distinct counts need at 100 TB: COUNT(DISTINCT)
+    does not re-aggregate (day counts can't sum to a week), but
+    DataSketches HLL unions losslessly — store one small sketch per
+    bucket and every coarser rollup is a union, never a rescan."""
+    bsec = F.lit(int(bucket_seconds)).cast("long")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts)) / bsec) * bsec).cast("long")
+    )
+    return df.groupBy(bucket.alias("bucket")).agg(
+        F.hll_sketch_agg(F.col(id_col), F.lit(lg_k)).alias("sketch")
+    )
+
+
+def hll_rollup(
+    sketches: DataFrame, period_seconds: int, bucket_col: str = "bucket"
+) -> DataFrame:
+    """Roll per-bucket HLL sketches up to a coarser period WITHOUT
+    touching the raw data: union the sketches per period and estimate.
+    Returns (period_start, approx_distinct)."""
+    psec = F.lit(int(period_seconds)).cast("long")
+    period = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(bucket_col)) / psec) * psec).cast("long")
+    )
+    return (
+        sketches.groupBy(period.alias("period_start"))
+        .agg(F.hll_union_agg("sketch").alias("__u"))
+        .select(
+            "period_start",
+            F.hll_sketch_estimate("__u").alias("approx_distinct"),
+        )
+    )
+
+
 def grouped_mad(
     df: DataFrame, keys: Sequence[str], value: str, round_to: int = 6
 ) -> DataFrame:

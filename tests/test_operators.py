@@ -1011,3 +1011,44 @@ def test_grouped_mad_known_values(spark):
     df2 = spark.createDataFrame([("c", 1.0), ("c", 2.0)], ["g", "v"])
     got2 = agg.grouped_mad(df2, ["g"], "v").collect()[0]
     assert got2["median"] == 1.5 and got2["mad"] == 0.5
+
+
+def test_hll_rollup_union_equals_direct_and_near_exact(spark):
+    from datetime import datetime as dt
+
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [
+        (dt(2024, 1, 1 + d, h), (d * 37 + h * 11) % 200)
+        for d in range(7) for h in range(20)
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long")
+    daily = agg.hll_bucket_sketches(df, "ts", "user_id", 86400)
+    assert daily.count() == 7
+    # epoch weeks start on Thursday: Jan 1-7 2024 straddles two periods
+    weekly = {
+        str(r["period_start"]): r["approx_distinct"]
+        for r in agg.hll_rollup(daily, 7 * 86400).collect()
+    }
+    assert len(weekly) == 2
+    # union-of-daily-sketches must equal sketching each period directly
+    direct = {
+        str(r["period_start"]): r["approx_distinct"]
+        for r in agg.hll_rollup(
+            agg.hll_bucket_sketches(df, "ts", "user_id", 7 * 86400), 7 * 86400
+        ).collect()
+    }
+    assert weekly == direct
+    # and the estimates must be near the exact distinct counts
+    from pyspark.sql import functions as F
+
+    exact = {
+        str(r["p"]): r["n"]
+        for r in df.groupBy(
+            F.timestamp_seconds(
+                (F.floor(F.unix_timestamp("ts") / 604800) * 604800).cast("long")
+            ).alias("p")
+        ).agg(F.countDistinct("user_id").alias("n")).collect()
+    }
+    for p, est in weekly.items():
+        assert abs(est - exact[p]) / exact[p] < 0.05
