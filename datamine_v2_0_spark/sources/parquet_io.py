@@ -181,3 +181,47 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def compact_parquet_partitions(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    partition_col: str,
+    max_records_per_file: int = 1_000_000,
+) -> dict[str, int]:
+    """Small-files compaction for a Hive-partitioned parquet dataset —
+    the standing maintenance job of any 100 TB lake (streaming sinks and
+    per-batch appends fragment partitions into thousands of tiny files,
+    and open/footer overhead then dominates scan time).
+
+    ``repartition(partition_col)`` hashes every row of one partition
+    value into ONE task, so each partition dir rewrites to a single file,
+    re-split only by ``maxRecordsPerFile`` when a partition is genuinely
+    large. Writes to ``dst_path`` (compact-then-swap; in-place rewrites
+    can't be atomic), returns {files_before, files_after, rows}.
+    """
+    import os
+
+    def _count_files(root: str) -> int:
+        return sum(
+            1
+            for d, _, fs in os.walk(root)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    df = spark.read.parquet(src_path)
+    rows = df.count()
+    (
+        df.repartition(partition_col)
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy(partition_col)
+        .parquet(dst_path)
+    )
+    return {
+        "files_before": _count_files(src_path),
+        "files_after": _count_files(dst_path),
+        "rows": rows,
+    }

@@ -270,3 +270,31 @@ def test_write_training_shards_layout_and_order(spark, tmp_path):
         for r in rows:
             assert expect[(shard, r["pos"])] == r["doc_id"]
     assert total == 500
+
+
+def test_compact_parquet_partitions(spark, tmp_path):
+    from datamine_v2_0_spark.sources.parquet_io import compact_parquet_partitions
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compact")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "CAST(id % 4 AS STRING) AS part", "id * 2.0 AS v"
+    )
+    # fragment: 8 writer tasks per partition value -> ~32 tiny files
+    df.repartition(8).write.partitionBy("part").parquet(src)
+    stats = compact_parquet_partitions(spark, src, dst, "part")
+    assert stats["rows"] == 1000
+    assert stats["files_before"] > 8
+    assert stats["files_after"] == 4  # one file per partition value
+    # identical content
+    a = spark.read.parquet(src).orderBy("id").collect()
+    b = spark.read.parquet(dst).orderBy("id").collect()
+    assert [tuple(sorted(r.asDict().items())) for r in a] == [
+        tuple(sorted(r.asDict().items())) for r in b
+    ]
+    # maxRecordsPerFile splits genuinely large partitions
+    dst2 = str(tmp_path / "compact_small")
+    stats2 = compact_parquet_partitions(
+        spark, src, dst2, "part", max_records_per_file=100
+    )
+    assert stats2["files_after"] >= 4 * 2  # 250 rows/partition, 100/file
