@@ -1418,6 +1418,85 @@ HAVING CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(a.sz) >= 0.3
 """
 
 
+def q_dedup_substring(spark, sf_dir):
+    """Exact-substring duplicate spans (Lee et al. 2022 suffix-array
+    protocol at fixed k=8 tokens): maximal cross-document shared token
+    spans via k-gram posting join + gaps-and-islands merge."""
+    df = _t(spark, sf_dir, "documents")
+    return dd.duplicate_substring_spans(df, "text", "doc_id", k=8)
+
+
+SQL_DEDUP_SUBSTRING = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         [{'pos': i, 's': array_to_string(w[i:i+7], ' ')}
+          for i in generate_series(1, len(w) - 7)] AS gl
+  FROM norm WHERE len(w) >= 8
+), grams AS (
+  SELECT doc_id, unnest(gl, recursive := true) FROM gr
+), shared AS (
+  SELECT s FROM grams GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+  FROM grams g JOIN shared USING (s)
+)
+SELECT doc_id,
+       CAST(MIN(pos) AS BIGINT) AS start_pos,
+       CAST(MAX(pos) + 7 AS BIGINT) AS end_pos,
+       CAST(MAX(pos) - MIN(pos) + 8 AS BIGINT) AS span_tokens
+FROM marked GROUP BY doc_id, grp
+"""
+
+
+def q_dedup_substring_strip(spark, sf_dir):
+    """Destructive half of the ExactSubstr protocol: remove every token
+    covered by a duplicated >=8-token cross-document span, reassemble."""
+    df = _t(spark, sf_dir, "documents")
+    return dd.strip_duplicate_spans(df, "text", "doc_id", k=8)
+
+
+SQL_DEDUP_SUBSTRING_STRIP = r"""
+WITH norm AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), gr AS (
+  SELECT doc_id,
+         [{'pos': i, 's': array_to_string(w[i:i+7], ' ')}
+          for i in generate_series(1, len(w) - 7)] AS gl
+  FROM norm WHERE len(w) >= 8
+), grams AS (
+  SELECT doc_id, unnest(gl, recursive := true) FROM gr
+), shared AS (
+  SELECT s FROM grams GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+), marked AS (
+  SELECT g.doc_id, g.pos,
+         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
+  FROM grams g JOIN shared USING (s)
+), spans AS (
+  SELECT doc_id, MIN(pos) AS sp, MAX(pos) + 7 AS ep
+  FROM marked GROUP BY doc_id, grp
+), perdoc AS (
+  SELECT doc_id, list({'s': sp, 'e': ep}) AS sl FROM spans GROUP BY doc_id
+), kept AS (
+  SELECT n.doc_id, n.w,
+         [n.w[i] for i in generate_series(1, len(n.w))
+          if len(list_filter(COALESCE(p.sl, []), x -> i BETWEEN x.s AND x.e)) = 0] AS kw
+  FROM norm n LEFT JOIN perdoc p USING (doc_id)
+)
+SELECT doc_id,
+       CAST(len(w) AS BIGINT) AS n_tokens,
+       CAST(len(w) - len(kw) AS BIGINT) AS n_removed,
+       COALESCE(array_to_string(kw, ' '), '') AS text_clean
+FROM kept
+"""
+
+
 def q_dedup_against(spark, sf_dir):
     """Cross-corpus near-dedup: even doc_ids are the 'fresh crawl', odd
     doc_ids the existing corpus; drop fresh docs with n-gram Jaccard >=
@@ -3311,22 +3390,90 @@ FROM stats2
 # ---------------------------------------------------------------- registry
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks the
-# FIRST 50 entries in insertion order (r2 verdict), so
-#   1. queries with no prior driver-green row come first — the two
-#      pipeline stages, the dedup/similarity/multimodal families (incl.
-#      the four newly oracle-backed dedup entries), the extended
-#      window/scalar tail, and win_blocks (red in r2, cast fix);
-#   2. then the highest-value r2-green core queries fill the window
-#      (they re-verify the families most users touch);
-#   3. r2-green queries past slot 50 keep their r2 evidence;
-#   4. the two genuinely non-SQL entries (cpd_candidates: PELT
-#      changepoints; agg_approx: sketch internals) sit last so they
-#      never displace an oracle-checkable slot.
+# FIRST 50 entries in insertion order, so each round the window rotates
+# to maximize cumulative driver-green coverage (r3 verdict, tasks 1+5):
+#   1. the 16 oracle-backed queries that have NEVER had a driver row in
+#      any round (they sat at slots 51-66 in r3) come first;
+#   2. new round-4 operators follow (they need their first driver row);
+#   3. then the r2-green core whose driver evidence is two rounds old —
+#      re-proving the families most users touch (aggregates, windows,
+#      joins, filters, scalars, exact dedup);
+#   4. everything green in CORRECTNESS_r03 moves past slot 50 — its
+#      r3 driver evidence stands;
+#   5. the genuinely non-SQL entries (cpd_candidates: PELT changepoints;
+#      agg_approx: sketch internals; FFD packing; BPE; HLL binaries)
+#      sit last so they never displace an oracle-checkable slot.
 QUERIES: dict[str, tuple] = {
-    # --- no driver row yet: pipeline stages -----------------------------
+    # --- never driver-checked in r2 or r3: certify this round -----------
+    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
+    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
+    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
+    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
+    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
+    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
+    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
+    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
+    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    # --- new in r4: first driver row needed ------------------------------
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_strip": (q_dedup_substring_strip, SQL_DEDUP_SUBSTRING_STRIP),
+    # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
+    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
+    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
+    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
+    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
+    "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
+    "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
+    "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
+    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
+    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
+    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
+    "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
+    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
+    "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
+    "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
+    "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
+    "agg_date_distribution": (q_agg_date_distribution, SQL_AGG_DATE_DISTRIBUTION),
+    "agg_freq_topk": (q_agg_freq_topk, SQL_AGG_FREQ_TOPK),
+    "agg_hourly_profile": (q_agg_hourly_profile, SQL_AGG_HOURLY_PROFILE),
+    "agg_having": (q_agg_having, SQL_AGG_HAVING),
+    "agg_ordered_array": (q_agg_ordered_array, SQL_AGG_ORDERED_ARRAY),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "agg_integrity": (q_agg_integrity, SQL_AGG_INTEGRITY),
+    "agg_fraction": (q_agg_fraction, SQL_AGG_FRACTION),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    "win_partition_stddev": (q_win_partition_stddev, SQL_WIN_PARTITION_STDDEV),
+    "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
+    "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    # ------------------- slot 51+ (r2-green evidence) -------------------
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_lookup": (q_join_lookup, SQL_JOIN_LOOKUP),
+    "filt_clamp": (q_filt_clamp, SQL_FILT_CLAMP),
+    "filt_sample_mod": (q_filt_sample_mod, SQL_FILT_SAMPLE_MOD),
+    "filt_between_isin": (q_filt_between_isin, SQL_FILT_BETWEEN_ISIN),
+    "set_union": (q_set_union, SQL_SET_UNION),
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "text_lang": (q_text_lang, SQL_TEXT_LANG),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    # --- green in CORRECTNESS_r03 (driver evidence 1 round old) ---------
     "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
     "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
-    # --- no driver row yet: dedup / similarity / multimodal -------------
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD_INVERTED),
@@ -3358,13 +3505,11 @@ QUERIES: dict[str, tuple] = {
     "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "text_packed_nextfit": (q_text_packed_nextfit, SQL_TEXT_PACKED_NEXTFIT),
-    # --- no driver row yet: extended aggregate/window/join/scalar tail --
     "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
     "join_salted": (q_join_salted, SQL_JOIN_SALTED),
     "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
-    # --- new in r3: corpus-curation operators ---------------------------
     "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
     "filt_hash_split": (q_filt_hash_split, SQL_FILT_HASH_SPLIT),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
@@ -3372,78 +3517,11 @@ QUERIES: dict[str, tuple] = {
     "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
     "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
     "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
-    # --- new in r3: curation pipeline / quality / LM / grouping-sets ----
     "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
     "text_quality_gate": (q_text_quality_gate, SQL_TEXT_QUALITY_GATE),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
-    # --- red in r2, fixed (BIGINT cast): must re-verify ------------------
     "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
-    # --- demoted from the window: family already driver-green via a
-    # --- sibling query (r2) + local-oracle green here ---------------------
-    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
-    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
-    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
-    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
-    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
-    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
-    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
-    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
-    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
-    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
-    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
-    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
-    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
-    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
-    # --- r2-green core families (fill the 50-slot window) ---------------
-    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
-    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
-    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
-    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
-    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
-    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
-    "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
-    "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
-    "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
-    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
-    # ------------------- slot 51+ (r2-green evidence) -------------------
-    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
-    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
-    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
-    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
-    "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
-    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
-    "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
-    "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
-    "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
-    "agg_date_distribution": (q_agg_date_distribution, SQL_AGG_DATE_DISTRIBUTION),
-    "agg_freq_topk": (q_agg_freq_topk, SQL_AGG_FREQ_TOPK),
-    "agg_hourly_profile": (q_agg_hourly_profile, SQL_AGG_HOURLY_PROFILE),
-    "agg_having": (q_agg_having, SQL_AGG_HAVING),
-    "agg_ordered_array": (q_agg_ordered_array, SQL_AGG_ORDERED_ARRAY),
-    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
-    "agg_integrity": (q_agg_integrity, SQL_AGG_INTEGRITY),
-    "agg_fraction": (q_agg_fraction, SQL_AGG_FRACTION),
-    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
-    "win_partition_stddev": (q_win_partition_stddev, SQL_WIN_PARTITION_STDDEV),
-    "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
-    "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
-    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
-    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
-    "join_lookup": (q_join_lookup, SQL_JOIN_LOOKUP),
-    "filt_clamp": (q_filt_clamp, SQL_FILT_CLAMP),
-    "filt_sample_mod": (q_filt_sample_mod, SQL_FILT_SAMPLE_MOD),
-    "filt_between_isin": (q_filt_between_isin, SQL_FILT_BETWEEN_ISIN),
-    "set_union": (q_set_union, SQL_SET_UNION),
-    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
-    "set_except": (q_set_except, SQL_SET_EXCEPT),
-    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_lang": (q_text_lang, SQL_TEXT_LANG),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # --- genuinely non-SQL (rows-only check): keep these LAST -----------
     "cpd_candidates": (q_cpd_candidates, None),
     "agg_approx": (q_agg_approx, None),

@@ -132,5 +132,11 @@ def json_extract_typed(col: Column, path: str, dtype: str) -> Column:
     """Typed JSON path extraction: ``get_json_object`` (SQL JSONPath
     ``$.field`` form) cast to ``dtype``; invalid JSON, a missing path,
     or an uncastable value all yield NULL — the Postgres
-    ``(props ->> 'k')::int`` shape the reference's JSONB columns imply."""
-    return F.get_json_object(col, path).cast(dtype)
+    ``(props ->> 'k')::int`` shape the reference's JSONB columns imply.
+
+    ``try_cast`` (not ``cast``): under ANSI mode — the PySpark 4.x
+    default — a plain cast raises CAST_INVALID_INPUT on the first
+    malformed value, killing the whole job; try_cast yields NULL, which
+    is both the documented contract and the DuckDB TRY_CAST oracle
+    behavior."""
+    return F.get_json_object(col, path).try_cast(dtype)

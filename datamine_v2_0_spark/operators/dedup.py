@@ -378,7 +378,17 @@ def containment_pairs_inverted(
     Jaccard ≈ 0.01 but containment 1.0 (Broder 1997 distinguishes the
     two resemblance measures). Pairs emit when EITHER direction clears
     ``threshold``; both scores are returned so callers can pick the
-    smaller doc as the duplicate."""
+    smaller doc as the duplicate.
+
+    With ``max_shingle_freq`` set, the intersection is counted over the
+    frequency-pruned shingle universe (stop-shingles never join) but the
+    denominators stay the TRUE |A| and |B|, computed before the prune —
+    containment's meaning is "what fraction of A appears in B", and
+    dividing by the pruned size would inflate scores for docs dominated
+    by common shingles (unlike Jaccard, where capped-universe semantics
+    are consistent on both numerator and denominator). The pruned
+    intersection makes capped containment a lower bound on the true
+    score."""
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
     ).filter(F.size("__g") > 0)
@@ -387,13 +397,13 @@ def containment_pairs_inverted(
             F.col(id_col), F.size("__g").alias("__sz"), F.explode("__g").alias("__s")
         )
     else:
-        ex = sh.select(F.col(id_col), F.explode("__g").alias("__s"))
+        ex = sh.select(
+            F.col(id_col), F.size("__g").alias("__sz"), F.explode("__g").alias("__s")
+        )
         rare = ex.groupBy("__s").agg(F.count(F.lit(1)).alias("__df")).filter(
             F.col("__df") <= max_shingle_freq
         )
         ex = ex.join(rare.select("__s"), "__s")
-        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
-        ex = ex.join(sizes, id_col)
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
@@ -1119,3 +1129,145 @@ def dedup_against(
         .distinct()
     )
     return new_df.join(matched, id_col, "left_anti")
+
+
+def _token_kgrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(id, pos, gram-hash) for every token k-gram, 1-based positions.
+
+    The gram travels as xxhash64 of the joined token window — 8 bytes
+    through the shuffle instead of a k-token string (collision odds
+    ~n²/2⁶⁴: immaterial against corpus sizes, and any collision only
+    ever ADDS a candidate span, mirroring the hashed variants of the
+    suffix-array protocol)."""
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w")).filter(
+        F.size("__w") >= k
+    )
+    idx = F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1))
+    grams = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.array_join(F.slice("__w", i, k), " ")).alias("h"),
+        ),
+    )
+    return (
+        base.select(F.col(id_col), F.explode(grams).alias("__g"))
+        .select(F.col(id_col), F.col("__g.pos").alias("pos"), F.col("__g.h").alias("h"))
+    )
+
+
+def duplicate_substring_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    scope: str = "cross",
+) -> DataFrame:
+    """Exact-substring duplicate spans — the suffix-array dedup protocol
+    of Lee et al. 2022 ("Deduplicating Training Data Makes Language
+    Models Better"), re-expressed Spark-first for a fixed minimum match
+    length ``k``: any span of ≥ k consecutive tokens that also appears
+    in another document is reported as a duplicated region.
+
+    A span of length L ≥ k is shared iff ALL of its L-k+1 token k-grams
+    are shared, so a k-gram posting join finds exactly the same regions
+    a corpus suffix array would for match threshold k: explode token
+    k-grams with positions, keep grams seen in ≥ 2 distinct documents
+    (``scope='cross'``) or ≥ 2 occurrences anywhere incl. within-doc
+    repeats (``scope='any'``), then merge consecutive shared positions
+    per document (gaps-and-islands) into maximal spans.
+
+    Plan shape at 100 TB: one explode (rows ≈ corpus token count, but
+    only (id, pos, hash8) wide), one partial-agg groupBy on the gram
+    hash, one equi join back, one window on (id) — three linear
+    shuffles, no all-pairs, no global sort. Skew: a stop-gram shared by
+    millions of docs costs groupBy+join fan-out; AQE skew-join splits
+    it, and the count-distinct partial agg caps the groupBy side.
+
+    Returns (id, start_pos, end_pos, span_tokens), positions 1-based
+    over whitespace tokens of the normalized text.
+    """
+    from pyspark.sql import Window
+
+    if scope not in ("cross", "any"):
+        raise ValueError(f"scope must be cross/any, got {scope!r}")
+    ex = _token_kgrams(df, text_col, id_col, k)
+    if scope == "cross":
+        shared = (
+            ex.groupBy("h")
+            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
+            .filter(F.col("__nd") >= 2)
+        )
+    else:
+        shared = (
+            ex.groupBy("h")
+            .agg(F.count(F.lit(1)).alias("__nd"))
+            .filter(F.col("__nd") >= 2)
+        )
+    marked = ex.join(shared.select("h"), "h")
+    w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
+    islands = marked.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    return (
+        islands.groupBy(id_col, "__grp")
+        .agg(
+            F.min("pos").cast("long").alias("start_pos"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("end_pos"),
+            (F.max("pos") - F.min("pos") + F.lit(k)).cast("long").alias("span_tokens"),
+        )
+        .drop("__grp")
+    )
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 8,
+    scope: str = "cross",
+) -> DataFrame:
+    """Remove every token covered by a duplicated ≥ k-token span (see
+    :func:`duplicate_substring_spans`) and reassemble the document —
+    the destructive half of the Lee et al. 2022 ExactSubstr protocol
+    (their tool likewise cuts ALL copies of a duplicated byte range;
+    dropping all occurrences is the conservative-contamination variant).
+
+    Spans per doc are few and short (they are merged maximal islands),
+    so they ride back to the document as ONE collected array per doc —
+    an equi join on id, never a positions×tokens blow-up — and the
+    token filter is a zero-shuffle higher-order expression over the
+    token array.
+
+    Returns (id, n_tokens, n_removed, text_clean) for EVERY input doc
+    (docs with no duplicated span pass through unchanged).
+    """
+    spans = duplicate_substring_spans(df, text_col, id_col, k, scope)
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("start_pos", "end_pos")).alias("__spans")
+    )
+    words = F.split(normalize_text(F.col(text_col)), " ")
+    base = df.select(F.col(id_col), words.alias("__w"))
+    joined = base.join(per_doc, id_col, "left").withColumn(
+        "__spans",
+        F.coalesce(
+            "__spans",
+            F.array().cast("array<struct<start_pos:bigint,end_pos:bigint>>"),
+        ),
+    )
+
+    def _kept(i):
+        return ~F.exists(
+            "__spans",
+            lambda s: (i >= s["start_pos"]) & (i <= s["end_pos"]),
+        )
+
+    kept_idx = F.filter(
+        F.sequence(F.lit(1), F.size("__w")).cast("array<bigint>"), _kept
+    )
+    kept = F.transform(kept_idx, lambda i: F.element_at("__w", i.cast("int")))
+    return joined.select(
+        F.col(id_col),
+        F.size("__w").cast("long").alias("n_tokens"),
+        (F.size("__w") - F.size(kept)).cast("long").alias("n_removed"),
+        F.array_join(kept, " ").alias("text_clean"),
+    )

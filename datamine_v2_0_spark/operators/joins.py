@@ -176,6 +176,15 @@ def asof_merge_join(
     columns to carry; rows beyond ``tolerance_seconds`` get NULLs.
     Right timestamps must be unique per key for deterministic output
     (ties otherwise carry the later union order).
+
+    All carried columns travel in ONE struct per right row: the struct
+    itself is non-null for right rows, so a single
+    ``last(ignorenulls=True)`` picks whole rows atomically — every
+    filled value (and the timestamp the tolerance gap is measured
+    against) comes from the SAME nearest right row, even when that row
+    has NULLs in some value columns. Filling each column independently
+    would silently mix values from different right rows (and pull stale
+    non-NULLs past a nearer NULL), diverging from ASOF row semantics.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")
@@ -185,11 +194,17 @@ def asof_merge_join(
         *keys,
         F.col(right_ts).alias("__t"),
         F.lit(0).alias("__src"),
-        *[F.col(c).alias(f"__v_{c}") for c in value_cols],
+        F.struct(
+            F.col(right_ts).alias("__rt"),
+            *[F.col(c) for c in value_cols],
+        ).alias("__carry"),
     )
-    ll = left.withColumn("__t", F.col(left_ts)).withColumn("__src", F.lit(1))
-    for c in value_cols:
-        ll = ll.withColumn(f"__v_{c}", F.lit(None).cast(dict(rl.dtypes)[f"__v_{c}"]))
+    carry_type = dict(rl.dtypes)["__carry"]
+    ll = (
+        left.withColumn("__t", F.col(left_ts))
+        .withColumn("__src", F.lit(1))
+        .withColumn("__carry", F.lit(None).cast(carry_type))
+    )
     u = ll.unionByName(rl, allowMissingColumns=True)
     if direction == "backward":
         w = (
@@ -197,29 +212,28 @@ def asof_merge_join(
             .orderBy(F.col("__t").asc(), F.col("__src").asc())
             .rowsBetween(Window.unboundedPreceding, 0)
         )
-        pick = lambda c: F.last(c, ignorenulls=True).over(w)  # noqa: E731
-        rt = F.last(F.when(F.col("__src") == 0, F.col("__t")), True).over(w)
-        gap = F.unix_micros(F.col("__t")) - F.unix_micros(rt)
+        picked = F.last("__carry", ignorenulls=True).over(w)
     else:
         w = (
             Window.partitionBy(*keys)
             .orderBy(F.col("__t").asc(), F.col("__src").desc())
             .rowsBetween(0, Window.unboundedFollowing)
         )
-        pick = lambda c: F.first(c, ignorenulls=True).over(w)  # noqa: E731
-        rt = F.first(F.when(F.col("__src") == 0, F.col("__t")), True).over(w)
+        picked = F.first("__carry", ignorenulls=True).over(w)
+    out = u.withColumn("__picked", picked)
+    rt = F.col("__picked")["__rt"]
+    if direction == "backward":
+        gap = F.unix_micros(F.col("__t")) - F.unix_micros(rt)
+    else:
         gap = F.unix_micros(rt) - F.unix_micros(F.col("__t"))
     within = (
         F.lit(True)
         if tolerance_seconds is None
         else (gap.cast("double") / 1e6 <= F.lit(float(tolerance_seconds)))
     )
-    out = u
-    for c in value_cols:
-        out = out.withColumn(f"__f_{c}", F.when(within, pick(f"__v_{c}")))
     out = out.filter(F.col("__src") == 1)
     keep = [col for col in left.columns] + [
-        F.col(f"__f_{c}").alias(f"asof_{c}") for c in value_cols
+        F.when(within, F.col("__picked")[c]).alias(f"asof_{c}") for c in value_cols
     ]
     return out.select(*keep)
 

@@ -201,15 +201,22 @@ def compact_parquet_partitions(
     large. Writes to ``dst_path`` (compact-then-swap; in-place rewrites
     can't be atomic), returns {files_before, files_after, rows}.
     """
-    import os
-
     def _count_files(root: str) -> int:
-        return sum(
-            1
-            for d, _, fs in os.walk(root)
-            for f in fs
-            if f.endswith(".parquet")
-        )
+        # Hadoop FileSystem API, not os.walk: the lake paths this job
+        # exists for (s3a://, hdfs://) are invisible to local os.walk,
+        # which would silently report 0 files while the rewrite ran.
+        jvm = spark._jvm
+        jsc = spark._jsc
+        hpath = jvm.org.apache.hadoop.fs.Path(root)
+        fs = hpath.getFileSystem(jsc.hadoopConfiguration())
+        if not fs.exists(hpath):
+            return 0
+        n = 0
+        it = fs.listFiles(hpath, True)  # recursive
+        while it.hasNext():
+            if it.next().getPath().getName().endswith(".parquet"):
+                n += 1
+        return n
 
     df = spark.read.parquet(src_path)
     rows = df.count()

@@ -811,6 +811,90 @@ def test_containment_catches_subset_jaccard_misses(spark):
     assert j and j[0]["jaccard"] < 0.15
 
 
+def test_substring_dedup_planted_quote(spark):
+    # a 60-token quote planted in two otherwise-unrelated documents must
+    # come back as one maximal span per doc, and strip must remove
+    # exactly that span from both docs (Lee et al. 2022 ExactSubstr).
+    quote = " ".join(f"q{i}" for i in range(60))
+    head = " ".join(f"h{i}" for i in range(10))
+    tail = " ".join(f"t{i}" for i in range(15))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=head + " " + quote),
+         Row(doc_id=2, text=quote + " " + tail),
+         Row(doc_id=3, text="nothing shared here at all " * 5)]
+    )
+    spans = {
+        r["doc_id"]: (r["start_pos"], r["end_pos"], r["span_tokens"])
+        for r in dd.duplicate_substring_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert spans == {1: (11, 70, 60), 2: (1, 60, 60)}  # 1-based, maximal
+
+    out = {
+        r["doc_id"]: r
+        for r in dd.strip_duplicate_spans(df, "text", "doc_id", k=8).collect()
+    }
+    assert out[1]["n_removed"] == 60 and out[1]["text_clean"] == head
+    assert out[2]["n_removed"] == 60 and out[2]["text_clean"] == tail
+    assert out[3]["n_removed"] == 0  # untouched doc passes through
+
+    # spans shorter than k are NOT reported: share only 7 tokens
+    seven = " ".join(f"s{i}" for i in range(7))
+    df7 = spark.createDataFrame(
+        [Row(doc_id=1, text=seven + " xa xb xc xd"),
+         Row(doc_id=2, text=seven + " ya yb yc yd")]
+    )
+    assert dd.duplicate_substring_spans(df7, "text", "doc_id", k=8).count() == 0
+
+
+def test_substring_dedup_scope_any_catches_self_repeat(spark):
+    block = " ".join(f"b{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=block + " middle filler words go here " + block)]
+    )
+    # cross scope: single doc, nothing shared across docs
+    assert dd.duplicate_substring_spans(df, "text", "doc_id", k=8).count() == 0
+    # any scope: the repeated 12-token block marks both occurrences
+    spans = dd.duplicate_substring_spans(
+        df, "text", "doc_id", k=8, scope="any"
+    ).collect()
+    assert {(r["start_pos"], r["end_pos"]) for r in spans} == {(1, 12), (18, 29)}
+
+
+def test_containment_freq_cap_keeps_true_denominators(spark):
+    # doc 1 = a quote whose shingles ALL also appear in docs 2 and 3
+    # (df = 3 for every quote shingle); doc 2 embeds the quote plus
+    # unique filler. With max_shingle_freq=2 the quote shingles are
+    # pruned from the JOIN, but |A|/|B| must stay the TRUE pre-prune
+    # sizes — so the capped containment is a lower bound, never
+    # inflated by a shrunken denominator.
+    quote = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = " ".join(f"unique{i} token{i} word{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=quote),
+         Row(doc_id=2, text=quote + " " + filler),
+         Row(doc_id=3, text=quote + " other tail words here")]
+    )
+    uncapped = {
+        (r["id_a"], r["id_b"]): r["cont_a_in_b"]
+        for r in dd.containment_pairs_inverted(
+            df, "text", "doc_id", threshold=0.0
+        ).collect()
+    }
+    assert uncapped[(1, 2)] == 1.0
+    capped = dd.containment_pairs_inverted(
+        df, "text", "doc_id", threshold=0.0, max_shingle_freq=2
+    ).collect()
+    for r in capped:
+        key = (r["id_a"], r["id_b"])
+        # lower bound on the true score, never inflated
+        assert r["cont_a_in_b"] <= uncapped[key]
+        assert r["cont_b_in_a"] <= 1.0
+    # the (1,2) pair's shared shingles are all pruned -> no row (doc 1
+    # has nothing left to join on); it must not appear with an
+    # inflated score computed over a shrunken universe
+    assert (1, 2) not in {(r["id_a"], r["id_b"]) for r in capped}
+
+
 def test_hopping_agg_overlap(spark):
     from datetime import datetime as dt
     from datamine_v2_0_spark.operators import aggregates as agg
@@ -910,6 +994,35 @@ def test_asof_merge_forward_and_tolerance(spark):
     )
     got = {r["lid"]: r["asof_val"] for r in tol.collect()}
     assert got == {1: None, 2: None}  # 30 min gap > 60 s tolerance
+
+
+def test_asof_merge_null_value_rows_carry_atomically(spark):
+    from datetime import datetime as dt
+
+    # Nearest right row has a NULL in one value column: ASOF semantics
+    # carry that row's NULL (row-atomic), not a stale non-NULL from an
+    # earlier right row — and every value column must come from the SAME
+    # right row the tolerance gap is measured against.
+    left = spark.createDataFrame(
+        [(1, "u", dt(2024, 1, 1, 12, 0))], ["lid", "k", "ts"]
+    )
+    right = spark.createDataFrame(
+        [("u", dt(2024, 1, 1, 9, 0), 100, 5.0),
+         ("u", dt(2024, 1, 1, 11, 0), None, 9.0)],  # nearest; a is NULL
+        ["k", "rts", "a", "b"],
+    )
+    out = jn.asof_merge_join(left, right, ["k"], "ts", "rts", ["a", "b"])
+    r = out.collect()[0]
+    assert r["asof_a"] is None and r["asof_b"] == 9.0
+
+    # tolerance measured against the nearest row (11:00, 1h gap): a
+    # 30-minute tolerance nulls BOTH fills — the 9:00 row must not leak
+    # in as a fallback.
+    tol = jn.asof_merge_join(
+        left, right, ["k"], "ts", "rts", ["a", "b"], tolerance_seconds=1800.0
+    )
+    r = tol.collect()[0]
+    assert r["asof_a"] is None and r["asof_b"] is None
 
 
 def test_asof_merge_plan_single_shuffle_no_join(spark):

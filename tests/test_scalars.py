@@ -188,13 +188,16 @@ def test_json_extract_typed(spark):
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
-        [('{"k": 7, "s": "x"}',), ('{"s": "no k"}',), ("not json",), (None,)],
+        [('{"k": 7, "s": "x"}',), ('{"s": "no k"}',), ("not json",), (None,),
+         ('{"k": "abc", "s": "y"}',)],  # k present but uncastable to int
         ["props"],
     )
     got = df.select(
         json_extract_typed(F.col("props"), "$.k", "int").alias("k"),
         json_extract_typed(F.col("props"), "$.s", "string").alias("s"),
     ).collect()
+    # the uncastable row must yield NULL, not raise — under ANSI mode
+    # (PySpark 4.x default) a plain .cast would throw CAST_INVALID_INPUT
     assert [(r["k"], r["s"]) for r in got] == [
-        (7, "x"), (None, "no k"), (None, None), (None, None),
+        (7, "x"), (None, "no k"), (None, None), (None, None), (None, "y"),
     ]
