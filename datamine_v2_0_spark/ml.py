@@ -92,12 +92,21 @@ def build_classifier_pipeline(
     label_col: str,
     n_classes: int,
     max_depth: int = 8,
-    n_trees: int = 50,
+    n_trees: int | None = None,
     learning_rate: float = 0.1,
     seed: int = 42,
 ) -> Pipeline:
     """Indexer + assembler + tree classifier. Uses SparkXGBClassifier when
-    available (exact reference algorithm); MLlib trees otherwise."""
+    available (exact reference algorithm); MLlib trees otherwise.
+
+    ``n_trees=None`` resolves per branch: 500 estimators on the XGB
+    branch — parity with the reference trainer's hyperparameters
+    (STEP 2.1 - LD Event Labeling/02.1.3_train_xgboost_model.py:72-85:
+    n_estimators=500, learning_rate=0.1, max_depth=8, multi:softprob) —
+    and 50 trees on the MLlib fallback, where 500 sequential GBT
+    iterations would dominate test wall-clock without changing what the
+    fallback is for (API-shape coverage when xgboost.spark is absent).
+    Pass an explicit ``n_trees`` to override either branch."""
     indexer = StringIndexer(
         inputCol=label_col, outputCol="label", handleInvalid="keep"
     )
@@ -107,18 +116,23 @@ def build_classifier_pipeline(
     if SparkXGBClassifier is not None:  # pragma: no cover - not in container
         clf = SparkXGBClassifier(
             max_depth=max_depth,
-            n_estimators=n_trees,
+            n_estimators=500 if n_trees is None else n_trees,
             learning_rate=learning_rate,
             objective="multi:softprob",
             num_class=n_classes,
         )
     elif n_classes <= 2:
         clf = GBTClassifier(
-            maxDepth=max_depth, maxIter=n_trees, stepSize=learning_rate, seed=seed
+            maxDepth=max_depth,
+            maxIter=50 if n_trees is None else n_trees,
+            stepSize=learning_rate,
+            seed=seed,
         )
     else:
         clf = RandomForestClassifier(
-            maxDepth=max_depth, numTrees=n_trees, seed=seed
+            maxDepth=max_depth,
+            numTrees=50 if n_trees is None else n_trees,
+            seed=seed,
         )
     return Pipeline(stages=[indexer, assembler, clf])
 

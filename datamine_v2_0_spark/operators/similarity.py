@@ -435,12 +435,20 @@ def pq_topk(
     k_codes: int = 16,
     seed: int = 42,
     round_to: int = 6,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """ANN top-k by asymmetric-distance PQ search: corpus vectors live
     only as m-code rows; each query precomputes an inner-product lookup
     table against the codebooks (m × k_codes floats, driver-side — the
     queries DataFrame is the small side by contract) and scoring a
     candidate is m table lookups instead of a dim-wide dot product.
+
+    The per-query LUTs are built on the driver, so the probe-set
+    contract is enforced, not assumed: more than ``max_queries`` rows
+    raises instead of silently collecting an unbounded frame into
+    driver memory (the same explicit bound ``train_pq`` puts on its
+    codebook sample). Raise the cap deliberately if your probe set
+    really is that large — at 10k queries the LUTs are ~10 MB.
 
     This is the IndexPQ scan: at 100 TB the wins are the 32× smaller
     scan and the O(m) per-candidate cost; compose with the IVF cell
@@ -455,7 +463,15 @@ def pq_topk(
     )
     codes = pq_encode(corpus, vec_col, id_col, books)
 
-    qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qframe = queries.select(F.col(id_col), F.col(vec_col))
+    n_queries = qframe.limit(max_queries + 1).count()
+    if n_queries > max_queries:
+        raise ValueError(
+            f"pq_topk collects the query frame driver-side to build ADC "
+            f"lookup tables; got > {max_queries} query rows. Shrink the "
+            f"probe set or raise max_queries explicitly."
+        )
+    qrows = qframe.collect()
     luts: dict = {}
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=np.float64)

@@ -24,11 +24,10 @@ rank-1, not groupBy+join), and the contamination stage anti-joins a
 tiny hit-id set. One caveat by construction: the anti join's two
 branches both derive from the deduped frame, and Catalyst cannot
 canonical-match their exchanges after per-branch column pruning — so
-the scan+gate+dedup prefix executes twice. At test scale that is two
-cheap scans; on a 100 TB run, insert an explicit materialization
-barrier (write the deduped survivors to a staging table, or
-``.localCheckpoint()`` on smaller clusters) between dedup and
-decontamination if the doubled prefix dominates.
+with ``barrier=None`` the scan+gate+dedup prefix executes twice. At
+test scale that is two cheap scans; on a 100 TB run pass
+``barrier='checkpoint'`` (or ``'table'`` with a staging path) and the
+deduped survivors materialize once.
 """
 
 from __future__ import annotations
@@ -47,10 +46,29 @@ def curate_corpus(
     min_words: int = 10,
     ngram: int = 4,
     min_stopwords: int = 2,
+    barrier: str | None = None,
+    staging_path: str | None = None,
 ) -> DataFrame:
     """Run the full curation chain; returns the surviving documents as
     (id, n_tokens, quality) — the rows a tokenizer stage would consume.
+
+    ``barrier`` inserts a materialization point between dedup and
+    decontamination, so the scan→gate→dedup prefix executes ONCE even
+    though the decontamination anti join branches from it twice:
+
+    - ``None`` (default): fully lazy — the prefix runs twice; fine when
+      the gated scan is cheap relative to the shuffles.
+    - ``'checkpoint'``: lazy ``localCheckpoint`` — materializes on first
+      use to executor-local storage and every later branch reads the
+      checkpoint, not the lineage. The right default on a live cluster.
+    - ``'table'``: write the deduped survivors to ``staging_path`` as
+      parquet and re-read — the durable form for multi-job pipelines
+      (survives executor loss; doubles as the dedup-stage output).
     """
+    if barrier not in (None, "checkpoint", "table"):
+        raise ValueError(f"barrier must be None/'checkpoint'/'table', got {barrier!r}")
+    if barrier == "table" and not staging_path:
+        raise ValueError("barrier='table' requires staging_path")
     gated = tx.gopher_gate(
         train_df,
         text_col,
@@ -61,6 +79,11 @@ def curate_corpus(
     ).filter(F.col("passes"))
 
     deduped = dd.exact_dedup(gated, text_col, id_col)
+    if barrier == "checkpoint":
+        deduped = deduped.localCheckpoint(eager=False)
+    elif barrier == "table":
+        deduped.write.mode("overwrite").parquet(staging_path)
+        deduped = deduped.sparkSession.read.parquet(staging_path)
 
     # contaminated ids only (not per-doc flags): the training side's
     # gram stream joins the broadcast eval gram set, and the resulting

@@ -682,6 +682,26 @@ def test_pq_encode_shape_and_determinism(spark):
         assert len(c) == 8 and all(0 <= x < 16 for x in c)
 
 
+def test_pq_topk_query_collect_is_capped(spark):
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    queries = emb.orderBy("vec_id").limit(3)
+    # over the cap: raises instead of collecting unbounded driver state
+    with pytest.raises(ValueError, match="max_queries"):
+        sim.pq_topk(emb, queries, "embedding", "vec_id", dim=64, max_queries=2)
+    # at the cap: runs
+    out = sim.pq_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=3, max_queries=3
+    )
+    assert out.groupBy("query_id").count().count() == 3
+
+
 def test_pq_rerank_recall(spark):
     """The two-stage PQ search reaches full recall at the contract
     operating point (shortlist 100 ≥ what quantization error needs on

@@ -195,3 +195,47 @@ def test_curation_pipeline_plan(spark):
     assert "BroadcastHashJoin" in (
         out._jdf.queryExecution().executedPlan().toString()
     )
+
+
+def test_curation_barrier_single_prefix(spark, tmp_path):
+    """barrier='checkpoint' materializes the scan→gate→dedup prefix
+    once: the decontamination anti join's two branches both read the
+    checkpointed RDD, so the train parquet scan disappears from the
+    final plan entirely (it ran once, inside the checkpoint job). The
+    default (barrier=None) plan scans the train source twice — the
+    documented caveat the barrier exists to remove. Both modes and the
+    'table' barrier must return identical rows."""
+    from datamine_v2_0_spark.pipeline.curation import curate_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 29 == 0)
+    tr = docs.filter(F.col("doc_id") % 29 != 0)
+
+    lazy = curate_corpus(tr, ev, "text", "doc_id", min_stopwords=1)
+    lazy_plan = lazy._jdf.queryExecution().executedPlan().toString()
+    # eval side scans documents once; the doubled prefix makes 3 total
+    assert lazy_plan.count("Scan parquet") == 3
+
+    ck = curate_corpus(
+        tr, ev, "text", "doc_id", min_stopwords=1, barrier="checkpoint"
+    )
+    ck_plan = ck._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in ck_plan
+    # only the eval-set branch still reads parquet
+    assert ck_plan.count("Scan parquet") == 1
+
+    expect = {tuple(r) for r in lazy.collect()}
+    assert {tuple(r) for r in ck.collect()} == expect
+
+    tbl = curate_corpus(
+        tr, ev, "text", "doc_id", min_stopwords=1,
+        barrier="table", staging_path=str(tmp_path / "staged"),
+    )
+    assert {tuple(r) for r in tbl.collect()} == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="staging_path"):
+        curate_corpus(tr, ev, "text", "doc_id", barrier="table")
+    with _pytest.raises(ValueError, match="barrier"):
+        curate_corpus(tr, ev, "text", "doc_id", barrier="persist")
