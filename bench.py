@@ -40,6 +40,7 @@ HEADLINE = [
     "text_tfidf",            # TF-IDF top terms
     "text_bm25",             # BM25 inverted-index retrieval
     "dedup_against",         # cross-corpus near-dedup
+    "dedup_substring",       # exact-substring spans (k-gram postings)
     "join_asof_merge",       # union-merge as-of (one shuffle, no join)
     "join_range_bin",        # binned range join (no broadcast)
     "ts_gapfill",            # gapfill resample + locf/interpolate
@@ -111,10 +112,15 @@ def main() -> None:
     best = {
         name: min(p[name] for p in passes) for name in HEADLINE
     }
-    # the query set grows across rounds (r3 added pipeline_curation);
-    # r2_set_total sums only the queries present in the r2 headline so
-    # cross-round totals compare like-for-like
-    r2_set = [n for n in HEADLINE if n != "pipeline_curation"]
+    # the query set grows across rounds (r3 added pipeline_curation, r4
+    # added dedup_substring); rN_set_total sums only the queries present
+    # in round N's headline so cross-round totals compare like-for-like.
+    # TIMING PROTOCOL (frozen as of r3, do not change): warmups above,
+    # then 3 passes per query, report per-query min; disclose pass totals.
+    r2_set = [
+        n for n in HEADLINE if n not in ("pipeline_curation", "dedup_substring")
+    ]
+    r3_set = [n for n in HEADLINE if n != "dedup_substring"]
     out = {
         "metric": "headline_query_total",
         "value": round(sum(best.values()), 3),
@@ -124,6 +130,7 @@ def main() -> None:
         "calib_sec": calib,
         "timing": "min of 3 passes per query",
         "r2_set_total": round(sum(best[n] for n in r2_set), 3),
+        "r3_set_total": round(sum(best[n] for n in r3_set), 3),
         "pass_totals": [round(sum(p.values()), 3) for p in passes],
     }
     print(json.dumps(out))
