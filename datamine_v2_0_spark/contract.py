@@ -67,6 +67,13 @@ QUERIES: dict[str, tuple] = {
     # --- new in r4: first driver row needed ------------------------------
     "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
     "dedup_substring_strip": (q_dedup_substring_strip, SQL_DEDUP_SUBSTRING_STRIP),
+    "text_rrf": (q_text_rrf, SQL_TEXT_RRF),
+    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
+    "ts_ohlc": (q_ts_ohlc, SQL_TS_OHLC),
+    "evt_transitions": (q_evt_transitions, SQL_EVT_TRANSITIONS),
+    "qa_psi": (q_qa_psi, SQL_QA_PSI),
+    "filt_temperature_mix": (q_filt_temperature_mix, SQL_FILT_TEMPERATURE_MIX),
+    "agg_outliers": (q_agg_outliers, SQL_AGG_OUTLIERS),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

@@ -308,6 +308,35 @@ def grouped_mad(
     )
 
 
+def robust_outliers(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    z_thresh: float = 3.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group robust outlier detection: rows whose modified z-score
+    |0.6745·(x − median)/MAD| exceeds ``z_thresh`` (the Iglewicz–Hoaglin
+    rule — the MAD-based test that, unlike ±k·σ, is immune to the very
+    outliers being hunted). Returns the flagged input rows plus
+    (median, mad, robust_z).
+
+    Builds on ``grouped_mad`` (two exact-median passes), then one
+    co-partitioned join back on ``keys`` — groups where MAD = 0 (over
+    half the group identical) yield no finite score and are skipped.
+    """
+    keys = list(keys)
+    stats = grouped_mad(df, keys, value, round_to=round_to).select(
+        *keys, "median", "mad"
+    )
+    z = F.lit(0.6745) * (F.col(value) - F.col("median")) / F.col("mad")
+    return (
+        df.join(stats, keys)
+        .filter((F.col("mad") > 0) & (F.abs(z) > F.lit(float(z_thresh))))
+        .withColumn("robust_z", F.round(z, round_to))
+    )
+
+
 def hopping_agg(
     df: DataFrame,
     ts: str,

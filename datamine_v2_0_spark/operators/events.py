@@ -88,6 +88,44 @@ def funnel_steps(
     )
 
 
+def transition_matrix(
+    df: DataFrame,
+    entity_col: str,
+    ts_col: str,
+    state_col: str,
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order Markov transition counts/probabilities over each
+    entity's ordered state sequence: (from_state, to_state, n,
+    prob) where prob = n / Σ n over the same from_state — the
+    state-transition EDA the reference runs per device
+    (`STEP 3 - EDA Analysis/database_pipeline.py` state-change queries),
+    generalized to any event stream.
+
+    One window (lag over entity, ts order) + one hash aggregate; the
+    row-level probability share folds in as a window over the from_state
+    marginal — no second scan. ``tiebreak`` totalizes same-ts orderings.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = Window.partitionBy(entity_col).orderBy(*order)
+    pairs = (
+        df.withColumn("__prev", F.lag(state_col).over(w))
+        .filter(F.col("__prev").isNotNull())
+        .groupBy(F.col("__prev").alias("from_state"), F.col(state_col).alias("to_state"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wm = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wm), round_to).alias("prob"),
+    )
+
+
 def cohort_retention(
     df: DataFrame,
     user_col: str,

@@ -209,6 +209,52 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def temperature_mix(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    target_rows: int,
+    alpha: float = 0.5,
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based multinomial mixture sampling (the multilingual
+    pre-training rebalance: stratum s is drawn with probability
+    p_s ∝ n_s^alpha, alpha<1 up-weighting small strata — the exponent-
+    smoothing protocol of public multilingual-LM recipes). Rows keep with
+    per-stratum rate q_s = min(1, target_rows · p_s / n_s), decided by a
+    seeded portable hash of the id — deterministic, engine-portable, and
+    exact in expectation.
+
+    Plan shape: stratum counts (one partial-agg shuffle) → 1-row weight
+    total → both broadcast back into the filter; the corpus itself is
+    scanned once and never shuffles. Returns the kept rows plus their
+    ``mix_rate``.
+
+    alpha=0.5 computes via sqrt (bit-identical across engines); other
+    alphas use pow, whose last-ulp rounding may differ between libm
+    implementations — fine for sampling, not for a hash-matched oracle.
+    """
+    n = F.col("__n").cast("double")
+    wcol = (F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))).alias("__w")
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    weights = counts.select(stratum_col, F.col("__n"), wcol)
+    tot = weights.agg(F.sum("__w").alias("__tw"))
+    rates = (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            stratum_col,
+            F.least(
+                F.lit(1.0),
+                F.lit(float(target_rows))
+                * (F.col("__w") / F.col("__tw"))
+                / F.col("__n"),
+            ).alias("mix_rate"),
+        )
+    )
+    u = _portable_hash(F.col(id_col), seed) / F.lit(4294967296.0)
+    return df.join(F.broadcast(rates), stratum_col).filter(u < F.col("mix_rate"))
+
+
 def weighted_mix(
     df: DataFrame,
     stratum_col: str,

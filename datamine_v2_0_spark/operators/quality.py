@@ -116,3 +116,84 @@ def validate_table(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def population_stability(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    sample of ``value_col`` — the standard train/serve drift monitor for
+    feature and label distributions. Returns one row per bin:
+    (bin, n_ref, n_cur, p_ref, p_cur, psi_term); Σ psi_term is the PSI
+    (rule of thumb: <0.1 stable, >0.25 shifted).
+
+    Bins are ``n_bins`` equal-width cuts of the REFERENCE min/max (the
+    deployed-model convention: the monitoring grid is frozen from the
+    training data); current values outside the reference range clamp into
+    the edge bins, and zero counts floor at ``eps`` inside the log so the
+    index stays finite. Every bin always appears, observed or not.
+
+    Plan shape: each side is one partial-agg shuffle on its bin id; the
+    reference min/max and both bin tables are tiny 1-row/``n_bins``-row
+    frames that broadcast into the final grid join — the raw tables are
+    scanned exactly once each, and nothing corpus-sized shuffles twice.
+    """
+    v = F.col(value_col)
+    stats = ref.agg(
+        F.min(v).cast("double").alias("__mn"), F.max(v).cast("double").alias("__mx")
+    )
+
+    def binned(df: DataFrame, out: str) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor(
+                    (v.cast("double") - F.col("__mn"))
+                    / ((F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins)))
+                ),
+                F.lit(0).cast("long"),
+            ),
+            F.lit(int(n_bins) - 1).cast("long"),
+        )
+        return (
+            df.filter(v.isNotNull())
+            .crossJoin(F.broadcast(stats))
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    grid = stats.select(
+        F.explode(F.sequence(F.lit(0).cast("long"), F.lit(int(n_bins) - 1).cast("long"))).alias("bin")
+    )
+    r = binned(ref, "n_ref")
+    c = binned(cur, "n_cur")
+    g = (
+        grid.join(r, "bin", "left")
+        .join(c, "bin", "left")
+        .select(
+            "bin",
+            F.coalesce("n_ref", F.lit(0)).alias("n_ref"),
+            F.coalesce("n_cur", F.lit(0)).alias("n_cur"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
+    )
+    e = F.lit(float(eps))
+    p = F.greatest(F.col("n_ref") / F.col("__tr"), e)
+    q = F.greatest(F.col("n_cur") / F.col("__tc"), e)
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bin",
+            "n_ref",
+            "n_cur",
+            F.round(p, round_to).alias("p_ref"),
+            F.round(q, round_to).alias("p_cur"),
+            F.round((p - q) * F.log(p / q), round_to).alias("psi_term"),
+        )
+    )

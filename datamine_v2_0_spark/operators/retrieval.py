@@ -122,3 +122,50 @@ def bm25_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def rrf_fuse(
+    ranked: "list[DataFrame]",
+    k: int = 10,
+    c: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked candidate lists into one hybrid
+    top-k: score(d) = Σ_lists 1/(c + rank_d) (Cormack/Clarke/Büttcher
+    RRF, the standard lexical+dense hybrid-retrieval merge). Each input
+    holds (query_col, id_col, rank_col) with ranks from 1; a document
+    missing from a list simply contributes nothing for it.
+
+    The fusion is rank-only — scores from different retrievers never mix
+    scales — and fully declarative: union the lists, one hash aggregate
+    on (query, doc), one per-query top-k window. Each candidate list is
+    already top-k-per-query sized, so the union is bounded by
+    n_queries·k·n_lists regardless of corpus size.
+    """
+    if not ranked:
+        raise ValueError("ranked lists must be non-empty")
+    contribs = [
+        r.select(
+            F.col(query_col).alias("query_id"),
+            F.col(id_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(c)) + F.col(rank_col))).alias("__contrib"),
+        )
+        for r in ranked
+    ]
+    u = contribs[0]
+    for part in contribs[1:]:
+        u = u.unionByName(part)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("__contrib"), round_to).alias("rrf_score"),
+        F.count(F.lit(1)).cast("int").alias("n_lists"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.col("doc_id").asc()
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -1,6 +1,7 @@
-"""Time-series resampling with gap fill — the TimescaleDB
-``time_bucket_gapfill`` / ``locf()`` / ``interpolate()`` query family
-(public TimescaleDB API semantics), Spark-first.
+"""Time-series resampling, gap fill, EWMA smoothing, and OHLC bars —
+the TimescaleDB ``time_bucket_gapfill`` / ``locf()`` / ``interpolate()``
+query family (public TimescaleDB API semantics) plus the standard
+financial/telemetry resample shapes, Spark-first.
 
 The reference stores telemetry in TimescaleDB hypertables (`STEP 1 -
 Ingest Raw Telemetry/00_database_setup.sql`); its tumbling ``time_bucket``
@@ -91,4 +92,94 @@ def resample_gapfill(
         "value",
         pv.alias("value_locf"),
         interp.alias("value_interp"),
+    )
+
+
+def ewma_smooth(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    alpha: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key exponentially weighted moving average (the pandas
+    ``ewm(alpha=..., adjust=False)`` recurrence): y_0 = x_0,
+    y_t = alpha*x_t + (1-alpha)*y_{t-1}. Returns (keys..., ts, value,
+    ewma) with one row per input row.
+
+    The recurrence is inherently sequential per key, so each series folds
+    ONCE through a JVM higher-order aggregate over its sorted (ts, value)
+    array — no Python, no per-step window. The fold appends to the
+    accumulator array (copy-per-step), so per-key series length should be
+    bounded: this operator is built for the resample-then-smooth shape
+    (bucket first via ``resample_gapfill``/``ohlc_resample``, then smooth
+    the bounded bucket series). For raw unbounded series, bucket first —
+    a 100 TB raw stream should never reach a sequential smoother anyway.
+
+    Rows tie-break on (ts, value); the fold arithmetic is plain IEEE
+    double mul/add in recurrence order, reproducible in any engine's
+    recursive evaluation of the same expression.
+    """
+    keys = list(keys)
+    a = F.lit(float(alpha))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("x"))
+        )
+    )
+    ew = F.aggregate(
+        F.col("__pts"),
+        F.array().cast("array<double>"),
+        lambda acc, e: F.concat(
+            acc,
+            F.array(
+                F.when(F.size(acc) == 0, e["x"].cast("double")).otherwise(
+                    a * e["x"] + (F.lit(1.0) - a) * F.element_at(acc, -1)
+                )
+            ),
+        ),
+    )
+    per_key = df.groupBy(*keys).agg(arr.alias("__pts"))
+    z = per_key.select(
+        *keys, F.explode(F.arrays_zip(F.col("__pts"), ew.alias("__ew"))).alias("__z")
+    )
+    return z.select(
+        *keys,
+        F.col("__z.__pts.ts").alias(ts_col),
+        F.col("__z.__pts.x").alias(value_col),
+        F.round(F.col("__z.__ew"), round_to).alias("ewma"),
+    )
+
+
+def ohlc_resample(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    bucket_seconds: int,
+    tiebreak: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key OHLC resample: (keys..., bucket, open, high, low, close,
+    vsum, n) — the candlestick/telemetry-envelope downsample. ``open`` /
+    ``close`` are the first/last values by (ts, tiebreak) within the
+    bucket (``min_by``/``max_by`` over a struct — one hash aggregate, no
+    window, no second shuffle); ``tiebreak`` must make the ordering total
+    (an event id). Values round to ``round_to`` for cross-engine parity.
+    """
+    keys = list(keys)
+    bsec = F.lit(int(bucket_seconds)).cast("long")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / bsec) * bsec).cast("long")
+    )
+    order = F.struct(F.col(ts_col), F.col(tiebreak))
+    v = F.col(value_col)
+    return df.groupBy(*keys, bucket.alias("bucket")).agg(
+        F.round(F.min_by(v, order), round_to).alias("open"),
+        F.round(F.max(v), round_to).alias("high"),
+        F.round(F.min(v), round_to).alias("low"),
+        F.round(F.max_by(v, order), round_to).alias("close"),
+        F.round(F.sum(v), round_to).alias("vsum"),
+        F.count(F.lit(1)).alias("n"),
     )

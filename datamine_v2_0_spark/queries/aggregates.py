@@ -418,3 +418,27 @@ SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
 FROM lineitem
 GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
 """
+
+def q_agg_outliers(spark, sf_dir):
+    """Per-type robust outlier rows by modified z-score (|0.6745·(x−med)
+    /MAD| > 3.5) — grouped_mad plus one co-partitioned join back."""
+    df = _t(spark, sf_dir, "events")
+    out = agg.robust_outliers(df, ["event_type"], "value", z_thresh=3.5)
+    return out.select(
+        "event_id", "event_type", "value", "median", "mad", "robust_z"
+    )
+
+SQL_AGG_OUTLIERS = """
+WITH med AS (
+  SELECT event_type, median(value) AS m FROM events GROUP BY 1
+), st AS (
+  SELECT e.event_type, ROUND(ANY_VALUE(med.m), 6) AS median,
+         ROUND(median(ABS(e.value - med.m)), 6) AS mad
+  FROM events e JOIN med USING (event_type) GROUP BY 1
+)
+SELECT e.event_id, e.event_type, e.value, st.median, st.mad,
+       ROUND(0.6745 * (e.value - st.median) / st.mad, 6) AS robust_z
+FROM events e JOIN st USING (event_type)
+WHERE st.mad > 0
+  AND ABS(0.6745 * (e.value - st.median) / st.mad) > 3.5
+"""

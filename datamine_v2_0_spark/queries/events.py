@@ -187,3 +187,136 @@ SELECT f.cohort_week,
 FROM events e JOIN first f USING (user_id)
 GROUP BY 1, 2
 """
+
+def q_evt_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over each user's ordered
+    event stream (the reference's per-device state-change EDA shape):
+    one lag window + one hash aggregate."""
+    from datamine_v2_0_spark.operators import events as ev
+
+    df = _t(spark, sf_dir, "events")
+    return ev.transition_matrix(df, "user_id", "ts", "event_type", tiebreak="event_id")
+
+SQL_EVT_TRANSITIONS = """
+WITH pairs AS (
+  SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS from_state,
+         event_type AS to_state
+  FROM events
+), n AS (
+  SELECT from_state, to_state, COUNT(*) AS n FROM pairs
+  WHERE from_state IS NOT NULL GROUP BY 1, 2
+)
+SELECT from_state, to_state, n,
+       ROUND(CAST(n AS DOUBLE)
+             / CAST(SUM(n) OVER (PARTITION BY from_state) AS DOUBLE), 6) AS prob
+FROM n
+"""
+
+def q_ts_ewma(spark, sf_dir):
+    """Resample-then-smooth: hourly per-type means (quantized 6dp so the
+    recurrence inputs are bit-identical cross-engine), then the exact
+    EWMA recurrence folded once per series through a JVM higher-order
+    aggregate — no Python, no per-step self-join; oracle = recursive-CTE
+    replay of the same recurrence."""
+    from datamine_v2_0_spark.operators import timeseries as tsr
+
+    df = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600).cast("long")) * 3600).cast("long")
+    )
+    hourly = df.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"))
+    return tsr.ewma_smooth(hourly, ["event_type"], "bucket", "value", alpha=0.3)
+
+SQL_TS_EWMA = """
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT))
+           AS bucket,
+         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM b
+), r AS (
+  SELECT event_type, bucket, value, rn, value AS ewma FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.value, s.rn,
+         0.3 * s.value + (1.0 - 0.3) * r.ewma
+  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bucket, value, ROUND(ewma, 6) AS ewma FROM r
+"""
+
+def q_ts_ohlc(spark, sf_dir):
+    """Daily OHLC bars per event type — first/last by (ts, event_id) via
+    min_by/max_by over a struct: ONE hash aggregate, no window, no second
+    shuffle."""
+    from datamine_v2_0_spark.operators import timeseries as tsr
+
+    df = _t(spark, sf_dir, "events")
+    return tsr.ohlc_resample(df, ["event_type"], "ts", "value", 86400, tiebreak="event_id")
+
+SQL_TS_OHLC = """
+SELECT event_type,
+       make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000 AS BIGINT))
+         AS bucket,
+       ROUND(first(value ORDER BY ts, event_id), 6) AS open,
+       ROUND(MAX(value), 6) AS high,
+       ROUND(MIN(value), 6) AS low,
+       ROUND(last(value ORDER BY ts, event_id), 6) AS close,
+       ROUND(SUM(value), 6) AS vsum,
+       COUNT(*) AS n
+FROM events GROUP BY 1, 2
+"""
+
+def q_qa_psi(spark, sf_dir):
+    """Population Stability Index of the event value distribution,
+    first half of the month (reference) vs second half (current) — the
+    train/serve drift monitor. Grid = 10 equal-width bins frozen from
+    the reference min/max."""
+    from datamine_v2_0_spark.operators import quality as qa
+
+    df = _t(spark, sf_dir, "events")
+    cut = F.lit("2024-01-16").cast("timestamp")
+    return qa.population_stability(
+        df.filter(F.col("ts") < cut), df.filter(F.col("ts") >= cut), "value"
+    )
+
+SQL_QA_PSI = """
+WITH ref AS (SELECT value FROM events WHERE ts < TIMESTAMP '2024-01-16'),
+cur AS (SELECT value FROM events WHERE ts >= TIMESTAMP '2024-01-16'),
+stats AS (
+  SELECT CAST(MIN(value) AS DOUBLE) AS mn, CAST(MAX(value) AS DOUBLE) AS mx
+  FROM ref
+), rb AS (
+  SELECT LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - s.mn)
+                        / ((s.mx - s.mn) / 10.0)) AS BIGINT), 0), 9) AS bin,
+         COUNT(*) AS n_ref
+  FROM ref, stats s WHERE value IS NOT NULL GROUP BY 1
+), cb AS (
+  SELECT LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - s.mn)
+                        / ((s.mx - s.mn) / 10.0)) AS BIGINT), 0), 9) AS bin,
+         COUNT(*) AS n_cur
+  FROM cur, stats s WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(9 AS BIGINT))) AS bin
+), g AS (
+  SELECT grid.bin,
+         COALESCE(rb.n_ref, 0) AS n_ref, COALESCE(cb.n_cur, 0) AS n_cur
+  FROM grid LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)
+), tot AS (
+  SELECT CAST(SUM(n_ref) AS DOUBLE) AS tr, CAST(SUM(n_cur) AS DOUBLE) AS tc
+  FROM g
+)
+SELECT bin, n_ref, n_cur,
+       ROUND(GREATEST(n_ref / t.tr, 1e-6), 6) AS p_ref,
+       ROUND(GREATEST(n_cur / t.tc, 1e-6), 6) AS p_cur,
+       ROUND((GREATEST(n_ref / t.tr, 1e-6) - GREATEST(n_cur / t.tc, 1e-6))
+             * LN(GREATEST(n_ref / t.tr, 1e-6)
+                  / GREATEST(n_cur / t.tc, 1e-6)), 6) AS psi_term
+FROM g, tot t
+"""

@@ -219,3 +219,31 @@ SELECT doc_id, lang FROM h
 WHERE u < CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0
                     WHEN 'fr' THEN 0.75 ELSE 0.25 END
 """
+
+def q_filt_temperature_mix(spark, sf_dir):
+    """Temperature-smoothed multinomial mixture sampling over languages
+    (p_lang ∝ n^0.5 — the multilingual-LM rebalance): stratum counts →
+    1-row weight total → broadcast rate filter; the corpus never
+    shuffles. alpha=0.5 runs on sqrt so the rates are bit-identical in
+    any engine."""
+    df = _t(spark, sf_dir, "documents")
+    out = flt.temperature_mix(df, "lang", "doc_id", target_rows=200, alpha=0.5)
+    return out.select(
+        "doc_id", "lang", "source", F.round("mix_rate", 6).alias("mix_rate")
+    )
+
+SQL_FILT_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n, sqrt(CAST(COUNT(*) AS DOUBLE)) AS w
+  FROM documents GROUP BY lang
+), tot AS (SELECT SUM(w) AS tw FROM counts),
+rates AS (
+  SELECT lang,
+         LEAST(1.0, 200.0 * (w / t.tw) / CAST(n AS DOUBLE)) AS mix_rate
+  FROM counts, tot t
+)
+SELECT d.doc_id, d.lang, d.source, ROUND(r.mix_rate, 6) AS mix_rate
+FROM documents d JOIN rates r USING (lang)
+WHERE (((d.doc_id % 1000000007) * 2654435761 + 0) % 4294967296)
+      / 4294967296.0 < r.mix_rate
+"""

@@ -574,3 +574,99 @@ def q_text_bpe(spark, sf_dir):
     return bpe.apply_bpe(df, "text", "doc_id", merges).select(
         "doc_id", "n_tokens"
     )
+
+def q_text_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-10 (inverted index) and dense cosine
+    top-10 (same probe ids against the embeddings table) fused by
+    reciprocal-rank fusion into one top-5 — the standard hybrid-search
+    merge. Both candidate lists are top-k-per-query sized, so the fusion
+    union/aggregate is bounded by queries·k·2 regardless of corpus size."""
+    from datamine_v2_0_spark.operators import retrieval as rt
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    lex = rt.bm25_topk(docs, probes, "text", "doc_id", "qtext", "qid", k=10)
+    qvecs = emb.filter(F.col("vec_id") % 100 == 0)
+    dense = sim.cosine_topk(emb, qvecs, "embedding", "vec_id", k=10)
+    wd = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.col("neighbor_id").asc()
+    )
+    dense_ranked = dense.select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.row_number().over(wd).alias("rank"),
+    )
+    return rt.rrf_fuse([lex, dense_ranked], k=5)
+
+SQL_TEXT_RRF = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')),
+                             ' ')) AS term
+  FROM documents
+), tok AS (
+  SELECT doc_id, term FROM tokens WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+), lex AS (
+  SELECT query_id, doc_id, rn AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= 10
+), qv AS (
+  SELECT vec_id AS query_id, embedding AS qe
+  FROM embeddings WHERE vec_id % 100 = 0
+), dscored AS (
+  SELECT qv.query_id, e.vec_id AS doc_id,
+         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                      CAST(qv.qe AS DOUBLE[])), 6) AS cs
+  FROM embeddings e CROSS JOIN qv
+  WHERE e.vec_id <> qv.query_id
+), dense AS (
+  SELECT query_id, doc_id, rn AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY cs DESC, doc_id) AS rn
+    FROM dscored
+  ) WHERE rn <= 10
+), u AS (
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM lex
+  UNION ALL
+  SELECT query_id, doc_id, 1.0 / (60.0 + rank) AS contrib FROM dense
+), fused AS (
+  SELECT query_id, doc_id, ROUND(SUM(contrib), 6) AS rrf_score,
+         CAST(COUNT(*) AS INT) AS n_lists
+  FROM u GROUP BY 1, 2
+)
+SELECT query_id, doc_id, rrf_score, n_lists, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY query_id ORDER BY rrf_score DESC, doc_id) AS rn
+  FROM fused
+) WHERE rn <= 5
+"""

@@ -354,3 +354,38 @@ def test_gopher_signals_null_text(spark):
     assert r["mean_word_len"] == 0.0
     assert r["bullet_line_frac"] == 0.0
     assert r["n_required_stopwords"] == 0
+
+
+def test_temperature_mix_upweights_small_strata(spark):
+    # 900 'big' rows vs 100 'small' rows; alpha=0.5 compresses the gap
+    rows = [(i, "big" if i < 900 else "small") for i in range(1000)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = flt.temperature_mix(df, "s", "id", target_rows=500, alpha=0.5)
+    rates = {r["s"]: r["mix_rate"] for r in out.select("s", "mix_rate").distinct().collect()}
+    # sqrt weighting: p_big = 30/40, p_small = 10/40
+    assert rates["big"] == pytest.approx(500 * 0.75 / 900)
+    assert rates["small"] == pytest.approx(1.0)  # 500*0.25/100 = 1.25 -> clamp
+    # sampled fraction of the small stratum must exceed the big one
+    frac = {
+        s: out.filter(out["s"] == s).count() / n
+        for s, n in [("big", 900), ("small", 100)]
+    }
+    assert frac["small"] > frac["big"]
+
+
+def test_temperature_mix_alpha1_is_uniform_rate(spark):
+    # alpha=1 degenerates to a single global rate: target/N for every stratum
+    rows = [(i, "a" if i % 4 else "b") for i in range(400)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    out = flt.temperature_mix(df, "s", "id", target_rows=100, alpha=1.0)
+    rates = {r["s"]: r["mix_rate"] for r in out.select("s", "mix_rate").distinct().collect()}
+    for r in rates.values():
+        assert r == pytest.approx(0.25)
+
+
+def test_temperature_mix_deterministic(spark):
+    rows = [(i, "x") for i in range(100)]
+    df = spark.createDataFrame(rows, ["id", "s"])
+    a = sorted(r["id"] for r in flt.temperature_mix(df, "s", "id", 50).collect())
+    b = sorted(r["id"] for r in flt.temperature_mix(df, "s", "id", 50).collect())
+    assert a == b and 0 < len(a) < 100

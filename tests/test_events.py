@@ -99,3 +99,28 @@ def test_cohort_max_offset_filter(spark):
         _events(spark, rows), "user_id", "ts", max_offset=1
     ).collect()
     assert [r["week_offset"] for r in out] == [0]
+
+
+def test_transition_matrix_counts_and_probs(spark):
+    rows = [
+        (1, dt(2024, 1, 1, 0), "a"),
+        (1, dt(2024, 1, 1, 1), "b"),
+        (1, dt(2024, 1, 1, 2), "a"),
+        (1, dt(2024, 1, 1, 3), "c"),
+        (2, dt(2024, 1, 1, 0), "a"),
+        (2, dt(2024, 1, 1, 1), "b"),
+    ]
+    out = ev.transition_matrix(_events(spark, rows), "user_id", "ts", "event_type")
+    got = {(r["from_state"], r["to_state"]): (r["n"], r["prob"]) for r in out.collect()}
+    # from 'a': 2x a->b, 1x a->c
+    assert got[("a", "b")] == (2, 0.666667)
+    assert got[("a", "c")] == (1, 0.333333)
+    assert got[("b", "a")] == (1, 1.0)
+    # transitions never cross users: no c->anything, no b->a from user 2
+    assert ("c", "a") not in got and len(got) == 3
+
+
+def test_transition_matrix_single_event_user_no_rows(spark):
+    rows = [(1, dt(2024, 1, 1), "a")]
+    out = ev.transition_matrix(_events(spark, rows), "user_id", "ts", "event_type")
+    assert out.count() == 0

@@ -1185,3 +1185,32 @@ def test_hll_rollup_union_equals_direct_and_near_exact(spark):
     }
     for p, est in weekly.items():
         assert abs(est - exact[p]) / exact[p] < 0.05
+
+
+def test_robust_outliers_flags_planted_spike(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("g", float(v)) for v in [10, 11, 12, 10, 11, 12, 10, 11, 500]]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = agg.robust_outliers(df, ["g"], "v", z_thresh=3.5).collect()
+    assert [r["v"] for r in out] == [500.0]
+    assert abs(out[0]["robust_z"]) > 3.5
+    assert out[0]["median"] == 11.0
+
+
+def test_robust_outliers_zero_mad_group_skipped(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    # constant group: MAD = 0 -> no finite score, nothing flagged
+    rows = [("c", 5.0)] * 10 + [("c", 9e9)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    # median 5, mad 0 (majority identical) -> the spike cannot be scored
+    assert agg.robust_outliers(df, ["g"], "v").count() == 0
+
+
+def test_robust_outliers_inliers_unflagged(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("g", float(v)) for v in range(100)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    assert agg.robust_outliers(df, ["g"], "v", z_thresh=3.5).count() == 0

@@ -64,3 +64,30 @@ def test_validate_unknown_kind_raises(spark):
     df = spark.createDataFrame([(1,)], ["a"])
     with pytest.raises(ValueError):
         qa.validate_table(df, [{"name": "x", "kind": "nope", "col": "a"}])
+
+
+def test_psi_identical_distributions_zero(spark):
+    rows = [(float(i % 10),) for i in range(100)]
+    ref = spark.createDataFrame(rows, ["v"])
+    out = qa.population_stability(ref, ref, "v").collect()
+    assert len(out) == 10
+    assert all(r["psi_term"] == pytest.approx(0.0, abs=1e-9) for r in out)
+    assert sum(r["n_ref"] for r in out) == 100
+
+
+def test_psi_shift_positive_and_clamped(spark):
+    ref = spark.createDataFrame([(float(i),) for i in range(100)], ["v"])
+    # current values far outside the reference range clamp into bin 9
+    cur = spark.createDataFrame([(1000.0,) for _ in range(50)], ["v"])
+    out = {r["bin"]: r for r in qa.population_stability(ref, cur, "v").collect()}
+    assert len(out) == 10  # every bin appears even with zero counts
+    assert out[9]["n_cur"] == 50 and out[9]["n_cur"] == 50
+    psi = sum(r["psi_term"] for r in out.values())
+    assert psi > 0.25  # "shifted" by the standard rule of thumb
+    assert out[0]["n_cur"] == 0 and out[0]["p_cur"] == pytest.approx(1e-6)
+
+
+def test_psi_nulls_ignored(spark):
+    ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], ["v"])
+    out = qa.population_stability(ref, ref, "v").collect()
+    assert sum(r["n_ref"] for r in out) == 2

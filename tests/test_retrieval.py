@@ -81,3 +81,43 @@ def test_bm25_plan_no_cartesian_and_broadcast(spark):
     assert plan.count("BroadcastNestedLoopJoin") <= 1
     # query-term semi filter must be a broadcast hash join on term
     assert "BroadcastHashJoin" in plan
+
+
+def _ranked(spark, rows):
+    return spark.createDataFrame(rows, ["query_id", "doc_id", "rank"])
+
+
+def test_rrf_both_lists_beat_one(spark):
+    lex = _ranked(spark, [(1, 10, 1), (1, 11, 2)])
+    dense = _ranked(spark, [(1, 11, 1), (1, 12, 2)])
+    out = {r["doc_id"]: r for r in rt.rrf_fuse([lex, dense], k=10).collect()}
+    # doc 11 (rank 2 + rank 1) outranks both single-list docs
+    assert out[11]["rank"] == 1 and out[11]["n_lists"] == 2
+    assert out[11]["rrf_score"] == pytest.approx(1 / 62 + 1 / 61, abs=1e-6)
+    assert out[10]["n_lists"] == 1
+    assert out[10]["rrf_score"] == pytest.approx(1 / 61, abs=1e-6)
+    # tie between 10 (lex rank 1) and 12 (dense... ) no: 12 has rank 2
+    assert out[12]["rrf_score"] == pytest.approx(1 / 62, abs=1e-6)
+
+
+def test_rrf_topk_and_tiebreak(spark):
+    # equal scores -> doc_id ascending breaks the tie deterministically
+    lex = _ranked(spark, [(1, 20, 1), (1, 30, 2)])
+    dense = _ranked(spark, [(1, 40, 1), (1, 50, 2)])
+    rows = rt.rrf_fuse([lex, dense], k=2).collect()
+    got = [(r["doc_id"], r["rank"]) for r in sorted(rows, key=lambda r: r["rank"])]
+    assert got == [(20, 1), (40, 2)]  # 20 and 40 tie at 1/61; id-asc wins
+
+
+def test_rrf_per_query_isolation(spark):
+    lex = _ranked(spark, [(1, 10, 1), (2, 99, 1)])
+    out = rt.rrf_fuse([lex], k=5)
+    got = {(r["query_id"], r["doc_id"]) for r in out.collect()}
+    assert got == {(1, 10), (2, 99)}
+
+
+def test_rrf_empty_input_raises(spark):
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        rt.rrf_fuse([])

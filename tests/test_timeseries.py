@@ -67,3 +67,63 @@ def test_gapfill_agg_variants(spark):
     assert got[("a", "2024-01-01 00:00:00")][0] == 3.0
     got = _run(spark, rows, agg="count")
     assert got[("a", "2024-01-01 00:00:00")][0] == 2.0
+
+
+def test_ewma_recurrence_hand_computed(spark):
+    rows = [
+        ("a", dt(2024, 1, 1, 0), 10.0),
+        ("a", dt(2024, 1, 1, 1), 20.0),
+        ("a", dt(2024, 1, 1, 2), 0.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = tsr.ewma_smooth(df, ["k"], "ts", "v", alpha=0.5)
+    got = {str(r["ts"]): r["ewma"] for r in out.collect()}
+    assert got["2024-01-01 00:00:00"] == pytest.approx(10.0)
+    assert got["2024-01-01 01:00:00"] == pytest.approx(15.0)   # .5*20+.5*10
+    assert got["2024-01-01 02:00:00"] == pytest.approx(7.5)    # .5*0+.5*15
+    assert out.count() == 3  # one row per input row
+
+
+def test_ewma_keys_independent_and_sorted(spark):
+    # rows arrive out of ts order; each key folds its own series
+    rows = [
+        ("b", dt(2024, 1, 1, 1), 100.0),
+        ("a", dt(2024, 1, 1, 1), 0.0),
+        ("b", dt(2024, 1, 1, 0), 0.0),
+        ("a", dt(2024, 1, 1, 0), 8.0),
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = tsr.ewma_smooth(df, ["k"], "ts", "v", alpha=0.25)
+    got = {(r["k"], str(r["ts"])): r["ewma"] for r in out.collect()}
+    assert got[("a", "2024-01-01 00:00:00")] == pytest.approx(8.0)
+    assert got[("a", "2024-01-01 01:00:00")] == pytest.approx(6.0)
+    assert got[("b", "2024-01-01 00:00:00")] == pytest.approx(0.0)
+    assert got[("b", "2024-01-01 01:00:00")] == pytest.approx(25.0)
+
+
+def test_ohlc_first_last_and_envelope(spark):
+    rows = [
+        ("a", dt(2024, 1, 1, 2), 5.0, 1),
+        ("a", dt(2024, 1, 1, 0), 3.0, 2),   # earliest -> open
+        ("a", dt(2024, 1, 1, 23), 1.0, 3),  # latest -> close
+        ("a", dt(2024, 1, 1, 12), 9.0, 4),  # high
+        ("a", dt(2024, 1, 2, 1), 4.0, 5),   # next day bucket
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    out = tsr.ohlc_resample(df, ["k"], "ts", "v", 86400, tiebreak="eid")
+    got = {str(r["bucket"]): r for r in out.collect()}
+    d1 = got["2024-01-01 00:00:00"]
+    assert (d1["open"], d1["high"], d1["low"], d1["close"]) == (3.0, 9.0, 1.0, 1.0)
+    assert d1["vsum"] == pytest.approx(18.0)
+    assert d1["n"] == 4
+    assert got["2024-01-02 00:00:00"]["open"] == 4.0
+
+
+def test_ohlc_same_ts_tiebreak(spark):
+    rows = [
+        ("a", dt(2024, 1, 1), 1.0, 2),
+        ("a", dt(2024, 1, 1), 7.0, 1),  # same ts, lower eid -> open
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
+    r = tsr.ohlc_resample(df, ["k"], "ts", "v", 86400, tiebreak="eid").collect()[0]
+    assert r["open"] == 7.0 and r["close"] == 1.0
