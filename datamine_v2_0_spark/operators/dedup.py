@@ -33,6 +33,23 @@ def content_hash(col: Column) -> Column:
     return F.sha2(normalize_text(col), 256)
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Give compute-bound narrow stages full cluster parallelism.
+
+    A small corpus parquet arrives as ONE input split (file size <
+    ``maxPartitionBytes``), so the expensive per-doc stage downstream
+    (shingling, signature kernels) runs on a single core — measured 32×
+    under-parallelized on local[32]. If the scan yields fewer partitions
+    than half the default parallelism, round-robin repartition; at real
+    scale inputs already carry ≫ defaultParallelism splits and this is a
+    no-op (no shuffle inserted)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Exact near-duplicate removal: keep the lowest id per content hash.
 
@@ -211,6 +228,7 @@ def minhash_lsh_candidates(
     on (band, bucket) → distinct pairs. The join key is the band bucket, so
     this is shuffle-on-bucket — never a cross join. Returns (id_a, id_b)
     with id_a < id_b."""
+    df = _spread(df)
     sig_udf = minhash_text_udf(num_hashes, shingle_n)
     sig = df.select(F.col(id_col), sig_udf(F.col(text_col)).alias("__sig"))
     # docs too short to shingle get an all-null signature; they can't be
@@ -318,6 +336,7 @@ def jaccard_pairs_inverted(
     exclude the dropped shingles, so the score is the similarity of the
     docs' informative content (mixing capped intersections with uncapped
     sizes would bias every affected pair downward)."""
+    df = _spread(df)
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
     ).filter(F.size("__g") > 0)
@@ -336,6 +355,11 @@ def jaccard_pairs_inverted(
         # whose overlap includes capped shingles
         sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
         ex = ex.join(sizes, id_col)
+    # the self-join's two branches carry different aliases above the
+    # exchange, so Catalyst gets no ReusedExchange and would scan +
+    # shingle + explode the corpus TWICE (plan-audited). Materialize the
+    # posting table once — same recipe as the BM25 inverted index.
+    ex = ex.localCheckpoint(eager=False)
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
@@ -389,6 +413,7 @@ def containment_pairs_inverted(
     are consistent on both numerator and denominator). The pruned
     intersection makes capped containment a lower bound on the true
     score."""
+    df = _spread(df)
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
     ).filter(F.size("__g") > 0)
@@ -404,6 +429,10 @@ def containment_pairs_inverted(
             F.col("__df") <= max_shingle_freq
         )
         ex = ex.join(rare.select("__s"), "__s")
+    # materialize once: the aliased self-join otherwise recomputes the
+    # scan+shingle+explode per branch (no ReusedExchange; see
+    # jaccard_pairs_inverted)
+    ex = ex.localCheckpoint(eager=False)
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
@@ -431,6 +460,45 @@ def containment_pairs_inverted(
             F.round(cb, round_to).alias("cont_b_in_a"),
         )
     )
+
+
+def _bucket_cosine_verify(threshold: float):
+    """applyInPandas kernel for per-bucket cosine verification: normalized
+    matmul screens all in-bucket pairs (with a 1e-9 margin for the
+    different summation order), then the survivors are recomputed with
+    the exact einsum arithmetic of :func:`similarity.cosine_pairs_udf` so
+    emitted doubles are bit-identical to the pair-table verify path (and
+    its oracle). Emits (id_a, id_b, __cos) with id_a < id_b."""
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
+
+    def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = len(pdf)
+        if m < 2:
+            return empty
+        order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
+        ids = pdf["__id"].to_numpy()[order]
+        V = np.array(pdf["__vec"].tolist(), dtype=np.float64)[order]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            norms = np.sqrt(np.einsum("ij,ij->i", V, V))
+            Vn = V / norms[:, None]
+            C = Vn @ Vn.T
+            ia, ib = np.triu_indices(m, 1)
+            screen = C[ia, ib] >= threshold - 1e-9
+            ia, ib = ia[screen], ib[screen]
+            if not len(ia):
+                return empty
+            A, B = V[ia], V[ib]
+            num = np.einsum("ij,ij->i", A, B)
+            den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(
+                np.einsum("ij,ij->i", B, B)
+            )
+            cos = num / den
+        keep = cos >= threshold
+        return pd.DataFrame(
+            {"id_a": ids[ia[keep]], "id_b": ids[ib[keep]], "__cos": cos[keep]}
+        )
+
+    return _verify
 
 
 def embedding_neardup_pairs(
@@ -475,44 +543,35 @@ def embedding_neardup_pairs(
         )
         pairs = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     else:
-        # candidate ids only through the bucket join + distinct — the
-        # vectors (the wide payload) re-join AFTER dedup so the shuffle
-        # carries 16-byte pairs, not 2×dim float arrays per band hit
+        # verify INSIDE the bucket: each (band, key) group runs one
+        # vectorized kernel (normalized matmul screen with an ulp margin,
+        # then the exact per-pair einsum recompute — bit-identical to
+        # cosine_pairs_udf) and emits only the pairs clearing the
+        # threshold. The previous form expanded every in-bucket
+        # combination into (id_a, id_b) rows, distinct-ed them, and
+        # re-joined the vectors twice: at a high-recall operating point
+        # (few planes per band => big buckets) the candidate table is
+        # quadratic in bucket size — measured 50M pair rows for 5k
+        # vectors at 32/16 — while the passing set is 1000× smaller.
+        # Emitting post-verify pairs keeps the shuffle linear
+        # (bands × corpus vector rows in, passing pairs out).
         keys = banded_keys_udf(make_hyperplanes(dim, num_planes, seed), bands)
-        banded = base.select(
-            F.col(id_col),
+        banded = df.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__vec"),
             F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
         )
-        # in-bucket combination expansion (see minhash_lsh_candidates):
-        # a banded self-join would run the hyperplane-projection UDF
-        # once per side; this is one UDF pass + one shuffle, ids only
-        buckets = (
-            banded.groupBy("__band", "__key")
-            .agg(F.array_sort(F.collect_list(F.col(id_col))).alias("__ids"))
-            .filter(F.size("__ids") >= 2)
+        id_type = dict(df.dtypes)[id_col]
+        verify = _bucket_cosine_verify(threshold)
+        pairs_v = banded.groupBy("__band", "__key").applyInPandas(
+            verify, schema=f"id_a {id_type}, id_b {id_type}, __cos double"
         )
-        n = F.size("__ids")
-        bucket_pairs = F.flatten(
-            F.transform(
-                "__ids",
-                lambda x, i: F.transform(
-                    F.slice(F.col("__ids"), i + 2, n - i - 1),
-                    lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                ),
-            )
+        # the same pair from different bands carries the identical double
+        # (same arithmetic on the same vectors), so distinct dedups bands
+        return (
+            pairs_v.distinct()
+            .select("id_a", "id_b", F.round("__cos", round_to).alias("cos_sim"))
         )
-        cand = (
-            buckets.select(F.explode(bucket_pairs).alias("p"))
-            .select("p.id_a", "p.id_b")
-            .distinct()
-        )
-        va = base.select(
-            F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
-        )
-        vb = base.select(
-            F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
-        )
-        pairs = cand.join(va, "id_a").join(vb, "id_b")
     pair_cos = cosine_pairs_udf()
     return (
         pairs.withColumn("__cos", pair_cos(F.col("__va"), F.col("__vb")))
@@ -762,6 +821,82 @@ def simhash_from_hashes(hashes: Column, n_bits: int = 64) -> Column:
     return expr
 
 
+def simhash_text_udf(shingle_n: int = 2, portable: bool = False):
+    """Fused text→SimHash pandas UDF: normalize, shingle, hash, and the
+    full n_bits bit-vote inside one Arrow batch.
+
+    The Column-algebra form (:func:`simhash_from_hashes`) folds the hash
+    array once PER BIT — 60-64 interpreted ``aggregate()`` passes per
+    doc, measured ~15 s for 5k docs at sf0.1 — where numpy does the
+    whole vote as one (shingles × bits) matrix op. Same recipe as
+    :func:`minhash_text_udf`.
+
+    ``portable=True`` reproduces :func:`portable_shingle_hash`
+    bit-for-bit (first 15 md5 hex chars, base 16 — the oracle-checkable
+    family); the default uses the kernel's own deterministic crc32/
+    splitmix shingle family (fast scale path — families are not
+    comparable to each other). Docs too short to shingle return NULL;
+    callers decide whether that means "drop" or "signature 0"."""
+    import hashlib
+    import zlib
+
+    n_bits = 60 if portable else 64
+    C2 = np.uint64(0xBF58476D1CE4E5B9)
+    C3 = np.uint64(0x94D049BB133111EB)
+    wmul = (C2 * np.arange(1, shingle_n + 1, dtype=np.uint64)) | np.uint64(1)
+    bit_idx = np.arange(n_bits, dtype=np.uint64)
+
+    def _mix(z: np.ndarray) -> np.ndarray:
+        z = (z ^ (z >> np.uint64(30))) * C2
+        z = (z ^ (z >> np.uint64(27))) * C3
+        return z ^ (z >> np.uint64(31))
+
+    @pandas_udf("long")
+    def _sig(texts: pd.Series) -> pd.Series:
+        norm = (
+            texts.fillna("")
+            .str.lower()
+            .str.replace(r"\s+", " ", regex=True)
+            .str.strip()
+        )
+        out = []
+        with np.errstate(over="ignore"):
+            for doc in norm:
+                words = doc.split(" ") if doc else []
+                if len(words) < shingle_n:
+                    out.append(None)
+                    continue
+                if portable:
+                    grams = {
+                        " ".join(words[i : i + shingle_n])
+                        for i in range(len(words) - shingle_n + 1)
+                    }
+                    h = np.array(
+                        [
+                            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
+                            for g in grams
+                        ],
+                        dtype=np.uint64,
+                    )
+                else:
+                    wh = np.array(
+                        [zlib.crc32(w.encode("utf-8")) for w in words],
+                        dtype=np.uint64,
+                    )
+                    k = len(wh) - shingle_n + 1
+                    g = np.zeros(k, dtype=np.uint64)
+                    for j in range(shingle_n):
+                        g += wh[j : j + k] * wmul[j]
+                    h = np.unique(_mix(g))
+                bits = (h[:, None] >> bit_idx) & np.uint64(1)
+                votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+                sig = int(((votes > 0).astype(np.uint64) << bit_idx).sum())
+                out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
+        return pd.Series(out, dtype="object")
+
+    return _sig
+
+
 def simhash_candidates(
     df: DataFrame,
     text_col: str,
@@ -873,33 +1008,22 @@ def simhash_signatures(
     shingle_n words) — they all share simhash 0 and have no meaningful
     similarity to anything.
 
-    ``portable=True`` swaps the xxhash64 shingle hash for the md5-based
-    60-bit :func:`portable_shingle_hash` over string shingles, making
+    ``portable=True`` uses the md5-based 60-bit
+    :func:`portable_shingle_hash` family over string shingles, making
     the whole signature reproducible in any ANSI-SQL engine (the oracle
-    path); the default stays on the faster fixed-width xxhash64 kernel.
-    Signatures from the two families are not comparable to each other."""
-    if portable:
-        sh = df.select(
-            F.col(id_col),
-            word_shingles(F.col(text_col), shingle_n).alias("__g"),
-        )
-        hashed = sh.select(
-            F.col(id_col),
-            F.transform("__g", portable_shingle_hash).alias("__hashes"),
-        )
-        n_bits = 60
-    else:
-        wh = df.select(F.col(id_col), word_hashes(F.col(text_col)).alias("__wh"))
-        hashed = wh.select(
-            F.col(id_col),
-            hashed_shingles_from_words(F.col("__wh"), shingle_n).alias("__hashes"),
-        )
-        n_bits = 64
+    path); the default is the kernel's fast deterministic crc32/splitmix
+    family. Signatures from the two families are not comparable to each
+    other. Both run through the fused Arrow kernel
+    (:func:`simhash_text_udf`) — one vectorized vote instead of one
+    interpreted fold per bit."""
+    df = _spread(df)
+    sig = simhash_text_udf(shingle_n, portable)
+    out = df.select(F.col(id_col), sig(F.col(text_col)).alias("__sig"))
     if drop_empty:
-        hashed = hashed.filter(F.size("__hashes") > 0)
-    return hashed.select(
+        out = out.filter(F.col("__sig").isNotNull())
+    return out.select(
         F.col(id_col),
-        simhash_from_hashes(F.col("__hashes"), n_bits).alias("simhash"),
+        F.coalesce(F.col("__sig"), F.lit(0).cast("long")).alias("simhash"),
     )
 
 
@@ -1140,7 +1264,7 @@ def _token_kgrams(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFram
     ever ADDS a candidate span, mirroring the hashed variants of the
     suffix-array protocol)."""
     words = F.split(normalize_text(F.col(text_col)), " ")
-    base = df.select(F.col(id_col), words.alias("__w")).filter(
+    base = _spread(df).select(F.col(id_col), words.alias("__w")).filter(
         F.size("__w") >= k
     )
     idx = F.sequence(F.lit(1), F.size("__w") - F.lit(k - 1))

@@ -63,7 +63,9 @@ def bm25_topk(
     part of the beyond-reference LLM-data surface (SURVEY.md §2 extension),
     built per Robertson et al., "Okapi at TREC-3" (1994).
     """
-    tok = _tokens(docs, text_col, id_col, "term")
+    from datamine_v2_0_spark.operators.dedup import _spread
+
+    tok = _tokens(_spread(docs), text_col, id_col, "term")
     # the TF table is the inverted index: dl, dfreq, corpus stats, and the
     # posting join all branch from it. Catalyst gets no exchange reuse
     # across those branches (different downstream groupings), so without

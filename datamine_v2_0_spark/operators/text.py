@@ -144,6 +144,9 @@ def top_ngrams(
     every occurrence). Plan: map-side gram explode → one count shuffle →
     top-k (rank window over the tiny aggregated gram table). Ties break
     on the gram string for cross-engine determinism."""
+    from datamine_v2_0_spark.operators.dedup import _spread
+
+    df = _spread(df)
     t = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
     words = F.split(t, " ")
     # empty/whitespace-only docs split to [''] (size 1): without the
