@@ -1,0 +1,98 @@
+"""Link-graph analytics: degrees and PageRank-style centrality.
+
+Corpus-curation pipelines weight documents by the link structure of
+their sources (the public CommonCrawl playbook scores hosts by web-graph
+centrality before sampling); the reference's EDA corpus has no graph
+operator, so this is part of the beyond-reference LLM-data surface.
+PageRank follows the public formulation (Page et al. 1999; damping d,
+rank' = (1-d)/n + d * Σ_in rank/out_degree).
+
+Plan shape at scale: the edge table shuffles ONCE onto its join key and
+is reused every iteration (lazy localCheckpoint); each iteration is one
+co-partitioned join + one aggregate — the standard distributed power
+method. Iteration count is a parameter (fixed small k), not a
+convergence loop, so the driver never blocks on a data-dependent number
+of jobs and the oracle can replay the exact same k steps.
+
+Cross-engine float parity: each iteration's ranks are floor-quantized to
+``quantize_dp`` decimals, snapping Spark's partial-agg summation order
+and a SQL engine's sequential order onto the same grid — errors cannot
+compound across iterations, so a hash-matched oracle holds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _q(c: Column, dp: int) -> Column:
+    scale = F.lit(float(10**dp))
+    return F.floor(c * scale + F.lit(0.5)) / scale
+
+
+def out_degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, out_deg) over a directed edge list — one hash aggregate."""
+    return edges.groupBy(F.col(src).alias("node")).agg(
+        F.count(F.lit(1)).alias("out_deg")
+    )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    n_iter: int = 5,
+    damping: float = 0.85,
+    quantize_dp: int = 9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list: (node, rank).
+
+    Nodes are the union of sources and destinations; initial rank is
+    1/n. Dangling nodes (no out-edges) leak their mass — standard for
+    the sampled-subgraph quality-weighting use; feed a symmetrized edge
+    list (both directions) if the graph is undirected, which also
+    eliminates dangling mass entirely.
+
+    Each iteration: contribution = rank/out_deg shipped along edges
+    (co-partitioned join on src), summed per destination, damped, and
+    floor-quantized so the result is bit-reproducible across engines.
+    The edge+degree table materializes once; iterations reuse it.
+    """
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    ed = e.join(deg, "src").localCheckpoint(eager=False)
+
+    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    d = F.lit(float(damping))
+    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
+        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
+    )
+    for _ in range(n_iter):
+        contrib = (
+            ed.join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+        )
+        ranks = (
+            nodes.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(n_row))
+            .select(
+                "node",
+                _q(
+                    (F.lit(1.0) - d) / F.col("__n")
+                    + d * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    quantize_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", F.round("rank", round_to).alias("rank"))

@@ -320,3 +320,59 @@ SELECT bin, n_ref, n_cur,
                   / GREATEST(n_cur / t.tc, 1e-6)), 6) AS psi_term
 FROM g, tot t
 """
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank quality weighting over the part co-purchase graph
+    (parts sharing an order, symmetrized, distinct): 5 fixed power-
+    method iterations, each ONE co-partitioned join + aggregate over a
+    once-materialized edge+degree table. Per-iteration quantization
+    makes the floats engine-reproducible; oracle = the same 5 steps
+    unrolled as chained CTEs."""
+    from datamine_v2_0_spark.operators import graph as gr
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, "l_orderkey")
+        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return gr.pagerank(edges, n_iter=5, damping=0.85)
+
+
+def _pagerank_sql(iters: int = 5) -> str:
+    head = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+), nodes AS (
+  SELECT DISTINCT node FROM (
+    SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+  )
+), n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+ed AS (SELECT e.src, e.dst, deg.deg FROM e JOIN deg USING (src)),
+r0 AS (SELECT node, 1.0 / n.n AS rank FROM nodes, n)"""
+    steps = []
+    for i in range(1, iters + 1):
+        steps.append(f""",
+r{i} AS (
+  SELECT nodes.node,
+         floor(((1.0 - 0.85) / n.n + 0.85 * COALESCE(c.s, 0.0)) * 1e9 + 0.5)
+           / 1e9 AS rank
+  FROM nodes
+  LEFT JOIN (SELECT ed.dst AS node, SUM(r{i-1}.rank / ed.deg) AS s
+             FROM ed JOIN r{i-1} ON r{i-1}.node = ed.src
+             GROUP BY ed.dst) c USING (node)
+  CROSS JOIN n
+)""")
+    return head + "".join(steps) + f"""
+SELECT node, ROUND(rank, 6) AS rank FROM r{iters}
+"""
+
+SQL_GRAPH_PAGERANK = _pagerank_sql(5)
