@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -339,3 +341,76 @@ def lookup_join(
         .withColumn(out, F.coalesce(F.col(out), F.lit(default)))
         .drop("__k")
     )
+
+
+def bloom_prefilter_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    how: str = "inner",
+    expected_items: int = 1_000_000,
+    fpp: float = 0.01,
+    max_bits: int = 1 << 27,
+) -> DataFrame:
+    """Exact equi join with an explicit bloom prefilter on the probe
+    side: hash the (already filtered) build side's keys into k bit
+    positions (JVM xxhash64 Column algebra), assemble the bitset once on
+    the driver (bounded by ``max_bits`` — 16 MB at the default cap, the
+    same bounded-driver-state contract as train_pq's codebook sample),
+    and drop probe rows whose bits miss BEFORE the shuffle join. False
+    positives survive the prefilter and die in the real join, so the
+    result is exactly ``left.join(right, on, how)`` — what changes is
+    shuffle volume: at 100 TB a selective dim filter becomes row-level
+    pruning of the fact side (the manual form of
+    spark.sql.optimizer.runtime.bloomFilter, for build sides the
+    optimizer can't see through, e.g. the output of a subpipeline; this
+    build's registry does not expose bloom_filter_agg, so the bitset is
+    built from a distributed distinct-position aggregate instead).
+
+    Probe positions are computed with the same JVM hash expressions and
+    only the vectorized bit test runs in Arrow. Sized from
+    ``expected_items``/``fpp`` via m = -n·ln(p)/ln²2, k = (m/n)·ln2.
+    Supported join types: inner / semi (prefiltering the probe side is
+    only sound when missing-key rows are dropped anyway).
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    if how not in ("inner", "semi", "left_semi", "leftsemi"):
+        raise ValueError("bloom prefilter is only sound for inner/semi joins")
+    if not 0 < fpp < 1:
+        raise ValueError("fpp must be in (0, 1)")
+    m = int(-expected_items * math.log(fpp) / (math.log(2) ** 2))
+    m = max(64, min(m, int(max_bits)))
+    k = max(1, min(8, round(m / max(1, expected_items) * math.log(2))))
+
+    def _positions(key: Column) -> list[Column]:
+        # double hashing: pos_i = (h1 + i*h2) mod m, ANSI-overflow-safe
+        # (operands reduced mod m first; i*h2mod < 8 * 2^27 << 2^63)
+        h1 = F.pmod(F.xxhash64(key), F.lit(m))
+        h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(m))
+        return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+
+    pos_rows = right.select(
+        F.explode(F.array(*_positions(F.col(on)))).alias("__p")
+    ).distinct()
+    pos = np.fromiter(
+        (r["__p"] for r in pos_rows.collect()), dtype=np.int64
+    )
+    bitset = np.zeros((m + 63) // 64, dtype=np.uint64)
+    if len(pos):
+        np.bitwise_or.at(
+            bitset, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
+        )
+
+    @pandas_udf("boolean")
+    def _test(parr: pd.Series) -> pd.Series:
+        P = np.array(parr.tolist(), dtype=np.int64)  # (rows, k)
+        bits = (bitset[P // 64] >> (P % 64).astype(np.uint64)) & np.uint64(1)
+        return pd.Series(bits.all(axis=1))
+
+    pruned = left.filter(_test(F.array(*_positions(F.col(on)))))
+    if how in ("semi", "left_semi", "leftsemi"):
+        return pruned.join(right, on, "left_semi")
+    return pruned.join(right, on, how)

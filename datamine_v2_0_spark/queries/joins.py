@@ -430,3 +430,32 @@ SELECT o_orderpriority, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 """
+
+def q_join_bloom(spark, sf_dir):
+    """Bloom-prefiltered fact↔dim join: urgent orders' keys hash into a
+    bounded bitset, the lineitem probe side drops non-matching rows
+    BEFORE the shuffle join, false positives die in the real join — so
+    the result (and oracle) is exactly the plain filtered equi join."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    j = jn.bloom_prefilter_join(li, o, "l_orderkey", expected_items=50000, fpp=0.01)
+    return j.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+SQL_JOIN_BLOOM = """
+SELECT l_returnflag,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE o_orderpriority = '1-URGENT'
+GROUP BY l_returnflag
+"""

@@ -16,7 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -232,3 +232,81 @@ def compact_parquet_partitions(
         "files_after": _count_files(dst_path),
         "rows": rows,
     }
+
+
+def zorder_key(cols: Sequence[Column], mins: Sequence[Column],
+               maxs: Sequence[Column], bits: int = 12) -> Column:
+    """Morton (Z-order) key interleaving ``bits`` quantized bits per
+    column — multi-dimensional clustering so parquet row-group min/max
+    stats prune on EVERY participating column, not just the leading one
+    of a linear sort (the public Delta/Iceberg OPTIMIZE ZORDER layout).
+
+    Columns are linearly quantized into [0, 2^bits) from the supplied
+    per-column min/max (pass aggregate columns from a 1-row stats frame;
+    linear quantization is skew-sensitive — pre-transform heavy-tailed
+    columns, or extend with equi-depth boundaries). Pure Column algebra:
+    d × bits shift/mask terms, no UDF."""
+    d = len(cols)
+    if d < 2:
+        raise ValueError("z-ordering needs >= 2 columns")
+    top = (1 << bits) - 1
+    qs = []
+    for c, mn, mx in zip(cols, mins, maxs):
+        unit = (c.cast("double") - mn) / F.when(mx > mn, mx - mn).otherwise(
+            F.lit(1.0)
+        )
+        qs.append(
+            F.least(
+                F.greatest(F.floor(unit * F.lit(float(1 << bits))), F.lit(0)),
+                F.lit(top),
+            ).cast("long")
+        )
+    z = F.lit(0).cast("long")
+    for bit in range(bits):
+        for j, q in enumerate(qs):
+            z = z + F.shiftleft(
+                F.shiftright(q, bit).bitwiseAND(F.lit(1)), bit * d + j
+            )
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    bits: int = 12,
+    num_files: int | None = None,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+) -> None:
+    """Write ``df`` clustered by the Z-order of ``cols``: 1-row min/max
+    stats broadcast into the Morton key, range-exchange on the key,
+    sort-within-files, write. Point/box predicates on ANY subset of the
+    z-columns then skip whole row groups — the multi-column counterpart
+    of :func:`write_sorted_for_skipping` (which only skips on its
+    leading sort column)."""
+    stats = df.agg(
+        *[F.min(c).cast("double").alias(f"__mn_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__mx_{c}") for c in cols],
+    )
+    z = zorder_key(
+        [F.col(c) for c in cols],
+        [F.col(f"__mn_{c}") for c in cols],
+        [F.col(f"__mx_{c}") for c in cols],
+        bits,
+    )
+    keyed = df.crossJoin(F.broadcast(stats)).withColumn("__z", z).drop(
+        *[f"__mn_{c}" for c in cols], *[f"__mx_{c}" for c in cols]
+    )
+    out = (
+        keyed.repartitionByRange(num_files, "__z")
+        if num_files
+        else keyed.repartitionByRange("__z")
+    )
+    (
+        out.sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode(mode)
+        .option("compression", compression)
+        .parquet(path)
+    )

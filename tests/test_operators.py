@@ -1214,3 +1214,43 @@ def test_robust_outliers_inliers_unflagged(spark):
     rows = [("g", float(v)) for v in range(100)]
     df = spark.createDataFrame(rows, ["g", "v"])
     assert agg.robust_outliers(df, ["g"], "v", z_thresh=3.5).count() == 0
+
+
+def test_bloom_prefilter_join_exact_parity(spark):
+    from datamine_v2_0_spark.operators import joins as jn2
+
+    left = spark.range(5000).selectExpr("id AS k", "id * 2 AS v")
+    right = spark.range(100).selectExpr("id * 37 AS k", "id AS w")
+    got = jn2.bloom_prefilter_join(
+        left, right, "k", expected_items=1000, fpp=0.01
+    )
+    want = left.join(right, "k")
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in want.collect()
+    )
+    # the bit-test prefilter sits in the plan before the join
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+
+def test_bloom_prefilter_semi_and_pruning_rate(spark):
+    from datamine_v2_0_spark.operators import joins as jn2
+
+    left = spark.range(20000).selectExpr("id AS k")
+    right = spark.range(50).selectExpr("id * 401 AS k")
+    got = jn2.bloom_prefilter_join(
+        left, right, "k", how="semi", expected_items=50, fpp=0.01
+    )
+    assert sorted(r["k"] for r in got.collect()) == sorted(
+        r["k"] for r in left.join(right, "k", "left_semi").collect()
+    )
+
+
+def test_bloom_prefilter_join_rejects_outer(spark):
+    import pytest as _pt
+
+    from datamine_v2_0_spark.operators import joins as jn2
+
+    left = spark.range(10).selectExpr("id AS k")
+    with _pt.raises(ValueError):
+        jn2.bloom_prefilter_join(left, left, "k", how="left")

@@ -298,3 +298,49 @@ def test_compact_parquet_partitions(spark, tmp_path):
         spark, src, dst2, "part", max_records_per_file=100
     )
     assert stats2["files_after"] >= 4 * 2  # 250 rows/partition, 100/file
+
+
+def test_zorder_skips_on_nonleading_column(spark, tmp_path):
+    """A y-range predicate prunes row groups under the Z-order layout but
+    scans ~everything under an x-sorted layout — the multi-column
+    data-skipping win Z-ordering exists for."""
+    from pyspark.sql import functions as F
+
+    from datamine_v2_0_spark.sources import parquet_io as pio
+
+    n = 40_000
+    df = spark.range(n).select(
+        F.pmod(F.xxhash64("id"), F.lit(1000)).alias("x"),
+        F.pmod(F.xxhash64("id", F.lit(1)), F.lit(1000)).alias("y"),
+        F.col("id").alias("payload"),
+    )
+    lin, zo = str(tmp_path / "lin"), str(tmp_path / "zo")
+    # small row groups so pruning granularity exists at this row count
+    pio.write_sorted_for_skipping(df, lin, ["x"], num_files=4)
+    pio.write_zordered(df, zo, ["x", "y"], num_files=4)
+
+    def scan_rows(path):
+        out = spark.read.parquet(path).filter(
+            (F.col("y") >= 0) & (F.col("y") < 50)
+        )
+        out.collect()
+        return pio.scan_output_rows(out)
+
+    rows_lin, rows_zo = scan_rows(lin), scan_rows(zo)
+    # identical result set either way
+    assert (
+        spark.read.parquet(lin).filter("y >= 0 and y < 50").count()
+        == spark.read.parquet(zo).filter("y >= 0 and y < 50").count()
+    )
+    # x-sorted layout cannot prune on y; z-order must skip a large part
+    assert rows_zo < rows_lin * 0.7, (rows_zo, rows_lin)
+
+
+def test_zorder_rejects_single_column(spark, tmp_path):
+    import pytest as _pt
+
+    from datamine_v2_0_spark.sources import parquet_io as pio
+
+    df = spark.range(10).selectExpr("id AS x")
+    with _pt.raises(ValueError):
+        pio.write_zordered(df, str(tmp_path / "z1"), ["x"])
