@@ -200,3 +200,56 @@ def streaming_session_windows(
         .withColumn("session_end", F.col("w.end"))
         .drop("w")
     )
+
+
+def streaming_ewma(
+    stream: DataFrame,
+    key_cols: Sequence[str],
+    ts: str,
+    value_col: str,
+    alpha: float,
+    watermark: str = "10 seconds",
+) -> DataFrame:
+    """Stateful streaming EWMA via ``applyInPandasWithState``: the
+    per-key smoothed value persists in ``GroupState`` between
+    micro-batches, so the recurrence y_t = α·x_t + (1-α)·y_{t-1}
+    continues seamlessly across batch boundaries — the streaming form of
+    the batch ``timeseries.ewma_smooth`` fold, and the two agree row for
+    row when events arrive per-key in order (the same keyed-partition
+    ordering contract as ``streaming_state_changes``).
+
+    Emits one row per input row: (keys..., ts, value, ewma). State is
+    one scalar per key — bounded, no growth. Rows are sorted by event
+    time within each batch; NULL values pass through without advancing
+    the state."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    a = float(alpha)
+    key_fields = ", ".join(
+        f"{k} {stream.schema[k].dataType.simpleString()}" for k in key_cols
+    )
+    out_schema = f"{key_fields}, {ts} timestamp, {value_col} double, ewma double"
+
+    def fold(key, pdfs, state: GroupState):
+        last = state.get[0] if state.exists else None
+        pdf = pd.concat(list(pdfs)).sort_values(ts)
+        rows = []
+        for t, x in zip(pdf[ts], pdf[value_col]):
+            if pd.isna(x):
+                rows.append((*key, t, None, None))
+                continue
+            last = float(x) if last is None else a * float(x) + (1.0 - a) * last
+            rows.append((*key, t, float(x), last))
+        state.update((last,))
+        if rows:
+            yield pd.DataFrame(rows, columns=[*key_cols, ts, value_col, "ewma"])
+
+    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
+    return src.groupBy(*key_cols).applyInPandasWithState(
+        fold,
+        out_schema,
+        "last double",
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

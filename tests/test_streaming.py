@@ -227,3 +227,57 @@ def test_quality_gate_composes_with_streams(spark, tmp_path):
     rows = {r["doc_id"]: r for r in spark.sql("SELECT * FROM gate_sink").collect()}
     assert rows[1]["passes"] is True
     assert rows[2]["passes"] is False
+
+
+def test_streaming_ewma_across_batches_matches_batch(spark, tmp_path):
+    """The EWMA recurrence must continue across micro-batch boundaries
+    from persisted state, and the full streamed result must equal the
+    batch ewma_smooth fold over the same rows."""
+    from datamine_v2_0_spark.operators import timeseries as tsr
+    from datamine_v2_0_spark.streaming.ops import streaming_ewma
+
+    src = tmp_path / "ewma_src"
+    src.mkdir()
+    batches = [
+        [("a", 0, 10.0), ("a", 1, 20.0), ("b", 0, 4.0)],
+        [("a", 2, 0.0), ("b", 1, 8.0)],
+        [("a", 3, 40.0), ("b", 2, 0.0)],
+    ]
+    all_rows = [r for b in batches for r in b]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(
+            [Row(k=k, ts=T0 + timedelta(seconds=s), v=v) for k, s, v in rows]
+        ).coalesce(1).write.parquet(str(src / f"b{i}"))
+
+    stream = spark.readStream.schema("k string, ts timestamp, v double").option(
+        "maxFilesPerTrigger", 1
+    ).parquet(str(src / "b*"))
+    out = streaming_ewma(stream, ["k"], "ts", "v", alpha=0.5)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ewma_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["k"], r["ts"].replace(tzinfo=timezone.utc)): r["ewma"]
+        for r in spark.sql("SELECT * FROM ewma_stream").collect()
+    }
+    t = lambda s: T0 + timedelta(seconds=s)
+    # hand recurrence: a: 10 -> 15 -> 7.5 -> 23.75 ; b: 4 -> 6 -> 3
+    assert got[("a", t(2))] == pytest.approx(7.5)       # crosses b1/b2
+    assert got[("a", t(3))] == pytest.approx(23.75)     # crosses b2/b3
+    assert got[("b", t(2))] == pytest.approx(3.0)
+    # full parity with the batch fold
+    batch_df = spark.createDataFrame(
+        [Row(k=k, ts=T0 + timedelta(seconds=s), v=v) for k, s, v in all_rows]
+    )
+    want = {
+        (r["k"], r["ts"].replace(tzinfo=timezone.utc)): r["ewma"]
+        for r in tsr.ewma_smooth(batch_df, ["k"], "ts", "v", 0.5).collect()
+    }
+    assert len(got) == len(want) == len(all_rows)
+    for key, v in want.items():
+        assert got[key] == pytest.approx(v, abs=1e-9)
