@@ -74,3 +74,77 @@ def point_in_polygon_join(
     loncol = F.col(lon) if isinstance(lon, str) else lon
     latcol = F.col(lat) if isinstance(lat, str) else lat
     return df.withColumn(out, zone_classifier(zones, default)(loncol, latcol))
+
+
+def grid_radius_join(
+    df: DataFrame,
+    lat_col: Column,
+    lon_col: Column,
+    id_col: str,
+    radius: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """All point pairs within ``radius`` (planar coordinate units) —
+    the spatial radius self-join, bucketed so it is NEVER all-pairs:
+    points land in square grid cells of side ``radius``; any pair within
+    the radius must then sit in the same or an adjacent cell, so
+    candidates come from an equi join of one side against the other
+    side's 3×3 neighborhood (a 9× explode of keys, not rows of payload),
+    followed by the exact distance verify. Returns (id_a, id_b, dist)
+    with id_a < id_b; full recall is guaranteed by the cell-size ≥
+    radius construction (the geohash-style spatial analog of the LSH
+    band join).
+
+    Distances are planar Euclidean in the coordinate units — for
+    geographic degrees over small extents, pre-scale longitude by
+    cos(latitude); true spherical distances need a haversine verify,
+    which the same candidate structure supports (with the lon cell width
+    widened by the max |cos(lat)| factor of the data).
+    """
+    if radius <= 0:
+        raise ValueError("radius must be positive")
+    r = F.lit(float(radius))
+    base = df.select(
+        F.col(id_col).alias("__id"),
+        lat_col.cast("double").alias("__lat"),
+        lon_col.cast("double").alias("__lon"),
+    ).filter(F.col("__lat").isNotNull() & F.col("__lon").isNotNull())
+    cx = F.floor(F.col("__lon") / r)
+    cy = F.floor(F.col("__lat") / r)
+    offsets = F.array(
+        *[
+            F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        ]
+    )
+    a = base.select(
+        F.col("__id").alias("id_a"),
+        F.col("__lat").alias("__lata"),
+        F.col("__lon").alias("__lona"),
+        cx.alias("__cx"),
+        cy.alias("__cy"),
+        F.explode(offsets).alias("__o"),
+    ).select(
+        "id_a",
+        "__lata",
+        "__lona",
+        (F.col("__cx") + F.col("__o.dx")).alias("__kx"),
+        (F.col("__cy") + F.col("__o.dy")).alias("__ky"),
+    )
+    b = base.select(
+        F.col("__id").alias("id_b"),
+        F.col("__lat").alias("__latb"),
+        F.col("__lon").alias("__lonb"),
+        cx.alias("__kx"),
+        cy.alias("__ky"),
+    )
+    dlat = F.col("__lata") - F.col("__latb")
+    dlon = F.col("__lona") - F.col("__lonb")
+    dist = F.sqrt(dlat * dlat + dlon * dlon)
+    return (
+        a.join(b, ["__kx", "__ky"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(dist <= r)
+        .select("id_a", "id_b", F.round(dist, round_to).alias("dist"))
+    )

@@ -274,3 +274,34 @@ SELECT event_type,
          / 1e6 AS avg_k
 FROM events GROUP BY event_type
 """
+
+def q_geo_radius_join(spark, sf_dir):
+    """Grid-bucketed spatial radius self-join over the synthesized event
+    positions (same coordinate convention as eda_movement): cell side =
+    radius ⇒ any in-radius pair shares a 3×3 neighborhood ⇒ equi join on
+    cell keys + exact distance verify — never all-pairs, full recall by
+    construction. Oracle = brute-force pair join (DuckDB IEJoin)."""
+    from datamine_v2_0_spark.operators.spatial import grid_radius_join
+
+    df = _t(spark, sf_dir, "events")
+    # keep the pair set small and deterministic: one user's events
+    sub = df.filter(F.col("user_id") % 50 == 0)
+    return grid_radius_join(
+        sub, F.col("value") % F.lit(80.0), F.col("value") % F.lit(170.0),
+        "event_id", radius=0.5,
+    )
+
+SQL_GEO_RADIUS_JOIN = """
+WITH p AS (
+  SELECT event_id, value % 80.0 AS lat, value % 170.0 AS lon
+  FROM events WHERE user_id % 50 = 0 AND value IS NOT NULL
+)
+SELECT a.event_id AS id_a, b.event_id AS id_b,
+       ROUND(SQRT((a.lat - b.lat) * (a.lat - b.lat)
+                  + (a.lon - b.lon) * (a.lon - b.lon)), 6) AS dist
+FROM p a JOIN p b
+  ON a.event_id < b.event_id
+ AND ABS(a.lat - b.lat) <= 0.5 AND ABS(a.lon - b.lon) <= 0.5
+WHERE SQRT((a.lat - b.lat) * (a.lat - b.lat)
+           + (a.lon - b.lon) * (a.lon - b.lon)) <= 0.5
+"""

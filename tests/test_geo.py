@@ -43,3 +43,39 @@ def test_euclidean_speed():
     np.testing.assert_allclose(
         euclidean_speed(np.array([3.0]), np.array([4.0])), [5.0]
     )
+
+
+def test_grid_radius_join_matches_brute_force(spark):
+    import itertools
+    import math
+
+    from pyspark.sql import functions as F
+
+    from datamine_v2_0_spark.operators.spatial import grid_radius_join
+
+    pts = [(i, (i * 37 % 100) / 10.0, (i * 73 % 100) / 10.0) for i in range(120)]
+    df = spark.createDataFrame(pts, ["pid", "lat", "lon"])
+    r = 1.3
+    got = {
+        (x["id_a"], x["id_b"]): x["dist"]
+        for x in grid_radius_join(
+            df, F.col("lat"), F.col("lon"), "pid", radius=r
+        ).collect()
+    }
+    want = {}
+    for (i, la, lo), (j, lb, lc) in itertools.combinations(pts, 2):
+        d = math.sqrt((la - lb) ** 2 + (lo - lc) ** 2)
+        if d <= r:
+            want[(i, j)] = round(d, 6)
+    assert got == want  # full recall AND no duplicates, exact distances
+
+
+def test_grid_radius_join_rejects_nonpositive_radius(spark):
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from datamine_v2_0_spark.operators.spatial import grid_radius_join
+
+    df = spark.createDataFrame([(1, 0.0, 0.0)], ["pid", "lat", "lon"])
+    with _pt.raises(ValueError):
+        grid_radius_join(df, F.col("lat"), F.col("lon"), "pid", radius=0)
