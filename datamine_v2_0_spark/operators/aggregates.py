@@ -473,3 +473,48 @@ def integrity_report(
             F.max(ts_col).alias("time_max"),
         ]
     return df.agg(*aggs)
+
+
+def ab_welch_ttest(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between two groups of
+    ``value_col`` — the A/B comparison that doesn't assume equal
+    variances or sizes. Returns ONE row: (n_a, n_b, mean_a, mean_b,
+    t_stat, df_welch) with the Welch–Satterthwaite degrees of freedom;
+    compare |t| against the t-distribution for significance.
+
+    Single scan, ONE conditional aggregate — both groups' counts, means,
+    and sample variances come out of the same partial-agg pass; the test
+    statistic folds in as scalar arithmetic on the 1-row result.
+    """
+    v = F.col(value_col).cast("double")
+    in_a = F.col(group_col) == F.lit(group_a)
+    in_b = F.col(group_col) == F.lit(group_b)
+    agg = df.agg(
+        F.count(F.when(in_a, 1)).alias("n_a"),
+        F.count(F.when(in_b, 1)).alias("n_b"),
+        F.avg(F.when(in_a, v)).alias("__ma"),
+        F.avg(F.when(in_b, v)).alias("__mb"),
+        F.var_samp(F.when(in_a, v)).alias("__va"),
+        F.var_samp(F.when(in_b, v)).alias("__vb"),
+    )
+    sa = F.col("__va") / F.col("n_a")
+    sb = F.col("__vb") / F.col("n_b")
+    t = (F.col("__ma") - F.col("__mb")) / F.sqrt(sa + sb)
+    dof = (sa + sb) * (sa + sb) / (
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    )
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round("__ma", round_to).alias("mean_a"),
+        F.round("__mb", round_to).alias("mean_b"),
+        F.round(t, round_to).alias("t_stat"),
+        F.round(dof, 2).alias("df_welch"),
+    )

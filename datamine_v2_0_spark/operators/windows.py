@@ -234,3 +234,59 @@ def sessionize(ts: str | Column, w: WindowSpec, gap_seconds: float) -> Column:
         delta.isNull() | (delta > gap_seconds), F.lit(1)
     ).otherwise(F.lit(0))
     return F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+
+
+def hampel_filter(
+    df: DataFrame,
+    keys: "Sequence[str]",
+    ts_col: str,
+    value_col: str,
+    half_window: int = 5,
+    k: float = 3.0,
+    tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hampel despiking filter: per key, each value is compared against
+    the rolling median of its ±``half_window`` neighborhood; points
+    farther than ``k``·1.4826·(rolling MAD) are flagged and replaced by
+    that median — the standard telemetry spike cleaner (robust where a
+    rolling-mean z-score is dragged by the very spikes being removed).
+
+    Returns the input rows plus (roll_med, roll_mad, is_spike,
+    value_clean). One window exchange: both percentile passes and the
+    flag share the same (keys, ts) sort; frames are small (2h+1 rows),
+    so the per-row imperative percentile evaluation stays O(frame) each.
+    Window medians use exact interpolated percentile — identical
+    semantics to SQL engines' windowed median.
+    """
+    keys = list(keys)
+    order = [F.col(ts_col)] + ([F.col(tiebreak)] if tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-half_window, half_window)
+    )
+    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    out = df.withColumn("roll_med", med)
+    # second pass over the SAME frame: rolling median of each row's
+    # deviation from ITS OWN rolling median (the windowed-SQL Hampel
+    # variant — the textbook form deviates from the center row's median,
+    # which a frame aggregate cannot reference; on locally smooth series
+    # the two agree, and any SQL engine reproduces this form exactly)
+    out = out.withColumn("__dev", F.abs(F.col(value_col) - F.col("roll_med")))
+    out = out.withColumn("roll_mad", F.expr("percentile(__dev, 0.5)").over(w))
+    thresh = F.lit(float(k)) * F.lit(1.4826) * F.col("roll_mad")
+    spike = F.abs(F.col(value_col) - F.col("roll_med")) > thresh
+    return (
+        out.withColumn("is_spike", spike)
+        .withColumn(
+            "value_clean",
+            F.round(
+                F.when(spike, F.col("roll_med")).otherwise(F.col(value_col)),
+                round_to,
+            ),
+        )
+        .withColumn("roll_med", F.round("roll_med", round_to))
+        .withColumn("roll_mad", F.round("roll_mad", round_to))
+        .drop("__dev")
+    )

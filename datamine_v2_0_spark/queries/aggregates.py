@@ -442,3 +442,28 @@ FROM events e JOIN st USING (event_type)
 WHERE st.mad > 0
   AND ABS(0.6745 * (e.value - st.median) / st.mad) > 3.5
 """
+
+def q_agg_ab_test(spark, sf_dir):
+    """Welch t-test: do 'click' and 'purchase' events carry different
+    mean values? One conditional aggregate on a single scan."""
+    df = _t(spark, sf_dir, "events")
+    return agg.ab_welch_ttest(df, "event_type", "value", "click", "purchase")
+
+SQL_AGG_AB_TEST = """
+WITH s AS (
+  SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS n_a,
+         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_b,
+         AVG(value) FILTER (WHERE event_type = 'click') AS ma,
+         AVG(value) FILTER (WHERE event_type = 'purchase') AS mb,
+         var_samp(value) FILTER (WHERE event_type = 'click') AS va,
+         var_samp(value) FILTER (WHERE event_type = 'purchase') AS vb
+  FROM events
+)
+SELECT n_a, n_b,
+       ROUND(ma, 6) AS mean_a, ROUND(mb, 6) AS mean_b,
+       ROUND((ma - mb) / SQRT(va / n_a + vb / n_b), 6) AS t_stat,
+       ROUND((va / n_a + vb / n_b) * (va / n_a + vb / n_b)
+             / ((va / n_a) * (va / n_a) / (n_a - 1)
+                + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) AS df_welch
+FROM s
+"""

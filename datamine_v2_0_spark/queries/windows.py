@@ -351,3 +351,42 @@ SELECT event_id, user_id,
        ) * 1e6 + 0.5) / 1e6 AS trend_corr
 FROM events
 """
+
+def q_win_hampel(spark, sf_dir):
+    """Hampel telemetry despiking: rolling-median/MAD spike replacement
+    per user over the event stream (±5-row frames, k=3). One window
+    exchange shared by both percentile passes."""
+    df = _t(spark, sf_dir, "events")
+    out = win.hampel_filter(
+        df, ["user_id"], "ts", "value", half_window=5, k=3.0,
+        tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "value", "roll_med", "roll_mad",
+        "is_spike", "value_clean",
+    )
+
+SQL_WIN_HAMPEL = """
+WITH m AS (
+  SELECT event_id, user_id, ts, value,
+         median(value) OVER w AS roll_med
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+), d AS (
+  SELECT *, ABS(value - roll_med) AS dev FROM m
+), s AS (
+  SELECT event_id, user_id, value, roll_med,
+         median(dev) OVER w AS roll_mad
+  FROM d
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING)
+)
+SELECT event_id, user_id, value,
+       ROUND(roll_med, 6) AS roll_med,
+       ROUND(roll_mad, 6) AS roll_mad,
+       ABS(value - roll_med) > 3.0 * 1.4826 * roll_mad AS is_spike,
+       ROUND(CASE WHEN ABS(value - roll_med) > 3.0 * 1.4826 * roll_mad
+                  THEN roll_med ELSE value END, 6) AS value_clean
+FROM s
+"""

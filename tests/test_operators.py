@@ -1254,3 +1254,56 @@ def test_bloom_prefilter_join_rejects_outer(spark):
     left = spark.range(10).selectExpr("id AS k")
     with _pt.raises(ValueError):
         jn2.bloom_prefilter_join(left, left, "k", how="left")
+
+
+def test_hampel_replaces_planted_spike(spark):
+    from datamine_v2_0_spark.operators import windows as win2
+
+    rows = [("a", i, float(i)) for i in range(21)]
+    rows[10] = ("a", 10, 500.0)  # spike in a linear ramp
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["ts"]: r for r in win2.hampel_filter(
+        df, ["k"], "ts", "v", half_window=5, k=3.0
+    ).collect()}
+    assert out[10]["is_spike"]
+    # replaced by the local median of the ramp neighborhood
+    assert abs(out[10]["value_clean"] - out[10]["roll_med"]) < 1e-9
+    assert out[10]["value_clean"] < 20
+    # ramp points are untouched
+    assert not out[3]["is_spike"] and out[3]["value_clean"] == 3.0
+    assert sum(1 for r in out.values() if r["is_spike"]) == 1
+
+
+def test_hampel_constant_series_no_spikes(spark):
+    from datamine_v2_0_spark.operators import windows as win2
+
+    df = spark.createDataFrame(
+        [("a", i, 7.0) for i in range(10)], ["k", "ts", "v"]
+    )
+    out = win2.hampel_filter(df, ["k"], "ts", "v").collect()
+    assert all(not r["is_spike"] for r in out)
+    assert all(r["value_clean"] == 7.0 for r in out)
+
+
+def test_welch_ttest_known_groups(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("a", v) for v in [1.0, 2.0, 3.0, 4.0, 5.0]] + [
+        ("b", v) for v in [11.0, 12.0, 13.0, 14.0, 15.0]
+    ]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = agg.ab_welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (5, 5)
+    assert r["mean_a"] == 3.0 and r["mean_b"] == 13.0
+    # equal variances, n=5 each: t = -10 / sqrt(2.5/5*2) = -10
+    assert r["t_stat"] == pytest.approx(-10.0, abs=1e-6)
+    assert r["df_welch"] == pytest.approx(8.0, abs=0.01)
+
+
+def test_welch_ttest_identical_groups_t_zero(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [(g, float(v)) for g in ("a", "b") for v in range(20)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    r = agg.ab_welch_ttest(df, "g", "v", "a", "b").collect()[0]
+    assert r["t_stat"] == pytest.approx(0.0, abs=1e-9)
