@@ -79,6 +79,8 @@ QUERIES: dict[str, tuple] = {
     "geo_radius_join": (q_geo_radius_join, SQL_GEO_RADIUS_JOIN),
     "win_hampel": (q_win_hampel, SQL_WIN_HAMPEL),
     "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
+    "agg_topk_group": (q_agg_topk_group, SQL_AGG_TOPK_GROUP),
+    "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

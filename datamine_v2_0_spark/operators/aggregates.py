@@ -518,3 +518,79 @@ def ab_welch_ttest(
         F.round(t, round_to).alias("t_stat"),
         F.round(dof, 2).alias("df_welch"),
     )
+
+
+def topk_per_group(
+    df: DataFrame,
+    keys: Sequence[str],
+    rank_keys: Sequence[str],
+    value: Column,
+    k: int,
+    value_name: str = "metric",
+) -> DataFrame:
+    """Top-k entities per group by an aggregated metric: aggregate
+    ``value`` over (keys + rank_keys), then rank within each group and
+    keep k — the 'top N users per segment' shape. Two stages, both on
+    the same keys prefix: one partial-agg shuffle, one per-group window
+    over the (small) aggregated table. Ties break on the rank keys for
+    determinism.
+    """
+    from pyspark.sql import Window
+
+    keys, rank_keys = list(keys), list(rank_keys)
+    aggd = df.groupBy(*keys, *rank_keys).agg(value.alias(value_name))
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc(value_name), *[F.col(c) for c in rank_keys]
+    )
+    return (
+        aggd.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def histogram(
+    df: DataFrame,
+    value: str,
+    n_bins: int = 10,
+    lo: float | None = None,
+    hi: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Equal-width histogram of ``value``: (bin, bin_lo, bin_hi, n) with
+    every bin present (observed or not). Bounds default to the data
+    min/max (1-row aggregate broadcast — no driver collect); values at
+    the upper edge land in the last bin. One scan + one tiny grid join —
+    the EDA distribution profile at any scale.
+    """
+    v = F.col(value).cast("double")
+    stats = df.agg(
+        (F.lit(float(lo)) if lo is not None else F.min(v)).alias("__lo"),
+        (F.lit(float(hi)) if hi is not None else F.max(v)).alias("__hi"),
+    )
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    b = F.least(
+        F.greatest(
+            F.floor((v - F.col("__lo")) / width), F.lit(0).cast("long")
+        ),
+        F.lit(int(n_bins) - 1).cast("long"),
+    )
+    counts = (
+        df.filter(v.isNotNull())
+        .crossJoin(F.broadcast(stats))
+        .groupBy(b.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    grid = stats.select(
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(int(n_bins) - 1).cast("long"))
+        ).alias("bin"),
+        "__lo",
+        "__hi",
+    )
+    w2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    return grid.join(counts, "bin", "left").select(
+        "bin",
+        F.round(F.col("__lo") + F.col("bin") * w2, round_to).alias("bin_lo"),
+        F.round(F.col("__lo") + (F.col("bin") + 1) * w2, round_to).alias("bin_hi"),
+        F.coalesce("n", F.lit(0)).alias("n"),
+    )

@@ -467,3 +467,52 @@ SELECT n_a, n_b,
                 + (vb / n_b) * (vb / n_b) / (n_b - 1)), 2) AS df_welch
 FROM s
 """
+
+def q_agg_topk_group(spark, sf_dir):
+    """Top-3 users per event type by total value — aggregate then rank
+    within group; both stages share the keys prefix."""
+    df = _t(spark, sf_dir, "events")
+    out = agg.topk_per_group(
+        df, ["event_type"], ["user_id"],
+        F.round(F.sum("value"), 4), k=3, value_name="total_value",
+    )
+    return out.select("event_type", "user_id", "total_value", "rank")
+
+SQL_AGG_TOPK_GROUP = """
+WITH s AS (
+  SELECT event_type, user_id, ROUND(SUM(value), 4) AS total_value
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, user_id, total_value, CAST(rn AS INT) AS rank FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY event_type ORDER BY total_value DESC, user_id) AS rn
+  FROM s
+) WHERE rn <= 3
+"""
+
+def q_agg_histogram(spark, sf_dir):
+    """Equal-width 20-bin histogram of the event value distribution;
+    every bin present, data-derived bounds via a 1-row broadcast."""
+    df = _t(spark, sf_dir, "events")
+    return agg.histogram(df, "value", n_bins=20)
+
+SQL_AGG_HISTOGRAM = """
+WITH stats AS (
+  SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+  FROM events
+), c AS (
+  SELECT LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - s.lo)
+                       / ((s.hi - s.lo) / 20.0)) AS BIGINT), 0), 19) AS bin,
+         COUNT(*) AS n
+  FROM events, stats s WHERE value IS NOT NULL GROUP BY 1
+), grid AS (
+  SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(19 AS BIGINT))) AS bin,
+         s.lo, s.hi
+  FROM stats s
+)
+SELECT g.bin,
+       ROUND(g.lo + g.bin * ((g.hi - g.lo) / 20.0), 6) AS bin_lo,
+       ROUND(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 20.0), 6) AS bin_hi,
+       COALESCE(c.n, 0) AS n
+FROM grid g LEFT JOIN c USING (bin)
+"""

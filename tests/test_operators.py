@@ -1307,3 +1307,44 @@ def test_welch_ttest_identical_groups_t_zero(spark):
     df = spark.createDataFrame(rows, ["g", "v"])
     r = agg.ab_welch_ttest(df, "g", "v", "a", "b").collect()[0]
     assert r["t_stat"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_topk_per_group_ranks_and_ties(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("x", 1, 5.0), ("x", 1, 5.0), ("x", 2, 8.0), ("x", 3, 8.0),
+            ("y", 9, 1.0)]
+    df = spark.createDataFrame(rows, ["g", "u", "v"])
+    got = {
+        (r["g"], r["rank"]): (r["u"], r["metric"])
+        for r in agg.topk_per_group(
+            df, ["g"], ["u"], F.sum("v"), k=2
+        ).collect()
+    }
+    # u=1 totals 10 -> rank 1; u=2 and u=3 tie at 8 -> lower id wins rank 2
+    assert got[("x", 1)] == (1, 10.0)
+    assert got[("x", 2)] == (2, 8.0)
+    assert got[("y", 1)] == (9, 1.0)
+    assert len(got) == 3
+
+
+def test_histogram_bins_and_edges(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(float(v),) for v in range(101)], ["v"])
+    out = {r["bin"]: r for r in agg.histogram(df, "v", n_bins=10).collect()}
+    assert len(out) == 10
+    assert sum(r["n"] for r in out.values()) == 101
+    assert out[0]["bin_lo"] == 0.0 and out[9]["bin_hi"] == 100.0
+    assert out[9]["n"] == 11  # 90..99 plus the max value 100 at the edge
+    assert all(out[i]["n"] == 10 for i in range(9))
+
+
+def test_histogram_explicit_bounds_and_empty_bins(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(5.0,), (None,)], ["v"])
+    out = {r["bin"]: r["n"] for r in agg.histogram(
+        df, "v", n_bins=4, lo=0.0, hi=8.0
+    ).collect()}
+    assert out == {0: 0, 1: 0, 2: 1, 3: 0}
