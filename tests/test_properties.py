@@ -279,3 +279,119 @@ def test_asof_merge_equals_broadcast_rank1_on_random_data(spark):
             assert lid not in rank1  # inner rank-1 drops unmatched
         else:
             assert rank1[lid] == val
+
+
+class TestRound4Properties:
+    """Invariants of the round-4 operators over randomized inputs —
+    batched through one Spark job each to amortize session cost."""
+
+    def test_ewma_bounded_and_converges(self, spark):
+        """EWMA stays within [min, max] of the series prefix, and for a
+        constant tail converges toward that constant."""
+        import random
+
+        from datamine_v2_0_spark.operators import timeseries as tsr
+
+        rng = random.Random(7)
+        rows = []
+        for k in range(6):
+            vals = [rng.uniform(-100, 100) for _ in range(30)] + [42.0] * 30
+            rows += [(f"k{k}", i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, ["k", "ts", "v"])
+        out = tsr.ewma_smooth(df, ["k"], "ts", "v", alpha=0.4)
+        by_key: dict[str, list] = {}
+        for r in out.collect():
+            by_key.setdefault(r["k"], []).append((r["ts"], r["v"], r["ewma"]))
+        for k, seq in by_key.items():
+            seq.sort()
+            lo = hi = seq[0][1]
+            for _, v, e in seq:
+                lo, hi = min(lo, v), max(hi, v)
+                assert lo - 1e-6 <= e <= hi + 1e-6
+            # constant tail: last smoothed value within 1% of 42
+            assert abs(seq[-1][2] - 42.0) < 0.42
+
+    def test_psi_nonnegative_total(self, spark):
+        """The summed PSI is non-negative (each term is (p-q)·ln(p/q),
+        same-sign factors) and registers a real shift."""
+        import random
+
+        from datamine_v2_0_spark.operators import quality as qa
+
+        rng = random.Random(11)
+        a = spark.createDataFrame(
+            [(rng.gauss(0, 1),) for _ in range(400)], ["v"]
+        )
+        b = spark.createDataFrame(
+            [(rng.gauss(0.8, 1.3),) for _ in range(400)], ["v"]
+        )
+        fwd = qa.population_stability(a, b, "v")
+        total = sum(r["psi_term"] for r in fwd.collect())
+        assert total >= -1e-9
+        assert total > 0.01  # genuinely shifted distributions register
+
+    def test_rrf_rank_dominance(self, spark):
+        """A doc ranked at least as well as another in EVERY list fuses
+        to a score at least as high."""
+        from datamine_v2_0_spark.operators import retrieval as rt
+
+        lex = spark.createDataFrame(
+            [(1, d, r) for d, r in [(10, 1), (11, 2), (12, 3)]],
+            ["query_id", "doc_id", "rank"],
+        )
+        dense = spark.createDataFrame(
+            [(1, d, r) for d, r in [(10, 2), (11, 3), (12, 1)]],
+            ["query_id", "doc_id", "rank"],
+        )
+        out = {r["doc_id"]: r["rrf_score"] for r in rt.rrf_fuse(
+            [lex, dense], k=10
+        ).collect()}
+        # doc 10 dominates doc 11 in both lists
+        assert out[10] > out[11]
+
+    def test_pagerank_mass_conservation_symmetric(self, spark):
+        """On a symmetrized (no-dangling) random graph, ranks stay a
+        probability distribution (sum 1) and all positive."""
+        import random
+
+        from datamine_v2_0_spark.operators import graph as gr
+
+        rng = random.Random(3)
+        edges = set()
+        for _ in range(60):
+            a, b = rng.randrange(20), rng.randrange(20)
+            if a != b:
+                edges |= {(a, b), (b, a)}
+        df = spark.createDataFrame(sorted(edges), ["src", "dst"])
+        got = [r["rank"] for r in gr.pagerank(df, n_iter=8).collect()]
+        assert all(v > 0 for v in got)
+        assert sum(got) == pytest.approx(1.0, abs=1e-3)
+
+    def test_grid_radius_join_random_parity(self, spark):
+        """Randomized brute-force parity for the spatial radius join."""
+        import itertools
+        import math
+        import random
+
+        from pyspark.sql import functions as F
+
+        from datamine_v2_0_spark.operators.spatial import grid_radius_join
+
+        rng = random.Random(5)
+        pts = [
+            (i, rng.uniform(0, 20), rng.uniform(0, 20)) for i in range(150)
+        ]
+        df = spark.createDataFrame(pts, ["pid", "lat", "lon"])
+        r = 2.1
+        got = {
+            (x["id_a"], x["id_b"])
+            for x in grid_radius_join(
+                df, F.col("lat"), F.col("lon"), "pid", radius=r
+            ).collect()
+        }
+        want = {
+            (i, j)
+            for (i, la, lo), (j, lb, lc) in itertools.combinations(pts, 2)
+            if math.sqrt((la - lb) ** 2 + (lo - lc) ** 2) <= r
+        }
+        assert got == want
