@@ -81,6 +81,8 @@ QUERIES: dict[str, tuple] = {
     "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
     "agg_topk_group": (q_agg_topk_group, SQL_AGG_TOPK_GROUP),
     "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
+    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
+    "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

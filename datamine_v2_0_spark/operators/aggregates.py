@@ -594,3 +594,32 @@ def histogram(
         F.round(F.col("__lo") + (F.col("bin") + 1) * w2, round_to).alias("bin_hi"),
         F.coalesce("n", F.lit(0)).alias("n"),
     )
+
+
+def stratum_diversity(
+    df: DataFrame, stratum_col: str, round_to: int = 6
+) -> DataFrame:
+    """Corpus-mix diversity metrics over a stratum column: ONE row with
+    (n_strata, entropy, entropy_norm, gini) — Shannon entropy (nats),
+    entropy normalized by ln(n_strata) (1 = perfectly balanced), and the
+    Gini impurity 1 − Σp² of the stratum shares. The one-number answers
+    to 'how balanced is this training mix' that the balancing/mixing
+    operators (balance_strata, temperature_mix) are tuned against.
+
+    Two tiny aggregates: stratum counts (one partial-agg shuffle), then
+    the metrics fold over the counts table."""
+    counts = df.groupBy(stratum_col).agg(F.count(F.lit(1)).alias("__n"))
+    tot = counts.agg(F.sum("__n").alias("__t"))
+    p = F.col("__n") / F.col("__t")
+    per = counts.crossJoin(F.broadcast(tot)).select(
+        (p * F.log(p)).alias("__plogp"), (p * p).alias("__p2")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.round(-F.sum("__plogp"), round_to).alias("entropy"),
+        F.round(
+            -F.sum("__plogp") / F.log(F.count(F.lit(1)).cast("double")),
+            round_to,
+        ).alias("entropy_norm"),
+        F.round(F.lit(1.0) - F.sum("__p2"), round_to).alias("gini"),
+    )

@@ -183,3 +183,70 @@ def ohlc_resample(
         F.round(F.sum(v), round_to).alias("vsum"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def cusum_detect(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str,
+    value_col: str,
+    target: float,
+    slack: float = 0.0,
+    threshold: float | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-sided CUSUM drift statistics (Page 1954): per key in time
+    order, s⁺_t = max(0, s⁺_{t-1} + (x_t − target − slack)) and
+    s⁻_t = max(0, s⁻_{t-1} + (target − x_t − slack)) — the classic
+    telemetry drift detector that accumulates small persistent shifts a
+    per-point threshold misses (the sequential complement of the batch
+    PELT changepoint operator). Returns one row per input row with
+    (cusum_up, cusum_down) and, when ``threshold`` is set, an ``alarm``
+    flag.
+
+    Same execution shape as :func:`ewma_smooth`: the inherently
+    sequential recurrence folds ONCE per series through a JVM
+    higher-order aggregate over the sorted array — bucket raw streams
+    first so per-key series stay bounded.
+    """
+    keys = list(keys)
+    t = F.lit(float(target))
+    kk = F.lit(float(slack))
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("x"))
+        )
+    )
+
+    def fold(sign: int):
+        def step(acc, e):
+            dev = (e["x"] - t - kk) if sign > 0 else (t - e["x"] - kk)
+            prev = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
+                F.element_at(acc, -1)
+            )
+            return F.concat(acc, F.array(F.greatest(F.lit(0.0), prev + dev)))
+
+        return F.aggregate(F.col("__pts"), F.array().cast("array<double>"), step)
+
+    per_key = df.groupBy(*keys).agg(arr.alias("__pts"))
+    z = per_key.select(
+        *keys,
+        F.explode(
+            F.arrays_zip(
+                F.col("__pts"), fold(1).alias("__up"), fold(-1).alias("__dn")
+            )
+        ).alias("__z"),
+    )
+    out = z.select(
+        *keys,
+        F.col("__z.__pts.ts").alias(ts_col),
+        F.col("__z.__pts.x").alias(value_col),
+        F.round(F.col("__z.__up"), round_to).alias("cusum_up"),
+        F.round(F.col("__z.__dn"), round_to).alias("cusum_down"),
+    )
+    if threshold is not None:
+        h = F.lit(float(threshold))
+        out = out.withColumn(
+            "alarm", (F.col("cusum_up") > h) | (F.col("cusum_down") > h)
+        )
+    return out

@@ -516,3 +516,25 @@ SELECT g.bin,
        COALESCE(c.n, 0) AS n
 FROM grid g LEFT JOIN c USING (bin)
 """
+
+def q_agg_diversity(spark, sf_dir):
+    """Corpus-mix diversity: Shannon entropy (raw + normalized) and Gini
+    impurity of the language shares — the balance scorecard for the
+    mixing/balancing operators."""
+    df = _t(spark, sf_dir, "documents")
+    return agg.stratum_diversity(df, "lang")
+
+SQL_AGG_DIVERSITY = """
+WITH c AS (
+  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+), t AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM c),
+per AS (
+  SELECT (n / t.t) * LN(n / t.t) AS plogp, (n / t.t) * (n / t.t) AS p2
+  FROM c, t
+)
+SELECT COUNT(*) AS n_strata,
+       ROUND(-SUM(plogp), 6) AS entropy,
+       ROUND(-SUM(plogp) / LN(CAST(COUNT(*) AS DOUBLE)), 6) AS entropy_norm,
+       ROUND(1.0 - SUM(p2), 6) AS gini
+FROM per
+"""

@@ -376,3 +376,50 @@ SELECT node, ROUND(rank, 6) AS rank FROM r{iters}
 """
 
 SQL_GRAPH_PAGERANK = _pagerank_sql(5)
+
+def q_ts_cusum(spark, sf_dir):
+    """CUSUM drift detection over hourly per-type means (quantized so
+    the recurrence inputs are bit-identical cross-engine): same
+    resample-then-fold shape as ts_ewma; oracle = recursive-CTE replay
+    of both one-sided recurrences."""
+    from datamine_v2_0_spark.operators import timeseries as tsr
+
+    df = _t(spark, sf_dir, "events")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col("ts")) / F.lit(3600).cast("long")) * 3600).cast("long")
+    )
+    hourly = df.groupBy(
+        "event_type", bucket.alias("bucket")
+    ).agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"))
+    return tsr.cusum_detect(
+        hourly, ["event_type"], "bucket", "value",
+        target=50.0, slack=0.5, threshold=40.0,
+    )
+
+SQL_TS_CUSUM = """
+WITH RECURSIVE b AS (
+  SELECT event_type,
+         make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT))
+           AS bucket,
+         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
+  FROM events GROUP BY 1, 2
+), s AS (
+  SELECT event_type, bucket, value,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+  FROM b
+), r AS (
+  SELECT event_type, bucket, value, rn,
+         GREATEST(0.0, value - 50.0 - 0.5) AS up,
+         GREATEST(0.0, 50.0 - value - 0.5) AS dn
+  FROM s WHERE rn = 1
+  UNION ALL
+  SELECT s.event_type, s.bucket, s.value, s.rn,
+         GREATEST(0.0, r.up + (s.value - 50.0 - 0.5)),
+         GREATEST(0.0, r.dn + (50.0 - s.value - 0.5))
+  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+)
+SELECT event_type, bucket, value,
+       ROUND(up, 6) AS cusum_up, ROUND(dn, 6) AS cusum_down,
+       (ROUND(up, 6) > 40.0 OR ROUND(dn, 6) > 40.0) AS alarm
+FROM r
+"""

@@ -127,3 +127,35 @@ def test_ohlc_same_ts_tiebreak(spark):
     df = spark.createDataFrame(rows, ["k", "ts", "v", "eid"])
     r = tsr.ohlc_resample(df, ["k"], "ts", "v", 86400, tiebreak="eid").collect()[0]
     assert r["open"] == 7.0 and r["close"] == 1.0
+
+
+def test_cusum_accumulates_persistent_shift(spark):
+    # target 10: first half on-target, second half shifted by +2 —
+    # cusum_up must ramp through the shifted tail and alarm
+    rows = [("a", i, 10.0) for i in range(10)] + [
+        ("a", 10 + i, 12.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["ts"]: r for r in tsr.cusum_detect(
+        df, ["k"], "ts", "v", target=10.0, slack=0.5, threshold=10.0
+    ).collect()}
+    assert out[9]["cusum_up"] == 0.0          # on-target: no accumulation
+    assert out[19]["cusum_up"] == pytest.approx(15.0)  # 10 * (2 - 0.5)
+    assert out[19]["alarm"] and not out[9]["alarm"]
+    assert all(out[i]["cusum_down"] == 0.0 for i in out)
+
+
+def test_cusum_resets_at_zero(spark):
+    # a downward excursion cannot push the upper statistic negative
+    rows = [("a", 0, 0.0), ("a", 1, 100.0), ("a", 2, 0.0), ("a", 3, 0.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["ts"]: r for r in tsr.cusum_detect(
+        df, ["k"], "ts", "v", target=50.0
+    ).collect()}
+    assert out[0]["cusum_up"] == 0.0
+    assert out[1]["cusum_up"] == 50.0
+    assert out[2]["cusum_up"] == 0.0          # max(0, 50 - 50)
+    assert out[3]["cusum_up"] == 0.0
+    # the down statistic keeps accumulating across the low tail
+    assert out[2]["cusum_down"] == pytest.approx(50.0)
+    assert out[3]["cusum_down"] == pytest.approx(100.0)
