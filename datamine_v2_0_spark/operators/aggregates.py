@@ -567,7 +567,13 @@ def histogram(
         (F.lit(float(lo)) if lo is not None else F.min(v)).alias("__lo"),
         (F.lit(float(hi)) if hi is not None else F.max(v)).alias("__hi"),
     )
-    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    # constant column: zero width would floor(x/0) into an ANSI error —
+    # degrade to width 1 so every value lands in bin 0 (same guard as
+    # zorder_key)
+    width = F.when(
+        F.col("__hi") > F.col("__lo"),
+        (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)),
+    ).otherwise(F.lit(1.0))
     b = F.least(
         F.greatest(
             F.floor((v - F.col("__lo")) / width), F.lit(0).cast("long")
@@ -587,7 +593,10 @@ def histogram(
         "__lo",
         "__hi",
     )
-    w2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins))
+    w2 = F.when(
+        F.col("__hi") > F.col("__lo"),
+        (F.col("__hi") - F.col("__lo")) / F.lit(float(n_bins)),
+    ).otherwise(F.lit(1.0))
     return grid.join(counts, "bin", "left").select(
         "bin",
         F.round(F.col("__lo") + F.col("bin") * w2, round_to).alias("bin_lo"),

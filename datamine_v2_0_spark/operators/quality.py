@@ -153,7 +153,13 @@ def population_stability(
             F.greatest(
                 F.floor(
                     (v.cast("double") - F.col("__mn"))
-                    / ((F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins)))
+                    # constant reference: zero width would floor(x/0)
+                    # into an ANSI error — degrade to width 1 (all rows
+                    # land in bin 0)
+                    / F.when(
+                        F.col("__mx") > F.col("__mn"),
+                        (F.col("__mx") - F.col("__mn")) / F.lit(float(n_bins)),
+                    ).otherwise(F.lit(1.0))
                 ),
                 F.lit(0).cast("long"),
             ),

@@ -119,7 +119,10 @@ def ewma_smooth(
 
     Rows tie-break on (ts, value); the fold arithmetic is plain IEEE
     double mul/add in recurrence order, reproducible in any engine's
-    recursive evaluation of the same expression.
+    recursive evaluation of the same expression. NULL values emit a
+    NULL ewma and leave the state untouched (the next non-null value
+    continues from the last smoothed value — same contract as
+    ``streaming_ewma``), rather than poisoning the rest of the series.
     """
     keys = list(keys)
     a = F.lit(float(alpha))
@@ -128,18 +131,23 @@ def ewma_smooth(
             F.struct(F.col(ts_col).alias("ts"), F.col(value_col).alias("x"))
         )
     )
-    ew = F.aggregate(
-        F.col("__pts"),
-        F.array().cast("array<double>"),
-        lambda acc, e: F.concat(
-            acc,
-            F.array(
-                F.when(F.size(acc) == 0, e["x"].cast("double")).otherwise(
-                    a * e["x"] + (F.lit(1.0) - a) * F.element_at(acc, -1)
-                )
-            ),
-        ),
-    )
+    # accumulator elements are (emit, state): NULL x carries the state
+    # forward and emits NULL; a bare running-value array can't tell
+    # "null output" from "null state" and would poison the tail
+    init = F.array().cast("array<struct<e:double,s:double>>")
+
+    def step(acc, e):
+        x = e["x"].cast("double")
+        prev = F.when(F.size(acc) > 0, F.element_at(acc, -1)["s"])
+        new_s = F.when(x.isNull(), prev).otherwise(
+            F.when(prev.isNull(), x).otherwise(a * x + (F.lit(1.0) - a) * prev)
+        )
+        emit = F.when(x.isNull(), F.lit(None).cast("double")).otherwise(new_s)
+        return F.concat(
+            acc, F.array(F.struct(emit.alias("e"), new_s.alias("s")))
+        )
+
+    ew = F.aggregate(F.col("__pts"), init, step)
     per_key = df.groupBy(*keys).agg(arr.alias("__pts"))
     z = per_key.select(
         *keys, F.explode(F.arrays_zip(F.col("__pts"), ew.alias("__ew"))).alias("__z")
@@ -148,7 +156,7 @@ def ewma_smooth(
         *keys,
         F.col("__z.__pts.ts").alias(ts_col),
         F.col("__z.__pts.x").alias(value_col),
-        F.round(F.col("__z.__ew"), round_to).alias("ewma"),
+        F.round(F.col("__z.__ew.e"), round_to).alias("ewma"),
     )
 
 
@@ -219,14 +227,28 @@ def cusum_detect(
     )
 
     def fold(sign: int):
+        # NULL values emit NULL and leave the statistic untouched (same
+        # null contract as ewma_smooth — a bare running array would
+        # poison every later element)
         def step(acc, e):
-            dev = (e["x"] - t - kk) if sign > 0 else (t - e["x"] - kk)
-            prev = F.when(F.size(acc) == 0, F.lit(0.0)).otherwise(
-                F.element_at(acc, -1)
+            x = e["x"].cast("double")
+            dev = (x - t - kk) if sign > 0 else (t - x - kk)
+            prev = F.coalesce(
+                F.when(F.size(acc) > 0, F.element_at(acc, -1)["s"]), F.lit(0.0)
             )
-            return F.concat(acc, F.array(F.greatest(F.lit(0.0), prev + dev)))
+            new_s = F.when(x.isNull(), prev).otherwise(
+                F.greatest(F.lit(0.0), prev + dev)
+            )
+            emit = F.when(x.isNull(), F.lit(None).cast("double")).otherwise(new_s)
+            return F.concat(
+                acc, F.array(F.struct(emit.alias("e"), new_s.alias("s")))
+            )
 
-        return F.aggregate(F.col("__pts"), F.array().cast("array<double>"), step)
+        return F.aggregate(
+            F.col("__pts"),
+            F.array().cast("array<struct<e:double,s:double>>"),
+            step,
+        )
 
     per_key = df.groupBy(*keys).agg(arr.alias("__pts"))
     z = per_key.select(
@@ -241,8 +263,8 @@ def cusum_detect(
         *keys,
         F.col("__z.__pts.ts").alias(ts_col),
         F.col("__z.__pts.x").alias(value_col),
-        F.round(F.col("__z.__up"), round_to).alias("cusum_up"),
-        F.round(F.col("__z.__dn"), round_to).alias("cusum_down"),
+        F.round(F.col("__z.__up.e"), round_to).alias("cusum_up"),
+        F.round(F.col("__z.__dn.e"), round_to).alias("cusum_down"),
     )
     if threshold is not None:
         h = F.lit(float(threshold))

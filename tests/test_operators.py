@@ -1348,3 +1348,11 @@ def test_histogram_explicit_bounds_and_empty_bins(spark):
         df, "v", n_bins=4, lo=0.0, hi=8.0
     ).collect()}
     assert out == {0: 0, 1: 0, 2: 1, 3: 0}
+
+
+def test_histogram_constant_column(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(3.0,)] * 7, ["v"])
+    out = {r["bin"]: r["n"] for r in agg.histogram(df, "v", n_bins=5).collect()}
+    assert out[0] == 7 and sum(out.values()) == 7

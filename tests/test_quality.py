@@ -91,3 +91,11 @@ def test_psi_nulls_ignored(spark):
     ref = spark.createDataFrame([(1.0,), (2.0,), (None,)], ["v"])
     out = qa.population_stability(ref, ref, "v").collect()
     assert sum(r["n_ref"] for r in out) == 2
+
+
+def test_psi_constant_reference_no_error(spark):
+    ref = spark.createDataFrame([(2.0,)] * 5, ["v"])
+    cur = spark.createDataFrame([(2.0,), (9.0,)], ["v"])
+    out = {r["bin"]: r for r in qa.population_stability(ref, cur, "v").collect()}
+    assert out[0]["n_ref"] == 5
+    assert sum(r["n_cur"] for r in out.values()) == 2  # 9.0 clamps to bin 9

@@ -159,3 +159,24 @@ def test_cusum_resets_at_zero(spark):
     # the down statistic keeps accumulating across the low tail
     assert out[2]["cusum_down"] == pytest.approx(50.0)
     assert out[3]["cusum_down"] == pytest.approx(100.0)
+
+
+def test_ewma_null_emits_null_and_carries_state(spark):
+    rows = [("a", 0, 10.0), ("a", 1, None), ("a", 2, 20.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["ts"]: r["ewma"] for r in tsr.ewma_smooth(
+        df, ["k"], "ts", "v", alpha=0.5
+    ).collect()}
+    assert out[0] == 10.0
+    assert out[1] is None                      # null emits null...
+    assert out[2] == pytest.approx(15.0)       # ...but state survives
+
+
+def test_cusum_null_emits_null_and_carries_state(spark):
+    rows = [("a", 0, 60.0), ("a", 1, None), ("a", 2, 60.0)]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    out = {r["ts"]: r["cusum_up"] for r in tsr.cusum_detect(
+        df, ["k"], "ts", "v", target=50.0
+    ).collect()}
+    assert out[0] == 10.0 and out[1] is None
+    assert out[2] == pytest.approx(20.0)
