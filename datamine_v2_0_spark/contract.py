@@ -83,6 +83,7 @@ QUERIES: dict[str, tuple] = {
     "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
     "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
+    "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

@@ -632,3 +632,50 @@ def stratum_diversity(
         ).alias("entropy_norm"),
         F.round(F.lit(1.0) - F.sum("__p2"), round_to).alias("gini"),
     )
+
+
+def corr_matrix(
+    df: DataFrame, cols: Sequence[str], round_to: int = 6
+) -> DataFrame:
+    """Pairwise Pearson correlations over ``cols``: one row per ordered
+    pair (col_a < col_b by position) with (col_a, col_b, corr, n) — the
+    EDA feature-redundancy screen. ALL d·(d-1)/2 coefficients come out
+    of ONE aggregate on a single scan (each corr is a pair of co-moment
+    accumulators, so the pass stays map-side-combinable); the unpivot to
+    rows is a d²-literal stack of the 1-row result.
+    """
+    cols = list(cols)
+    if len(cols) < 2:
+        raise ValueError("corr_matrix needs >= 2 columns")
+    pairs = [
+        (a, b) for i, a in enumerate(cols) for b in cols[i + 1 :]
+    ]
+    def _corr(a: str, b: str):
+        # explicit co-moment form with try_divide: Spark's fused corr
+        # throws DIVIDE_BY_ZERO under ANSI when a column has zero
+        # variance, where SQL engines return NULL
+        x, y = F.col(a).cast("double"), F.col(b).cast("double")
+        return F.try_divide(
+            F.covar_samp(x, y), F.stddev_samp(x) * F.stddev_samp(y)
+        )
+
+    aggs = [
+        F.round(_corr(a, b), round_to).alias(f"__c_{a}_{b}")
+        for a, b in pairs
+    ] + [F.count(F.lit(1)).alias("__n")]
+    one = df.agg(*aggs)
+    stacked = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(a).alias("col_a"),
+                    F.lit(b).alias("col_b"),
+                    F.col(f"__c_{a}_{b}").alias("corr"),
+                )
+                for a, b in pairs
+            ]
+        )
+    )
+    return one.select(stacked.alias("__p"), F.col("__n").alias("n")).select(
+        "__p.col_a", "__p.col_b", "__p.corr", "n"
+    )

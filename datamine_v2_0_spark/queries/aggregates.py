@@ -538,3 +538,30 @@ SELECT COUNT(*) AS n_strata,
        ROUND(1.0 - SUM(p2), 6) AS gini
 FROM per
 """
+
+def q_agg_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson correlations of the lineitem numeric columns —
+    all six coefficients from ONE aggregate on a single scan."""
+    df = _t(spark, sf_dir, "lineitem")
+    return agg.corr_matrix(
+        df, ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    )
+
+SQL_AGG_CORR_MATRIX = """
+WITH s AS (
+  SELECT ROUND(corr(l_quantity, l_extendedprice), 6) AS c01,
+         ROUND(corr(l_quantity, l_discount), 6) AS c02,
+         ROUND(corr(l_quantity, l_tax), 6) AS c03,
+         ROUND(corr(l_extendedprice, l_discount), 6) AS c12,
+         ROUND(corr(l_extendedprice, l_tax), 6) AS c13,
+         ROUND(corr(l_discount, l_tax), 6) AS c23,
+         COUNT(*) AS n
+  FROM lineitem
+)
+SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b, c01 AS corr, n FROM s
+UNION ALL SELECT 'l_quantity', 'l_discount', c02, n FROM s
+UNION ALL SELECT 'l_quantity', 'l_tax', c03, n FROM s
+UNION ALL SELECT 'l_extendedprice', 'l_discount', c12, n FROM s
+UNION ALL SELECT 'l_extendedprice', 'l_tax', c13, n FROM s
+UNION ALL SELECT 'l_discount', 'l_tax', c23, n FROM s
+"""

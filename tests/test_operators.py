@@ -1356,3 +1356,25 @@ def test_histogram_constant_column(spark):
     df = spark.createDataFrame([(3.0,)] * 7, ["v"])
     out = {r["bin"]: r["n"] for r in agg.histogram(df, "v", n_bins=5).collect()}
     assert out[0] == 7 and sum(out.values()) == 7
+
+
+def test_corr_matrix_known_values(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [(float(i), 2.0 * i, -1.0 * i, 5.0) for i in range(20)]
+    df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+    got = {(r["col_a"], r["col_b"]): r["corr"] for r in agg.corr_matrix(
+        df, ["a", "b", "c", "d"]
+    ).collect()}
+    assert got[("a", "b")] == pytest.approx(1.0)
+    assert got[("a", "c")] == pytest.approx(-1.0)
+    assert got[("a", "d")] is None  # zero variance -> undefined
+    assert len(got) == 6
+
+
+def test_corr_matrix_needs_two_columns(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(1.0,)], ["a"])
+    with pytest.raises(ValueError):
+        agg.corr_matrix(df, ["a"])
