@@ -61,7 +61,12 @@ def pagerank(
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    # materialize the edge list once: nodes, degrees, AND the join table
+    # all derive from it, and the caller's edge derivation may itself be
+    # a join (e.g. the co-purchase self-join) that must not run 3x
+    e = edges.select(
+        F.col(src).alias("src"), F.col(dst).alias("dst")
+    ).localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
