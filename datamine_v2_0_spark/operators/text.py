@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Minimal high-frequency stopword profiles. Scoring = count of profile-word
@@ -674,4 +675,52 @@ def decontaminate(
             "n_eval_grams"
         ),
         (F.coalesce("n_eval_grams", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str, id_col: str, level: int = 6
+) -> DataFrame:
+    """Per-document zlib compression ratio (compressed/raw bytes) — the
+    classic corpus-quality signal: highly compressible text is
+    repetitive boilerplate (menus, tag soup, keyword stuffing), nearly
+    incompressible text is noise/binary; natural prose sits in between.
+    Public pipelines gate on exactly this (the deflate-ratio heuristic
+    in C4/RefinedWeb-family cleaning).
+
+    Returns (id, n_bytes, n_compressed, compression_ratio); empty/NULL
+    docs yield NULL ratio. One Arrow-batched kernel — zlib is
+    CPU-bound per doc, so the batch UDF (not per-row Python) is the
+    only acceptable form; upstream `_spread` callers apply when the
+    scan is under-partitioned."""
+    import zlib
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_bytes:long,n_compressed:long>")
+    def _comp(texts: pd.Series) -> pd.DataFrame:
+        raw = [
+            t.encode("utf-8") if isinstance(t, str) else None for t in texts
+        ]
+        return pd.DataFrame(
+            {
+                "n_bytes": [len(b) if b else None for b in raw],
+                "n_compressed": [
+                    len(zlib.compress(b, level)) if b else None for b in raw
+                ],
+            }
+        )
+
+    from datamine_v2_0_spark.operators.dedup import _spread
+
+    out = _spread(df).select(
+        F.col(id_col), _comp(F.col(text_col)).alias("__c")
+    )
+    return out.select(
+        id_col,
+        F.col("__c.n_bytes").alias("n_bytes"),
+        F.col("__c.n_compressed").alias("n_compressed"),
+        F.round(
+            F.col("__c.n_compressed") / F.col("__c.n_bytes"), 6
+        ).alias("compression_ratio"),
     )

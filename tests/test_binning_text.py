@@ -171,3 +171,30 @@ def test_pack_chunks_nextfit_sequence(spark):
     # forces bin4 next); 10+10+5? no: order preserved: 10,10 -> bin4,
     # 50 overflows 20+50>64? 10+10=20, +50=70>64 -> bin5, +5 fits bin5
     assert got == {0: 1, 1: 1, 2: 2, 3: 3, 4: 4, 5: 4, 6: 5, 7: 5}
+
+
+def test_compression_ratio_orders_text_types(spark):
+    from datamine_v2_0_spark.operators import text as tx
+
+    import random
+
+    rng = random.Random(0)
+    noise = "".join(chr(rng.randrange(33, 127)) for _ in range(1600))
+    rows = [
+        (1, "spam spam spam " * 200),                      # boilerplate
+        (2, "The quarterly report outlines diverse revenue trends "
+            "across regions, with nuanced shifts in demand. " * 8),
+        (3, noise),                                        # incompressible
+        (4, ""),                                           # empty -> NULL
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in tx.compression_ratio(df, "text", "doc_id").collect()}
+    # repetitive boilerplate << prose < random noise
+    assert got[1]["compression_ratio"] < got[2]["compression_ratio"] < got[3]["compression_ratio"]
+    assert got[1]["compression_ratio"] < 0.05
+    assert got[3]["compression_ratio"] > 0.7
+    assert got[4]["compression_ratio"] is None
+    assert got[5]["compression_ratio"] is None
+    assert got[2]["n_bytes"] == len(rows[1][1].encode())
+    assert got[1]["n_compressed"] == 35  # deterministic zlib level 6
