@@ -84,6 +84,7 @@ QUERIES: dict[str, tuple] = {
     "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
     "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

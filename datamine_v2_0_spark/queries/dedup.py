@@ -463,3 +463,36 @@ SELECT b.doc_id,
        CAST(len(b.u) - COALESCE(c.n_kept, 0) AS BIGINT) AS n_removed
 FROM base b LEFT JOIN clean c USING (doc_id)
 """
+
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings,
+    search near-duplicate pairs only WITHIN each cluster. Registered at
+    the n_iter=0 operating point (nearest-seed assignment, seeds = 8
+    lowest vec_ids) where the whole protocol — assignment argmax
+    included — is exactly expressible in ANSI SQL, so the oracle
+    certifies both the cluster pruning and the pair verify. The Lloyd
+    n_iter>0 path is exercised in test_semantic (numpy parity)."""
+    from datamine_v2_0_spark.operators import semantic as sem
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return sem.semantic_neardup_pairs(
+        emb, "embedding", "vec_id", n_clusters=8, threshold=0.35, n_iter=0
+    )
+
+SQL_DEDUP_SEMANTIC = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+seeds AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cluster_id, v AS cv
+          FROM e ORDER BY vec_id LIMIT 8),
+assign AS (
+  SELECT e.vec_id, s.cluster_id
+  FROM e CROSS JOIN seeds s
+  QUALIFY ROW_NUMBER() OVER (PARTITION BY e.vec_id
+      ORDER BY ROUND(list_cosine_similarity(e.v, s.cv), 6) DESC, s.cluster_id) = 1
+)
+SELECT CAST(a.cluster_id AS INT) AS cluster_id,
+       ea.vec_id AS id_a, eb.vec_id AS id_b,
+       ROUND(list_cosine_similarity(ea.v, eb.v), 6) AS cos_sim
+FROM assign a JOIN assign b ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+JOIN e ea ON ea.vec_id = a.vec_id JOIN e eb ON eb.vec_id = b.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+"""
