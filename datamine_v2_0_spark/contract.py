@@ -85,6 +85,7 @@ QUERIES: dict[str, tuple] = {
     "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
     "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
@@ -189,4 +190,5 @@ QUERIES: dict[str, tuple] = {
     "text_packed": (q_text_packed, None),
     "text_bpe": (q_text_bpe, None),
     "agg_hll_rollup": (q_agg_hll_rollup, None),
+    "agg_tdigest": (q_agg_tdigest, None),
 }

@@ -1,0 +1,231 @@
+"""Bounded-memory mergeable sketches beyond HLL (which lives in
+:mod:`aggregates`): Misra–Gries heavy hitters and t-digest quantiles.
+
+Why sketches at 100 TB: an exact GROUP BY over a high-cardinality key
+shuffles every distinct key; a sketch bounds BOTH executor memory and
+shuffle volume to the sketch capacity per partition, and the summaries
+merge associatively — so day sketches roll into week sketches without a
+rescan, same as the HLL story.
+
+Reference parity note: the reference repo has no sketch counterpart
+(its distinct/top-k passes are exact Polars/SQL at single-node scale,
+e.g. `STEP 3 - EDA Analysis`); this module is part of the
+beyond-reference scale surface.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+
+def _mg_compress(counts: dict, capacity: int) -> tuple[dict, int]:
+    """Compress a counter to ≤ capacity entries, Misra–Gries style:
+    find the smallest decrement d such that ≤ capacity keys keep a
+    positive count, subtract d everywhere, drop the non-positive.
+    Every surviving value is a LOWER bound on the true count with error
+    ≤ the total decrement applied."""
+    if len(counts) <= capacity:
+        return counts, 0
+    vals = np.fromiter(counts.values(), dtype=np.int64, count=len(counts))
+    # d = (len-capacity)-th smallest value: exactly the keys strictly
+    # above d survive (ties at d are dropped, so survivors ≤ capacity)
+    d = int(np.partition(vals, len(vals) - capacity - 1)[len(vals) - capacity - 1])
+    return {k: v - d for k, v in counts.items() if v > d}, d
+
+
+def heavy_hitters(
+    df: DataFrame,
+    key_col: str,
+    k: int = 10,
+    capacity: int = 4096,
+) -> DataFrame:
+    """Approximate top-k frequent values of ``key_col`` via per-partition
+    Misra–Gries summaries: (key, est_count, err_ub) — est_count is a
+    lower bound on the true count, true ≤ est_count + err_ub, and any
+    key with true count > err_ub is guaranteed present in the merged
+    summary (the MG frequent-items guarantee with total error
+    ≤ Σ_p n_p/(capacity+1)).
+
+    Execution shape: ``mapInPandas`` keeps ONE bounded counter per
+    partition across its Arrow batches (memory ≤ capacity keys, never
+    distinct-per-partition), emits ≤ capacity summary rows + one meta
+    row per partition; the merge is a groupBy over ≤ capacity × n_part
+    rows instead of a full-corpus shuffle on the raw key. With
+    capacity ≥ distinct(key) the decrements are provably zero and the
+    result is the EXACT top-k — the oracle-certifiable operating point.
+    """
+    key_type = dict(df.dtypes)[key_col]
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts: dict = {}
+        dec_total = 0
+        for pdf in it:
+            vc = pdf[key_col].dropna().value_counts()
+            for key, c in vc.items():
+                counts[key] = counts.get(key, 0) + int(c)
+            counts, d = _mg_compress(counts, capacity)
+            dec_total += d
+        keys = list(counts)
+        yield pd.DataFrame(
+            {
+                key_col: keys + [None],
+                "__lb": [counts[x] for x in keys] + [0],
+                "__dec": [0] * len(keys) + [dec_total],
+            }
+        )
+
+    summaries = df.select(key_col).mapInPandas(
+        gen, schema=f"{key_col} {key_type}, __lb long, __dec long"
+    )
+    # one row: the global error bound (sum of every partition's decrements)
+    err = summaries.agg(F.sum("__dec").alias("err_ub"))
+    merged = (
+        summaries.filter(F.col(key_col).isNotNull())
+        .groupBy(key_col)
+        .agg(F.sum("__lb").alias("est_count"))
+    )
+    return (
+        merged.crossJoin(F.broadcast(err))
+        .orderBy(F.desc("est_count"), key_col)
+        .limit(k)
+        .select(key_col, "est_count", "err_ub")
+    )
+
+
+def tdigest_sketch(values: np.ndarray, max_centroids: int = 100) -> np.ndarray:
+    """Build a (mean, weight) centroid digest of ``values`` with at most
+    ``max_centroids`` centroids, size-limited by the scale function
+    k(q) = δ/2π · asin(2q-1) (Dunning & Ertl 2019): centroid capacity
+    shrinks toward the tails, so extreme quantiles stay near-exact while
+    the middle compresses. Returns an array shaped (n_centroids, 2)."""
+    if len(values) == 0:
+        return np.empty((0, 2))
+    return _merge_centroids(
+        np.column_stack([np.sort(values), np.ones(len(values))]), max_centroids
+    )
+
+
+def _merge_centroids(cent: np.ndarray, max_centroids: int) -> np.ndarray:
+    """Merge sorted (mean, weight) centroids greedily under the k-scale
+    size limit — the t-digest 'merging digest' compaction."""
+    if len(cent) <= 1:
+        return cent
+    order = np.argsort(cent[:, 0], kind="stable")
+    cent = cent[order]
+    total = cent[:, 1].sum()
+    delta = float(max_centroids)
+
+    def k_scale(q: float) -> float:
+        q = min(1.0, max(0.0, q))
+        return delta / (2 * np.pi) * np.arcsin(2 * q - 1)
+
+    out_m, out_w = [], []
+    cur_m, cur_w = cent[0, 0], cent[0, 1]
+    w_before = 0.0
+    for m, w in cent[1:]:
+        q0 = w_before / total
+        q1 = (w_before + cur_w + w) / total
+        if k_scale(q1) - k_scale(q0) <= 1.0:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            w_before += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    return np.column_stack([out_m, out_w])
+
+
+def tdigest_quantile(cent: np.ndarray, q: float) -> float:
+    """Estimate quantile q from a (mean, weight) digest: piecewise-linear
+    interpolation between centroid midpoints (the standard t-digest
+    estimator)."""
+    if len(cent) == 0:
+        return float("nan")
+    if len(cent) == 1:
+        return float(cent[0, 0])
+    w = cent[:, 1]
+    total = w.sum()
+    # cumulative weight at each centroid's midpoint
+    mid = np.cumsum(w) - w / 2.0
+    target = q * total
+    return float(np.interp(target, mid, cent[:, 0]))
+
+
+def grouped_tdigest(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    max_centroids: int = 100,
+) -> DataFrame:
+    """Per-group t-digest sketches: (keys..., n, means array, weights
+    array) — the mergeable percentile form: period digests union into
+    coarser periods via `merge_tdigests` without rescanning raw data
+    (exact percentiles cannot: a day's p95 tells you nothing about the
+    week's)."""
+    keys = list(keys)
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        v = pdf[value].dropna().to_numpy(dtype=np.float64)
+        cent = tdigest_sketch(v, max_centroids)
+        return pd.DataFrame(
+            {
+                **{k: [pdf[k].iloc[0]] for k in keys},
+                "n": [len(v)],
+                "means": [cent[:, 0].tolist()],
+                "weights": [cent[:, 1].tolist()],
+            }
+        )
+
+    key_schema = ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in keys)
+    return df.select(*keys, value).groupBy(*keys).applyInPandas(
+        fit,
+        schema=f"{key_schema}, n long, means array<double>, weights array<double>",
+    )
+
+
+def merge_tdigests(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    quantiles: Sequence[float],
+    max_centroids: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Union per-group digests up to coarser ``keys`` and estimate the
+    requested quantiles: (keys..., n, q_<p> ...). The merge is itself a
+    digest compaction — associative, bounded, no raw-data rescan.
+    Empty ``keys`` = one global digest (a constant grouping key keeps
+    applyInPandas happy and is dropped from the output)."""
+    keys = list(keys)
+    drop_all = not keys
+    if drop_all:
+        sketches = sketches.withColumn("__all", F.lit(1))
+        keys = ["__all"]
+    qcols = [f"q_{str(q).replace('.', '_')}" for q in quantiles]
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(m) for m in pdf["means"]])
+        weights = np.concatenate([np.asarray(w) for w in pdf["weights"]])
+        cent = _merge_centroids(
+            np.column_stack([means, weights]), max_centroids
+        )
+        row = {k: [pdf[k].iloc[0]] for k in keys}
+        row["n"] = [int(pdf["n"].sum())]
+        for q, c in zip(quantiles, qcols):
+            row[c] = [round(tdigest_quantile(cent, q), round_to)]
+        return pd.DataFrame(row)
+
+    key_schema = ", ".join(
+        f"{k} {dict(sketches.dtypes)[k]}" for k in keys
+    )
+    qschema = ", ".join(f"{c} double" for c in qcols)
+    out = sketches.groupBy(*keys).applyInPandas(
+        merge, schema=f"{key_schema}, n long, {qschema}"
+    )
+    return out.drop("__all") if drop_all else out

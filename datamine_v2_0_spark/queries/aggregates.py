@@ -565,3 +565,37 @@ UNION ALL SELECT 'l_extendedprice', 'l_discount', c12, n FROM s
 UNION ALL SELECT 'l_extendedprice', 'l_tax', c13, n FROM s
 UNION ALL SELECT 'l_discount', 'l_tax', c23, n FROM s
 """
+
+def q_agg_heavy_hitters(spark, sf_dir):
+    """Misra-Gries frequent-items sketch at the exact operating point:
+    capacity >= distinct(user_id) makes every per-partition decrement
+    provably zero, so the merged lower bounds ARE the exact counts
+    (err_ub = 0) and the exact SQL top-k is the oracle — while the plan
+    still runs the full sketch machinery (bounded mapInPandas counters,
+    summary-row merge). Constrained-capacity bounds are tested in
+    test_sketches."""
+    from datamine_v2_0_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    return sk.heavy_hitters(ev, "user_id", k=10, capacity=100000)
+
+SQL_AGG_HEAVY_HITTERS = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_count,
+       CAST(0 AS BIGINT) AS err_ub
+FROM events GROUP BY user_id
+ORDER BY est_count DESC, user_id LIMIT 10
+"""
+
+def q_agg_tdigest(spark, sf_dir):
+    """Mergeable t-digest quantile rollup: per-day digests of
+    events.value union into one global digest (no raw rescan), then
+    p50/p95/p99 estimates. Approximate by construction (centroid
+    interpolation != percentile_cont), so rows-only in the driver;
+    test_sketches asserts <1% rank error vs the exact percentile and
+    merge-equals-direct consistency."""
+    from datamine_v2_0_spark.operators import sketches as sk
+    from pyspark.sql import functions as F
+
+    ev = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
+    td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=100)
+    return sk.merge_tdigests(td, [], [0.5, 0.95, 0.99])

@@ -1,0 +1,116 @@
+"""Misra–Gries heavy hitters + t-digest quantiles — operators/sketches.py."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datamine_v2_0_spark.operators import sketches as sk
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet").cache()
+
+
+def test_heavy_hitters_exact_at_full_capacity(spark, events):
+    got = sk.heavy_hitters(events, "user_id", k=10, capacity=100000).collect()
+    want = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id")
+        .limit(10)
+        .collect()
+    )
+    assert [(r.user_id, r.est_count) for r in got] == [
+        (r.user_id, r.c) for r in want
+    ]
+    assert all(r.err_ub == 0 for r in got)
+
+
+def test_heavy_hitters_bounds_under_pressure(spark):
+    """Capacity ≪ distinct: lower bound + error bound bracket the true
+    count, and any key above the error bound is guaranteed present."""
+    pdf = pd.DataFrame(
+        {"k": ["hot"] * 5000 + ["warm"] * 800 + [f"u{i}" for i in range(3000)]}
+    )
+    df = spark.createDataFrame(pdf).repartition(8)
+    rows = sk.heavy_hitters(df, "k", k=5, capacity=40).collect()
+    by_key = {r.k: r for r in rows}
+    err = rows[0].err_ub
+    assert err > 0
+    assert "hot" in by_key  # true count 5000 > any possible err here
+    assert by_key["hot"].est_count <= 5000 <= by_key["hot"].est_count + err
+    if "warm" in by_key:
+        assert by_key["warm"].est_count <= 800 <= by_key["warm"].est_count + err
+
+
+def test_heavy_hitters_null_keys_ignored(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a", None, "b", None]})
+    )
+    rows = sk.heavy_hitters(df, "k", k=5, capacity=100).collect()
+    assert {(r.k, r.est_count) for r in rows} == {("a", 2), ("b", 1)}
+
+
+def test_tdigest_quantile_accuracy(spark, events):
+    """Merged digest p50/p95/p99 land within 1% RANK error of the exact
+    values (the t-digest guarantee is on rank, not value)."""
+    ev = events.withColumn("d", F.to_date("ts"))
+    td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=100)
+    got = sk.merge_tdigests(td, [], [0.5, 0.95, 0.99]).first()
+    vals = np.sort(
+        np.array([r[0] for r in events.select("value").collect()], dtype=float)
+    )
+    n = len(vals)
+    for q, col in [(0.5, "q_0_5"), (0.95, "q_0_95"), (0.99, "q_0_99")]:
+        est = got[col]
+        rank = np.searchsorted(vals, est) / n
+        assert abs(rank - q) < 0.01, (q, est, rank)
+    assert got["n"] == n
+
+
+def test_tdigest_merge_equals_direct(spark, events):
+    """Digest-of-digests ≈ digest-of-all: merged p95 within 0.5% rank of
+    a single direct digest over the same data."""
+    ev = events.withColumn("d", F.to_date("ts"))
+    merged = sk.merge_tdigests(
+        sk.grouped_tdigest(ev, ["d"], "value", 100), [], [0.95]
+    ).first()["q_0_95"]
+    direct_cent = sk.tdigest_sketch(
+        np.array([r[0] for r in events.select("value").collect()], dtype=float),
+        100,
+    )
+    direct = sk.tdigest_quantile(direct_cent, 0.95)
+    vals = np.sort(
+        np.array([r[0] for r in events.select("value").collect()], dtype=float)
+    )
+    r1 = np.searchsorted(vals, merged) / len(vals)
+    r2 = np.searchsorted(vals, direct) / len(vals)
+    assert abs(r1 - r2) < 0.005
+
+
+def test_tdigest_grouped_rollup_keys(spark, events):
+    """Rolling day digests up to a coarser key keeps counts additive."""
+    ev = events.withColumn("d", F.to_date("ts")).withColumn(
+        "m", F.trunc("ts", "month")
+    )
+    td = sk.grouped_tdigest(
+        ev.select("d", "m", "value"), ["m", "d"], "value", 100
+    )
+    up = sk.merge_tdigests(td, ["m"], [0.5])
+    got = {r.m: r.n for r in up.collect()}
+    want = {
+        r.m: r.c
+        for r in ev.groupBy("m").agg(F.count("value").alias("c")).collect()
+    }
+    assert got == want
+
+
+def test_tdigest_bounded_size(spark):
+    v = np.random.RandomState(7).normal(size=50000)
+    cent = sk.tdigest_sketch(v, max_centroids=100)
+    assert len(cent) <= 120  # delta=100 digests stay ~delta centroids
+    assert np.isclose(cent[:, 1].sum(), 50000)
