@@ -86,6 +86,7 @@ QUERIES: dict[str, tuple] = {
     "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
+    "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

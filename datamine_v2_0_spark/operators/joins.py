@@ -414,3 +414,104 @@ def bloom_prefilter_join(
     if how in ("semi", "left_semi", "leftsemi"):
         return pruned.join(right, on, "left_semi")
     return pruned.join(right, on, how)
+
+
+def _qgrams(col: Column, q: int) -> Column:
+    """Distinct character q-grams of a string column (whole string when
+    shorter than q), built with a JVM-side transform over start
+    offsets."""
+    c = F.col(col) if isinstance(col, str) else col
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - (q - 1)),
+        lambda i: c.substr(i, F.lit(q)),
+    )
+    return F.when(F.length(c) >= q, F.array_distinct(grams)).otherwise(
+        F.array(c)
+    )
+
+
+def fuzzy_self_pairs(
+    df: DataFrame,
+    col: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """Edit-distance self-join: (name_a, name_b, dist) for every pair of
+    values with levenshtein <= max_dist, name_a < name_b — entity
+    resolution / typo clustering without an all-pairs product.
+
+    Blocking is the q-gram PREFIX FILTER (Chaudhuri et al. 2006): order
+    all grams by (document frequency, gram) globally; two strings within
+    edit distance d share >= 1 gram among each one's (q*d + 1) RAREST
+    grams, because each edit destroys at most q grams, so at most q*d
+    of a string's grams can be missing from the intersection and the
+    smallest shared gram sits inside both prefixes. Candidate
+    generation is therefore an equi join on prefix grams — and because
+    prefixes keep only the rarest grams, hot grams (shared by half the
+    corpus) never form buckets.
+
+    The prefix-filter guarantee needs > q*d DISTINCT grams per string
+    (an edit destroys at most q distinct grams, so |G(a) \ G(b)| <= qd
+    — vacuous when the whole gram set is that small: "aaa" vs "abab"
+    share zero grams at distance 2). Strings at or below that bound
+    ("low-gram": short or highly repetitive, rare in real corpora) are
+    routed through a LENGTH-BAND fallback block instead — exploded to
+    bands {b-1, b, b+1} of width d+1 and equi-joined on the band
+    against everything, which is exhaustive because |len(a) - len(b)|
+    <= d. Together the two channels are lossless: high-high pairs by
+    the prefix theorem, low-anything pairs by the band block.
+
+    Scale shape: one groupBy for gram DF, one co-partitioned join to
+    attach ranks, equi joins only (prefix gram / length band — never a
+    nested-loop product), exact `F.levenshtein` verify on candidates.
+    Recall at the registered operating point is certified by the
+    exact-SQL oracle hash (candidates→exact-verify pattern,
+    COVERAGE.md); adversarial repeated-gram fixtures are brute-force
+    checked in test_fuzzy. Worst case degrades toward quadratic only if
+    most of the corpus is low-gram (e.g. single-character alphabets).
+    """
+    prefix_len = q * max_dist + 1
+    strings = df.select(F.col(col).alias("__s")).distinct()
+    grams = strings.select(
+        "__s", F.explode(_qgrams(F.col("__s"), q)).alias("__g")
+    )
+    gram_df = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = grams.join(gram_df, "__g").groupBy("__s").agg(
+        F.array_sort(F.collect_list(F.struct("__df", "__g"))).alias("__all"),
+    )
+    # high-gram channel: prefix-filter equi join
+    prefixes = (
+        ranked.filter(F.size("__all") >= prefix_len)
+        .select("__s", F.explode(F.slice("__all", 1, prefix_len)).alias("__pg"))
+        .select("__s", F.col("__pg.__g").alias("__g"))
+    )
+    high_cands = (
+        prefixes.alias("a")
+        .join(prefixes.alias("b"), "__g")
+        .filter(F.col("a.__s") < F.col("b.__s"))
+        .select(
+            F.col("a.__s").alias("name_a"), F.col("b.__s").alias("name_b")
+        )
+    )
+    # low-gram channel: length-band block (width d+1, probe 3 bands)
+    w = max_dist + 1
+    band = (F.length("__s") / w).cast("long")
+    low = ranked.filter(F.size("__all") < prefix_len).select(
+        "__s", F.explode(F.array(band - 1, band, band + 1)).alias("__b")
+    )
+    allb = strings.select("__s", band.alias("__b"))
+    low_cands = (
+        low.alias("a")
+        .join(allb.alias("b"), "__b")
+        .filter(F.col("a.__s") != F.col("b.__s"))
+        .select(
+            F.least("a.__s", "b.__s").alias("name_a"),
+            F.greatest("a.__s", "b.__s").alias("name_b"),
+        )
+    )
+    cands = high_cands.unionByName(low_cands).distinct()
+    return (
+        cands.withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+        .select("name_a", "name_b", F.col("dist").cast("bigint").alias("dist"))
+    )

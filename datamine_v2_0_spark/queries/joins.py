@@ -459,3 +459,21 @@ JOIN orders ON l_orderkey = o_orderkey
 WHERE o_orderpriority = '1-URGENT'
 GROUP BY l_returnflag
 """
+
+def q_join_fuzzy(spark, sf_dir):
+    """Edit-distance self-join with q-gram prefix-filter blocking plus a
+    length-band fallback for low-gram strings (see
+    operators/joins.fuzzy_self_pairs). The blocking is lossless by
+    construction, so the exact all-pairs levenshtein SQL is the oracle;
+    adversarial repeated-gram fixtures are brute-force checked in
+    test_fuzzy."""
+    part = _t(spark, sf_dir, "part")
+    return jn.fuzzy_self_pairs(part, "p_name", max_dist=2)
+
+SQL_JOIN_FUZZY = """
+WITH n AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS name_a, b.p_name AS name_b,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM n a JOIN n b ON a.p_name < b.p_name
+WHERE levenshtein(a.p_name, b.p_name) <= 2
+"""
