@@ -87,6 +87,10 @@ QUERIES: dict[str, tuple] = {
     "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
     "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
+    "agg_linreg": (q_agg_linreg, SQL_AGG_LINREG),
+    "agg_mannwhitney": (q_agg_mannwhitney, SQL_AGG_MANNWHITNEY),
+    "ts_seasonal": (q_ts_seasonal, SQL_TS_SEASONAL),
+    "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

@@ -272,3 +272,49 @@ def cusum_detect(
             "alarm", (F.col("cusum_up") > h) | (F.col("cusum_down") > h)
         )
     return out
+
+
+def seasonal_baseline_anomalies(
+    df: DataFrame,
+    keys,
+    ts: str,
+    value: str,
+    z_threshold: float = 3.0,
+    round_to: int = 6,
+):
+    """Seasonal-profile anomaly detection: learn a per-(key,
+    hour-of-week) baseline (mean, stddev) from the whole frame, then
+    flag rows whose value deviates more than ``z_threshold`` sigmas
+    from their slot's baseline. Returns the anomalous rows with
+    (baseline_mean, z_score).
+
+    The hour-of-week slot captures both daily and weekly periodicity —
+    the standard first-order seasonal model for telemetry (a Monday 9am
+    spike is only anomalous vs other Monday 9ams). Two shuffles: one
+    partial agg for the 168-slot baseline per key, one co-partitioned
+    join back; slots with < 2 observations or zero variance produce no
+    flags (no division by zero, no single-point 'anomalies')."""
+    keys = list(keys)
+    v = F.col(value).cast("double")
+    slot = (
+        (F.dayofweek(ts) - 1) * 24 + F.hour(ts)
+    ).alias("how_slot")
+    base = (
+        df.select(*keys, slot, v.alias("__v"))
+        .groupBy(*keys, "how_slot")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.avg("__v").alias("__mean"),
+            F.stddev_samp("__v").alias("__sd"),
+        )
+        .filter((F.col("__n") >= 2) & (F.col("__sd") > 0))
+    )
+    z = (v - F.col("__mean")) / F.col("__sd")
+    return (
+        df.withColumn("how_slot", slot)
+        .join(base, keys + ["how_slot"])
+        .withColumn("z_score", F.round(z, round_to))
+        .filter(F.abs(F.col("z_score")) > z_threshold)
+        .withColumn("baseline_mean", F.round("__mean", round_to))
+        .drop("__n", "__mean", "__sd")
+    )

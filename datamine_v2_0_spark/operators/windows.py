@@ -290,3 +290,48 @@ def hampel_filter(
         .withColumn("roll_mad", F.round("roll_mad", round_to))
         .drop("__dev")
     )
+
+
+def scd_type2(
+    df: DataFrame,
+    key: str,
+    attr: str,
+    ts: str,
+    tiebreak: str,
+):
+    """Slowly-Changing-Dimension Type 2 history builder: collapse an
+    event/snapshot stream into versioned validity intervals — one row
+    per (key, consecutive run of equal ``attr``) with (version,
+    valid_from, valid_to, is_current). valid_to is the start of the
+    next version (half-open intervals, NULL while current) — the
+    standard warehouse dimension-history shape.
+
+    Gaps-and-islands: a lag-change flag, a running sum to number
+    islands, one grouped min, then lead() for the closing edge. All
+    three windows share the same (key × time) partitioning, so the plan
+    pays ONE exchange."""
+    w = ordered_window([key], [ts, tiebreak])
+    changed = F.when(
+        F.lag(attr).over(w).isNull()
+        | (F.lag(attr).over(w) != F.col(attr)),
+        1,
+    ).otherwise(0)
+    islands = (
+        df.withColumn("__chg", changed)
+        .withColumn(
+            "version",
+            F.sum("__chg").over(
+                Window.partitionBy(key).orderBy(ts, tiebreak).rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            ),
+        )
+        .groupBy(key, "version", attr)
+        .agg(F.min(ts).alias("valid_from"))
+    )
+    wk = Window.partitionBy(key).orderBy("version")
+    return (
+        islands.withColumn("valid_to", F.lead("valid_from").over(wk))
+        .withColumn("is_current", F.col("valid_to").isNull())
+        .select(key, attr, "version", "valid_from", "valid_to", "is_current")
+    )

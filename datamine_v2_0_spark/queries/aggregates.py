@@ -599,3 +599,71 @@ def q_agg_tdigest(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
     td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=100)
     return sk.merge_tdigests(td, [], [0.5, 0.95, 0.99])
+
+def q_agg_linreg(spark, sf_dir):
+    """Per-group OLS trend via closed-form sufficient statistics — one
+    partial-aggregatable pass, 6 doubles per group on the shuffle
+    (operators/stats.grouped_linreg). x = hour-of-day keeps magnitudes
+    small so 6-dp rounding is engine-stable."""
+    from datamine_v2_0_spark.operators import stats
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "hr", F.hour("ts").cast("double")
+    )
+    return stats.grouped_linreg(ev, ["event_type"], "hr", "value")
+
+SQL_AGG_LINREG = """
+WITH b AS (
+  SELECT event_type, CAST(hour(ts) AS DOUBLE) AS x, value AS y
+  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+), s AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(*) AS DOUBLE) AS nd,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x*x) AS sxx,
+         SUM(x*y) AS sxy, SUM(y*y) AS syy
+  FROM b GROUP BY event_type
+)
+SELECT event_type, n,
+       ROUND((nd*sxy - sx*sy) / NULLIF(nd*sxx - sx*sx, 0), 6) AS slope,
+       ROUND((sy - (nd*sxy - sx*sy) / NULLIF(nd*sxx - sx*sx, 0) * sx) / nd, 6)
+         AS intercept,
+       ROUND((nd*sxy - sx*sy)*(nd*sxy - sx*sy)
+             / NULLIF((nd*sxx - sx*sx)*(nd*syy - sy*sy), 0), 6) AS r2
+FROM s
+"""
+
+def q_agg_mannwhitney(spark, sf_dir):
+    """Mann-Whitney U rank test (non-parametric A/B): midranks from a
+    per-distinct-value aggregate — the rank exchange carries distinct
+    metric values, not rows (operators/stats.mann_whitney_u)."""
+    from datamine_v2_0_spark.operators import stats
+
+    ev = _t(spark, sf_dir, "events")
+    return stats.mann_whitney_u(ev, "event_type", "value", "click", "view")
+
+SQL_AGG_MANNWHITNEY = """
+WITH sub AS (
+  SELECT event_type AS g, value AS v FROM events
+  WHERE event_type IN ('click','view') AND value IS NOT NULL
+), per_val AS (
+  SELECT v, COUNT(*) AS t,
+         COUNT(*) FILTER (WHERE g = 'click') AS ta
+  FROM sub GROUP BY v
+), ranked AS (
+  SELECT *, COALESCE(SUM(t) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_val
+), s AS (
+  SELECT CAST(SUM(ta) AS DOUBLE) AS na,
+         CAST(SUM(t - ta) AS DOUBLE) AS nb,
+         SUM((below + (t + 1.0)/2.0) * ta) AS ra,
+         CAST(SUM(CAST(t AS DOUBLE)*t*t - t) AS DOUBLE) AS ties
+  FROM ranked
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(ra - na*(na+1)/2, 6) AS u_stat,
+       ROUND((ra - na*(na+1)/2 - na*nb/2)
+             / sqrt(na*nb/12.0*((na+nb+1) - ties/((na+nb)*(na+nb-1)))), 6)
+         AS z_score
+FROM s
+"""

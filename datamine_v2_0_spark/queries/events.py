@@ -423,3 +423,37 @@ SELECT event_type, bucket, value,
        (ROUND(up, 6) > 40.0 OR ROUND(dn, 6) > 40.0) AS alarm
 FROM r
 """
+
+def q_ts_seasonal(spark, sf_dir):
+    """Hour-of-week seasonal-baseline anomaly flags
+    (operators/timeseries.seasonal_baseline_anomalies): one 168-slot
+    baseline aggregate per key, one co-partitioned join back."""
+    from datamine_v2_0_spark.operators.timeseries import (
+        seasonal_baseline_anomalies,
+    )
+
+    ev = _t(spark, sf_dir, "events")
+    out = seasonal_baseline_anomalies(
+        ev, ["event_type"], "ts", "value", z_threshold=3.0
+    )
+    return out.select(
+        "event_id", "event_type", "how_slot", "baseline_mean", "z_score"
+    )
+
+SQL_TS_SEASONAL = """
+WITH slotted AS (
+  SELECT event_id, event_type, value,
+         (CAST(dayofweek(ts) AS INT)) * 24 + hour(ts) AS how_slot
+  FROM events
+), base AS (
+  SELECT event_type, how_slot, COUNT(*) AS n,
+         AVG(value) AS m, STDDEV_SAMP(value) AS sd
+  FROM slotted GROUP BY event_type, how_slot
+  HAVING COUNT(*) >= 2 AND STDDEV_SAMP(value) > 0
+)
+SELECT s.event_id, s.event_type, CAST(s.how_slot AS INT) AS how_slot,
+       ROUND(b.m, 6) AS baseline_mean,
+       ROUND((s.value - b.m) / b.sd, 6) AS z_score
+FROM slotted s JOIN base b USING (event_type, how_slot)
+WHERE ABS(ROUND((s.value - b.m) / b.sd, 6)) > 3.0
+"""

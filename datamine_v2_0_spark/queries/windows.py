@@ -390,3 +390,46 @@ SELECT event_id, user_id, value,
                   THEN roll_med ELSE value END, 6) AS value_clean
 FROM s
 """
+
+def q_scd_type2(spark, sf_dir):
+    """SCD Type 2 dimension history from the orders stream: versioned
+    half-open validity intervals of each customer's order priority
+    (operators/windows.scd_type2 — gaps-and-islands sharing one
+    exchange)."""
+    o = _t(spark, sf_dir, "orders")
+    out = win.scd_type2(
+        o, key="o_custkey", attr="o_orderpriority",
+        ts="o_orderdate", tiebreak="o_orderkey",
+    )
+    return out.select(
+        "o_custkey", "o_orderpriority",
+        F.col("version").cast("bigint").alias("version"),
+        "valid_from", "valid_to", "is_current",
+    )
+
+SQL_SCD_TYPE2 = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
+         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                OR LAG(o_orderpriority) OVER w <> o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+), v AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate, o_orderkey
+              ROWS UNBOUNDED PRECEDING) AS version
+  FROM o
+), isl AS (
+  SELECT o_custkey, version, o_orderpriority,
+         MIN(o_orderdate) AS valid_from
+  FROM v GROUP BY o_custkey, version, o_orderpriority
+)
+SELECT o_custkey, o_orderpriority, CAST(version AS BIGINT) AS version,
+       valid_from,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+         AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+         IS NULL AS is_current
+FROM isl
+"""
