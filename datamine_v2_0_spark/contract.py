@@ -91,6 +91,8 @@ QUERIES: dict[str, tuple] = {
     "agg_mannwhitney": (q_agg_mannwhitney, SQL_AGG_MANNWHITNEY),
     "ts_seasonal": (q_ts_seasonal, SQL_TS_SEASONAL),
     "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
+    "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
+    "text_decontaminate_embed": (q_text_decontaminate_embed, SQL_TEXT_DECONTAMINATE_EMBED),
     # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
     "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),

@@ -205,3 +205,86 @@ def semantic_dedup_keep(
     )
     drops = pairs.select(F.col("id_b").alias(id_col)).distinct()
     return df.join(drops, id_col, "left_anti")
+
+
+def decontaminate_by_embedding(
+    train: DataFrame,
+    eval_df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float,
+    max_eval: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space decontamination: flag every training document
+    whose cosine similarity to ANY eval-set embedding reaches
+    ``threshold`` — the semantic sibling of n-gram decontamination
+    (`text.decontaminate`): paraphrased eval leakage that shares no
+    13-gram still lands next to its source in embedding space.
+
+    Returns (id, eval_id, cos_sim): one row per contaminated train doc
+    with its closest eval item (ties at the rounded similarity break to
+    the lowest eval id). Anti join the result against the corpus to
+    drop.
+
+    Scale shape: the eval matrix is bounded driver state (like the PQ
+    codebooks — ``max_eval`` guards the contract explicitly) shipped
+    once inside the Arrow kernel closure; the corpus streams through
+    ``mapInPandas`` with ONE normalized-matmul screen per batch and an
+    exact einsum recompute for rows near the threshold/argmax margin —
+    zero joins, zero shuffles, the corpus is scanned exactly once.
+    """
+    import pandas as pd
+
+    n_eval = eval_df.count()
+    if n_eval > max_eval:
+        raise ValueError(
+            f"eval set has {n_eval} rows > max_eval={max_eval}; "
+            "decontamination broadcasts the eval matrix driver-side — "
+            "raise max_eval only with executor memory to match"
+        )
+    eval_rows = (
+        eval_df.select(id_col, vec_col).orderBy(id_col).collect()
+    )
+    eval_ids = np.array([r[0] for r in eval_rows])
+    E = np.array([list(r[1]) for r in eval_rows], dtype=np.float64)
+    En = E / np.sqrt(np.einsum("ij,ij->i", E, E))[:, None]
+    id_type = dict(train.dtypes)[id_col]
+    eid_type = dict(eval_df.dtypes)[id_col]
+
+    def scan(it):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            vnorm = np.sqrt(np.einsum("ij,ij->i", V, V))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                S = (V / vnorm[:, None]) @ En.T
+            rowmax = S.max(axis=1)
+            hit = rowmax >= threshold - 1e-9
+            if not hit.any():
+                continue
+            out_id, out_eid, out_cos = [], [], []
+            for i in np.flatnonzero(hit):
+                # exact einsum recompute for the near-max candidates so
+                # emitted doubles are bit-identical to the oracle
+                cand = np.flatnonzero(S[i] >= rowmax[i] - 1e-9)
+                num = np.einsum("j,ij->i", V[i], E[cand])
+                den = np.sqrt(np.einsum("j,j->", V[i], V[i])) * np.sqrt(
+                    np.einsum("ij,ij->i", E[cand], E[cand])
+                )
+                cos = num / den
+                best = np.lexsort((eval_ids[cand], -np.round(cos, round_to)))[0]
+                if cos[best] >= threshold:
+                    out_id.append(pdf[id_col].iloc[i])
+                    out_eid.append(eval_ids[cand][best])
+                    out_cos.append(round(float(cos[best]), round_to))
+            if out_id:
+                yield pd.DataFrame(
+                    {id_col: out_id, "eval_id": out_eid, "cos_sim": out_cos}
+                )
+
+    return train.select(id_col, vec_col).mapInPandas(
+        scan,
+        schema=f"{id_col} {id_type}, eval_id {eid_type}, cos_sim double",
+    )

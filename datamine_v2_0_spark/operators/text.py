@@ -724,3 +724,72 @@ def compression_ratio(
             F.col("__c.n_compressed") / F.col("__c.n_bytes"), 6
         ).alias("compression_ratio"),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    lam: float = 0.7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Interpolated bigram language-model score per document — one step
+    up the CCNet perplexity-filter ladder from `unigram_logprob`:
+    avg log10( λ·P(w2|w1) + (1−λ)·P(w2) ) over the document's bigram
+    stream, with all probabilities self-trained on the corpus.
+
+    Probabilities are normalized over the corpus bigram stream itself
+    (P(w2|w1) = c(w1,w2)/c(w1,·), P(w2) = c(·,w2)/N), which keeps the
+    model properly normalized without sentence-boundary bookkeeping.
+
+    Plan shape at scale: bigram arrays are built INSIDE the row
+    (arrays_zip of two slices — no window, no self-join), exploded
+    once; the three count passes (c12, c1·, c·2) are windows sharing
+    the same exploded stream; the stream total folds back as a 1-row
+    broadcast. Same shuffle volume class as the unigram scorer, ×3
+    exchanges. Docs need ≥ 2 words; returns (id, n_bigrams,
+    avg_logp)."""
+    from pyspark.sql import Window
+
+    t, words = _norm_words(text_col)
+    base = df.select(F.col(id_col), words.alias("__w")).filter(
+        F.size(F.col("__w")) >= 2
+    )
+    bigrams = base.select(
+        F.col(id_col),
+        F.explode(
+            F.arrays_zip(
+                F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
+                F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
+            )
+        ).alias("__bg"),
+    ).select(
+        F.col(id_col),
+        F.col("__bg.w1").alias("__w1"),
+        F.col("__bg.w2").alias("__w2"),
+    )
+    c12 = F.count(F.lit(1)).over(Window.partitionBy("__w1", "__w2"))
+    c1 = F.count(F.lit(1)).over(Window.partitionBy("__w1"))
+    c2 = F.count(F.lit(1)).over(Window.partitionBy("__w2"))
+    counted = bigrams.select(
+        F.col(id_col),
+        c12.cast("double").alias("__c12"),
+        c1.cast("double").alias("__c1"),
+        c2.cast("double").alias("__c2"),
+    )
+    total = base.agg(
+        F.sum(F.size("__w") - 1).cast("double").alias("__tot")
+    )
+    lam_c = F.lit(float(lam))
+    p = (
+        lam_c * F.col("__c12") / F.col("__c1")
+        + (F.lit(1.0) - lam_c) * F.col("__c2") / F.col("__tot")
+    )
+    return (
+        counted.crossJoin(F.broadcast(total))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(F.avg(F.log10(p)), round_to).alias("avg_logp"),
+        )
+    )

@@ -670,3 +670,61 @@ SELECT query_id, doc_id, rrf_score, n_lists, CAST(rn AS INT) AS rank FROM (
   FROM fused
 ) WHERE rn <= 5
 """
+
+def q_text_lm_bigram(spark, sf_dir):
+    """Interpolated bigram LM scoring (operators/text.bigram_logprob):
+    row-local bigram construction, one explode, three shared-stream
+    count windows, 1-row broadcast total."""
+    df = _t(spark, sf_dir, "documents")
+    return tx.bigram_logprob(df, "text", "doc_id", lam=0.7)
+
+SQL_TEXT_LM_BIGRAM = r"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS w
+  FROM documents
+), eligible AS (
+  SELECT * FROM base WHERE len(w) >= 2
+), bg AS (
+  SELECT doc_id, w[i] AS w1, w[i+1] AS w2
+  FROM eligible, unnest(generate_series(1, len(w)-1)) AS t(i)
+), counted AS (
+  SELECT doc_id,
+         CAST(COUNT(*) OVER (PARTITION BY w1, w2) AS DOUBLE) AS c12,
+         CAST(COUNT(*) OVER (PARTITION BY w1) AS DOUBLE) AS c1,
+         CAST(COUNT(*) OVER (PARTITION BY w2) AS DOUBLE) AS c2
+  FROM bg
+), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bg)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       ROUND(AVG(log10(0.7*c12/c1 + 0.3*c2/n)), 6) AS avg_logp
+FROM counted CROSS JOIN tot GROUP BY doc_id
+"""
+
+def q_text_decontaminate_embed(spark, sf_dir):
+    """Embedding-space decontamination vs a broadcast eval set
+    (operators/semantic.decontaminate_by_embedding): eval matrix in the
+    Arrow kernel closure, corpus scanned once, zero shuffles."""
+    from datamine_v2_0_spark.operators import semantic as sem
+
+    emb = _t(spark, sf_dir, "embeddings")
+    eval_df = emb.orderBy("vec_id").limit(20)
+    train = emb.join(eval_df.select("vec_id"), "vec_id", "left_anti")
+    return sem.decontaminate_by_embedding(
+        train, eval_df, "embedding", "vec_id", threshold=0.35
+    )
+
+SQL_TEXT_DECONTAMINATE_EMBED = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+ev AS (SELECT vec_id AS eval_id, v AS evv FROM e ORDER BY vec_id LIMIT 20),
+tr AS (SELECT * FROM e WHERE vec_id NOT IN (SELECT eval_id FROM ev)),
+s AS (
+  SELECT tr.vec_id, ev.eval_id,
+         list_cosine_similarity(tr.v, ev.evv) AS cos,
+         ROW_NUMBER() OVER (
+           PARTITION BY tr.vec_id
+           ORDER BY ROUND(list_cosine_similarity(tr.v, ev.evv), 6) DESC,
+                    ev.eval_id) AS rn
+  FROM tr CROSS JOIN ev
+)
+SELECT vec_id, eval_id, ROUND(cos, 6) AS cos_sim
+FROM s WHERE rn = 1 AND cos >= 0.35
+"""

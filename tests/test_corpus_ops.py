@@ -389,3 +389,58 @@ def test_temperature_mix_deterministic(spark):
     a = sorted(r["id"] for r in flt.temperature_mix(df, "s", "id", 50).collect())
     b = sorted(r["id"] for r in flt.temperature_mix(df, "s", "id", 50).collect())
     assert a == b and 0 < len(a) < 100
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Corpus 'a b', 'a b', 'a c': bigram stream {ab, ab, ac}.
+    P(b|a)=2/3, P(c|a)=1/3, P(b)=2/3, P(c)=1/3, N=3.
+    doc1/doc2: log10(0.7*2/3 + 0.3*2/3) = log10(2/3);
+    doc3: log10(0.7/3 + 0.3/3) = log10(1/3)."""
+    import math
+
+    import pandas as pd
+
+    from datamine_v2_0_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["a b", "a b", "a c"]})
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.avg_logp)
+        for r in tx.bigram_logprob(df, "text", "doc_id", lam=0.7).collect()
+    }
+    assert got[1] == (1, round(math.log10(2 / 3), 6))
+    assert got[2] == got[1]
+    assert got[3] == (1, round(math.log10(1 / 3), 6))
+
+
+def test_bigram_logprob_skips_short_docs(spark):
+    import pandas as pd
+
+    from datamine_v2_0_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1, 2, 3], "text": ["solo", "", "two words"]})
+    )
+    assert [r.doc_id for r in tx.bigram_logprob(df, "text", "doc_id").collect()] == [3]
+
+
+def test_bigram_logprob_flags_gibberish_below_fluent(spark, sf_dir):
+    """A doc made of corpus-frequent bigrams must score above one made
+    of unique gibberish bigrams."""
+    import pandas as pd
+
+    from datamine_v2_0_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    top = docs.limit(200)
+    extra = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [900001], "text": ["zqxv jkwp mmzr qqpl vvnn zzttk"],
+             "lang": ["xx"], "source": ["t"], "n_chars": [30]}
+        )
+    )
+    scored = tx.bigram_logprob(top.unionByName(extra), "text", "doc_id")
+    rows = {r.doc_id: r.avg_logp for r in scored.collect()}
+    fluent_median = sorted(v for k, v in rows.items() if k != 900001)[len(rows) // 2]
+    assert rows[900001] < fluent_median

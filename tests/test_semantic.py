@@ -126,3 +126,49 @@ def test_assignment_plan_has_no_exchange(emb):
     cents = sem.seed_centroids_lowest_ids(emb, "embedding", "vec_id", 4)
     plan = sem.assign_to_centroids(emb, "embedding", cents)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_decontaminate_by_embedding_planted(spark, emb):
+    """A train vector equal to an eval vector (times a positive scale)
+    must be flagged with cos 1.0 against that eval id."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    eval_df = emb.orderBy("vec_id").limit(5)
+    ev0 = eval_df.first()
+    planted = spark.createDataFrame(
+        pd.DataFrame(
+            {"vec_id": [999999],
+             "embedding": [[2.0 * float(x) for x in ev0.embedding]],
+             "label": [0]}
+        )
+    )
+    train = emb.join(eval_df.select("vec_id"), "vec_id", "left_anti").unionByName(
+        planted.withColumn("embedding", F.col("embedding").cast("array<float>"))
+    )
+    out = {
+        r.vec_id: (r.eval_id, r.cos_sim)
+        for r in sem.decontaminate_by_embedding(
+            train, eval_df, "embedding", "vec_id", 0.9
+        ).collect()
+    }
+    assert out[999999][0] == ev0.vec_id
+    assert out[999999][1] == 1.0
+
+
+def test_decontaminate_max_eval_guard(spark, emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_eval"):
+        sem.decontaminate_by_embedding(
+            emb, emb, "embedding", "vec_id", 0.9, max_eval=10
+        )
+
+
+def test_decontaminate_plan_has_no_shuffle(spark, emb):
+    eval_df = emb.orderBy("vec_id").limit(5)
+    out = sem.decontaminate_by_embedding(
+        emb, eval_df, "embedding", "vec_id", 0.35
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
