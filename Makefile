@@ -1,0 +1,23 @@
+# Preflight gate for snapshot commits: round 4 shipped an operator with a
+# deterministically failing test because the suite was never run at the
+# commit. Nothing gets snapshotted without `make preflight` green.
+
+.PHONY: test verify audit bench pipeline-bench preflight
+
+test:
+	python -m pytest tests/ -q
+
+verify:
+	python tools/verify_local.py
+
+audit:
+	python tools/plan_audit.py
+
+bench:
+	python bench.py
+
+pipeline-bench:
+	python tools/pipeline_bench.py
+
+preflight: test verify audit
+	@echo "preflight green — safe to snapshot"

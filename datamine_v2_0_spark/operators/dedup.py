@@ -472,9 +472,12 @@ def _bucket_cosine_verify(threshold: float):
     empty = pd.DataFrame({"id_a": [], "id_b": [], "__cos": []})
 
     def _verify(pdf: pd.DataFrame) -> pd.DataFrame:
+        # always a fresh frame: callers (e.g. the SemDeDup wrapper) may
+        # insert grouping columns in place, and one Arrow task handles
+        # many groups — a shared empty would be mutated across groups
         m = len(pdf)
         if m < 2:
-            return empty
+            return empty.copy()
         order = np.argsort(pdf["__id"].to_numpy(), kind="stable")
         ids = pdf["__id"].to_numpy()[order]
         V = np.array(pdf["__vec"].tolist(), dtype=np.float64)[order]
@@ -486,7 +489,7 @@ def _bucket_cosine_verify(threshold: float):
             screen = C[ia, ib] >= threshold - 1e-9
             ia, ib = ia[screen], ib[screen]
             if not len(ia):
-                return empty
+                return empty.copy()
             A, B = V[ia], V[ib]
             num = np.einsum("ij,ij->i", A, B)
             den = np.sqrt(np.einsum("ij,ij->i", A, A)) * np.sqrt(

@@ -436,7 +436,7 @@ def fuzzy_self_pairs(
     max_dist: int = 2,
     q: int = 2,
 ) -> DataFrame:
-    """Edit-distance self-join: (name_a, name_b, dist) for every pair of
+    r"""Edit-distance self-join: (name_a, name_b, dist) for every pair of
     values with levenshtein <= max_dist, name_a < name_b — entity
     resolution / typo clustering without an all-pairs product.
 

@@ -169,7 +169,10 @@ def semantic_neardup_pairs(
     base_verify = _bucket_cosine_verify(threshold)
 
     def _verify(pdf):
-        out = base_verify(pdf)
+        # .copy() so the in-place insert can never touch a frame shared
+        # with another group in the same Arrow task (singleton clusters
+        # are routine at realistic n_clusters)
+        out = base_verify(pdf).copy()
         out.insert(0, "cluster_id", pdf["cluster_id"].iloc[0] if len(out) else [])
         return out
 
@@ -267,8 +270,14 @@ def decontaminate_by_embedding(
             out_id, out_eid, out_cos = [], [], []
             for i in np.flatnonzero(hit):
                 # exact einsum recompute for the near-max candidates so
-                # emitted doubles are bit-identical to the oracle
-                cand = np.flatnonzero(S[i] >= rowmax[i] - 1e-9)
+                # emitted doubles are bit-identical to the oracle. The
+                # candidate margin must cover the ROUNDING quantum (the
+                # tie rule is "lowest eval_id at the round_to-dp rounded
+                # similarity"): an eval item that ties after rounding can
+                # sit up to half an ulp-of-rounding below the true max,
+                # far beyond the 1e-9 float-summation margin.
+                q = 0.5 * 10.0 ** (-round_to) + 1e-9
+                cand = np.flatnonzero(S[i] >= rowmax[i] - q)
                 num = np.einsum("j,ij->i", V[i], E[cand])
                 den = np.sqrt(np.einsum("j,j->", V[i], V[i])) * np.sqrt(
                     np.einsum("ij,ij->i", E[cand], E[cand])

@@ -70,9 +70,16 @@ def heavy_hitters(
             counts, d = _mg_compress(counts, capacity)
             dec_total += d
         keys = list(counts)
+        # the None meta-row sentinel must not coerce integer keys to
+        # float64 (ids above 2^53 would silently lose precision before
+        # the Arrow cast back to long) — use pandas' nullable Int64
+        if key_type in ("tinyint", "smallint", "int", "bigint"):
+            kcol = pd.array(keys + [None], dtype="Int64")
+        else:
+            kcol = pd.Series(keys + [None], dtype="object")
         yield pd.DataFrame(
             {
-                key_col: keys + [None],
+                key_col: kcol,
                 "__lb": [counts[x] for x in keys] + [0],
                 "__dec": [0] * len(keys) + [dec_total],
             }
@@ -163,31 +170,88 @@ def grouped_tdigest(
     keys: Sequence[str],
     value: str,
     max_centroids: int = 100,
+    buffer_cap: int | None = None,
 ) -> DataFrame:
     """Per-group t-digest sketches: (keys..., n, means array, weights
     array) — the mergeable percentile form: period digests union into
     coarser periods via `merge_tdigests` without rescanning raw data
     (exact percentiles cannot: a day's p95 tells you nothing about the
-    week's)."""
-    keys = list(keys)
+    week's).
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        v = pdf[value].dropna().to_numpy(dtype=np.float64)
-        cent = tdigest_sketch(v, max_centroids)
+    Two-stage BOUNDED-MEMORY build (a groupBy().applyInPandas fit would
+    materialize the largest group's full value array in one task — a
+    hot group OOMs at corpus scale): stage 1 streams each input
+    partition's Arrow batches through a per-key value buffer that is
+    folded into centroid form whenever it exceeds ``buffer_cap``
+    (default 8×max_centroids), so executor memory is
+    O(keys-per-partition × buffer_cap) regardless of group size;
+    stage 2 merges the ≤ n_partitions partial digests per key
+    (≤ ~2×max_centroids centroids each) with the same compaction.
+    Merging digests are associative (Dunning & Ertl 2019): the result
+    satisfies the same k-scale size bound and accuracy class as a
+    single-pass build, though centroid layout may differ."""
+    keys = list(keys)
+    cap = int(buffer_cap or max(8 * max_centroids, 512))
+    key_schema = ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in keys)
+    out_schema = (
+        f"{key_schema}, n long, means array<double>, weights array<double>"
+    )
+
+    def _fold(cent, buffers):
+        vals = (
+            np.concatenate(buffers)
+            if buffers
+            else np.empty(0, dtype=np.float64)
+        )
+        stack = np.column_stack([vals, np.ones(len(vals))])
+        if cent is not None and len(cent):
+            stack = np.vstack([cent, stack])
+        return _merge_centroids(stack, max_centroids)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # key-tuple -> [partial centroid array | None, buffered arrays, n]
+        state: dict = {}
+        for pdf in it:
+            for kt, grp in pdf.groupby(keys, dropna=False, sort=False):
+                if not isinstance(kt, tuple):
+                    kt = (kt,)
+                st = state.setdefault(kt, [None, [], 0])
+                v = grp[value].dropna().to_numpy(dtype=np.float64)
+                st[1].append(v)
+                st[2] += len(v)
+                if sum(len(a) for a in st[1]) >= cap:
+                    st[0], st[1] = _fold(st[0], st[1]), []
+        if not state:
+            return
+        cols: dict = {k: [] for k in keys}
+        ns, ms, ws = [], [], []
+        for kt, st in state.items():
+            cent = _fold(st[0], st[1])
+            for k, kv in zip(keys, kt):
+                cols[k].append(kv)
+            ns.append(st[2])
+            ms.append(cent[:, 0].tolist())
+            ws.append(cent[:, 1].tolist())
+        yield pd.DataFrame({**cols, "n": ns, "means": ms, "weights": ws})
+
+    partials = df.select(*keys, value).mapInPandas(gen, schema=out_schema)
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate([np.asarray(m) for m in pdf["means"]])
+        weights = np.concatenate([np.asarray(w) for w in pdf["weights"]])
+        cent = _merge_centroids(
+            np.column_stack([means, weights]), max_centroids
+        )
         return pd.DataFrame(
             {
                 **{k: [pdf[k].iloc[0]] for k in keys},
-                "n": [len(v)],
+                "n": [int(pdf["n"].sum())],
                 "means": [cent[:, 0].tolist()],
                 "weights": [cent[:, 1].tolist()],
             }
         )
 
-    key_schema = ", ".join(f"{k} {dict(df.dtypes)[k]}" for k in keys)
-    return df.select(*keys, value).groupBy(*keys).applyInPandas(
-        fit,
-        schema=f"{key_schema}, n long, means array<double>, weights array<double>",
-    )
+    return partials.groupBy(*keys).applyInPandas(merge, schema=out_schema)
 
 
 def merge_tdigests(

@@ -731,65 +731,94 @@ def bigram_logprob(
     text_col: str,
     id_col: str,
     lam: float = 0.7,
+    alpha: float = 1.0,
     round_to: int = 6,
 ) -> DataFrame:
     """Interpolated bigram language-model score per document — one step
     up the CCNet perplexity-filter ladder from `unigram_logprob`:
     avg log10( λ·P(w2|w1) + (1−λ)·P(w2) ) over the document's bigram
-    stream, with all probabilities self-trained on the corpus.
+    stream, with the model trained LEAVE-ONE-OUT: each document is
+    scored against the corpus with its OWN counts removed. Without
+    leave-one-out a document of corpus-unique bigrams self-trains
+    c12 = c1 = 1 ⇒ P(w2|w1) = 1 and gibberish outscores fluent text
+    (the round-4 defect); with it, doc-unique bigrams fall through to
+    the α-smoothed unigram backoff and score near log10(α/(N+αV)).
 
-    Probabilities are normalized over the corpus bigram stream itself
-    (P(w2|w1) = c(w1,w2)/c(w1,·), P(w2) = c(·,w2)/N), which keeps the
-    model properly normalized without sentence-boundary bookkeeping.
+    Per bigram instance of document d:
+      P_cond = (c12 − n12_d) / (c1 − n1_d)   (0 when the doc owns all
+               of w1's stream — denominator guard)
+      P_back = (c2 − n2_d + α) / (N − n_d + α·V)   (add-α over the
+               held-out stream; strictly positive, strictly < 1+)
+      p      = λ·P_cond + (1−λ)·P_back
+    where c* are corpus bigram-stream counts, n*_d the document's own
+    contributions, N the stream total and V the second-word vocabulary.
 
     Plan shape at scale: bigram arrays are built INSIDE the row
     (arrays_zip of two slices — no window, no self-join), exploded
-    once; the three count passes (c12, c1·, c·2) are windows sharing
-    the same exploded stream; the stream total folds back as a 1-row
-    broadcast. Same shuffle volume class as the unigram scorer, ×3
-    exchanges. Docs need ≥ 2 words; returns (id, n_bigrams,
-    avg_logp)."""
+    once, then pre-aggregated to (doc, w1, w2, n) so every later pass
+    runs on the distinct-bigram-per-doc table, not the raw stream. The
+    six count passes are window SUMs sharing that one aggregated
+    relation; (N, V) fold back as a 1-row broadcast. Docs need ≥ 2
+    words; returns (id, n_bigrams, avg_logp) with avg weighted by
+    instance multiplicity, identical to averaging the raw stream."""
     from pyspark.sql import Window
 
     t, words = _norm_words(text_col)
     base = df.select(F.col(id_col), words.alias("__w")).filter(
         F.size(F.col("__w")) >= 2
     )
-    bigrams = base.select(
+    bg = (
+        base.select(
+            F.col(id_col),
+            F.explode(
+                F.arrays_zip(
+                    F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
+                    F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
+                )
+            ).alias("__bg"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("__bg.w1").alias("__w1"),
+            F.col("__bg.w2").alias("__w2"),
+        )
+        .groupBy(id_col, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    )
+
+    def wsum(*cols: str):
+        return F.sum("__n").over(Window.partitionBy(*cols))
+
+    counted = bg.select(
         F.col(id_col),
-        F.explode(
-            F.arrays_zip(
-                F.slice("__w", 1, F.size("__w") - 1).alias("w1"),
-                F.slice("__w", 2, F.size("__w") - 1).alias("w2"),
-            )
-        ).alias("__bg"),
-    ).select(
-        F.col(id_col),
-        F.col("__bg.w1").alias("__w1"),
-        F.col("__bg.w2").alias("__w2"),
+        F.col("__n"),
+        wsum("__w1", "__w2").alias("__c12"),
+        wsum("__w1").alias("__c1"),
+        wsum("__w2").alias("__c2"),
+        wsum(id_col, "__w1").alias("__n1d"),
+        wsum(id_col, "__w2").alias("__n2d"),
+        wsum(id_col).alias("__nd"),
     )
-    c12 = F.count(F.lit(1)).over(Window.partitionBy("__w1", "__w2"))
-    c1 = F.count(F.lit(1)).over(Window.partitionBy("__w1"))
-    c2 = F.count(F.lit(1)).over(Window.partitionBy("__w2"))
-    counted = bigrams.select(
-        F.col(id_col),
-        c12.cast("double").alias("__c12"),
-        c1.cast("double").alias("__c1"),
-        c2.cast("double").alias("__c2"),
+    totals = bg.agg(
+        F.sum("__n").alias("__ctot"),
+        F.countDistinct("__w2").cast("double").alias("__V"),
     )
-    total = base.agg(
-        F.sum(F.size("__w") - 1).cast("double").alias("__tot")
+    lam_c, a = F.lit(float(lam)), F.lit(float(alpha))
+    cond = F.when(
+        F.col("__c1") - F.col("__n1d") > 0,
+        (F.col("__c12") - F.col("__n")) / (F.col("__c1") - F.col("__n1d")),
+    ).otherwise(F.lit(0.0))
+    back = (F.col("__c2") - F.col("__n2d") + a) / (
+        F.col("__ctot") - F.col("__nd") + a * F.col("__V")
     )
-    lam_c = F.lit(float(lam))
-    p = (
-        lam_c * F.col("__c12") / F.col("__c1")
-        + (F.lit(1.0) - lam_c) * F.col("__c2") / F.col("__tot")
-    )
+    p = lam_c * cond + (F.lit(1.0) - lam_c) * back
     return (
-        counted.crossJoin(F.broadcast(total))
+        counted.crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(F.avg(F.log10(p)), round_to).alias("avg_logp"),
+            F.sum("__n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("__n") * F.log10(p)) / F.sum("__n"), round_to
+            ).alias("avg_logp"),
         )
     )

@@ -311,11 +311,13 @@ def scd_type2(
     three windows share the same (key × time) partitioning, so the plan
     pays ONE exchange."""
     w = ordered_window([key], [ts, tiebreak])
-    changed = F.when(
-        F.lag(attr).over(w).isNull()
-        | (F.lag(attr).over(w) != F.col(attr)),
-        1,
-    ).otherwise(0)
+    # null-SAFE change detection: `!=` returns NULL on a transition to
+    # or from a NULL attr, silently merging the NULL run into the prior
+    # version. row_number()==1 opens the first version even when the
+    # first attr is NULL (where eqNullSafe(lag=NULL, NULL) would not).
+    changed = F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(
+        (~F.lag(attr).over(w).eqNullSafe(F.col(attr))).cast("int")
+    )
     islands = (
         df.withColumn("__chg", changed)
         .withColumn(

@@ -673,10 +673,12 @@ SELECT query_id, doc_id, rrf_score, n_lists, CAST(rn AS INT) AS rank FROM (
 
 def q_text_lm_bigram(spark, sf_dir):
     """Interpolated bigram LM scoring (operators/text.bigram_logprob):
-    row-local bigram construction, one explode, three shared-stream
-    count windows, 1-row broadcast total."""
+    leave-one-out counts (the doc's own contributions removed before
+    scoring) with an add-α unigram backoff; row-local bigram
+    construction, one explode, one pre-aggregation, six shared window
+    sums over the aggregated relation, 1-row broadcast (N, V)."""
     df = _t(spark, sf_dir, "documents")
-    return tx.bigram_logprob(df, "text", "doc_id", lam=0.7)
+    return tx.bigram_logprob(df, "text", "doc_id", lam=0.7, alpha=1.0)
 
 SQL_TEXT_LM_BIGRAM = r"""
 WITH base AS (
@@ -684,18 +686,29 @@ WITH base AS (
   FROM documents
 ), eligible AS (
   SELECT * FROM base WHERE len(w) >= 2
-), bg AS (
+), bgr AS (
   SELECT doc_id, w[i] AS w1, w[i+1] AS w2
   FROM eligible, unnest(generate_series(1, len(w)-1)) AS t(i)
+), bg AS (
+  SELECT doc_id, w1, w2, CAST(COUNT(*) AS DOUBLE) AS n
+  FROM bgr GROUP BY 1, 2, 3
 ), counted AS (
-  SELECT doc_id,
-         CAST(COUNT(*) OVER (PARTITION BY w1, w2) AS DOUBLE) AS c12,
-         CAST(COUNT(*) OVER (PARTITION BY w1) AS DOUBLE) AS c1,
-         CAST(COUNT(*) OVER (PARTITION BY w2) AS DOUBLE) AS c2
+  SELECT doc_id, n,
+         SUM(n) OVER (PARTITION BY w1, w2) AS c12,
+         SUM(n) OVER (PARTITION BY w1) AS c1,
+         SUM(n) OVER (PARTITION BY w2) AS c2,
+         SUM(n) OVER (PARTITION BY doc_id, w1) AS n1d,
+         SUM(n) OVER (PARTITION BY doc_id, w2) AS n2d,
+         SUM(n) OVER (PARTITION BY doc_id) AS nd
   FROM bg
-), tot AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM bg)
-SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       ROUND(AVG(log10(0.7*c12/c1 + 0.3*c2/n)), 6) AS avg_logp
+), tot AS (
+  SELECT SUM(n) AS nn, CAST(COUNT(DISTINCT w2) AS DOUBLE) AS v FROM bg
+)
+SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+       ROUND(SUM(n * log10(
+         0.7 * (CASE WHEN c1 - n1d > 0 THEN (c12 - n) / (c1 - n1d) ELSE 0.0 END)
+         + 0.3 * (c2 - n2d + 1.0) / (nn - nd + 1.0 * v)
+       )) / SUM(n), 6) AS avg_logp
 FROM counted CROSS JOIN tot GROUP BY doc_id
 """
 

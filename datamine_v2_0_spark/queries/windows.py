@@ -410,8 +410,8 @@ def q_scd_type2(spark, sf_dir):
 SQL_SCD_TYPE2 = """
 WITH o AS (
   SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey,
-         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
-                OR LAG(o_orderpriority) OVER w <> o_orderpriority
+         CASE WHEN ROW_NUMBER() OVER w = 1
+                OR LAG(o_orderpriority) OVER w IS DISTINCT FROM o_orderpriority
               THEN 1 ELSE 0 END AS chg
   FROM orders
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)

@@ -392,10 +392,12 @@ def test_temperature_mix_deterministic(spark):
 
 
 def test_bigram_logprob_hand_computed(spark):
-    """Corpus 'a b', 'a b', 'a c': bigram stream {ab, ab, ac}.
-    P(b|a)=2/3, P(c|a)=1/3, P(b)=2/3, P(c)=1/3, N=3.
-    doc1/doc2: log10(0.7*2/3 + 0.3*2/3) = log10(2/3);
-    doc3: log10(0.7/3 + 0.3/3) = log10(1/3)."""
+    """Corpus 'a b', 'a b', 'a c': bigram stream {ab, ab, ac}; N=3,
+    V=|{b,c}|=2, α=1. Leave-one-out per doc:
+    doc1 (ab): cond=(2-1)/(3-1)=1/2, back=(2-1+1)/(3-1+2)=1/2,
+      p=0.7/2+0.3/2=0.5 → log10 = -0.30103 (doc2 identical);
+    doc3 (ac): cond=(1-1)/(3-1)=0, back=(1-1+1)/(3-1+2)=1/4,
+      p=0.3·0.25=0.075."""
     import math
 
     import pandas as pd
@@ -409,9 +411,9 @@ def test_bigram_logprob_hand_computed(spark):
         r.doc_id: (r.n_bigrams, r.avg_logp)
         for r in tx.bigram_logprob(df, "text", "doc_id", lam=0.7).collect()
     }
-    assert got[1] == (1, round(math.log10(2 / 3), 6))
+    assert got[1] == (1, round(math.log10(0.5), 6))
     assert got[2] == got[1]
-    assert got[3] == (1, round(math.log10(1 / 3), 6))
+    assert got[3] == (1, round(math.log10(0.075), 6))
 
 
 def test_bigram_logprob_skips_short_docs(spark):

@@ -172,3 +172,36 @@ def test_decontaminate_plan_has_no_shuffle(spark, emb):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_many_singleton_clusters_share_one_task(spark):
+    """Regression: with shuffle.partitions=1 every cluster's group is
+    handled by ONE applyInPandas task. Round-4 code mutated a shared
+    empty frame in place (pandas .insert), so the second degenerate
+    cluster in a task raised ValueError('cannot insert cluster_id')."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    n = 24
+    pdf = pd.DataFrame(
+        {
+            "vec_id": list(range(n)),
+            "embedding": [rng.normal(size=8).tolist() for _ in range(n)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        # n_clusters == n rows → every cluster is (at most) a singleton,
+        # all co-located in the single shuffle partition
+        pairs = sem.semantic_neardup_pairs(
+            df, "embedding", "vec_id", n_clusters=n, threshold=0.99
+        ).collect()
+        kept = sem.semantic_dedup_keep(
+            df, "embedding", "vec_id", n_clusters=n, threshold=0.99
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert pairs == []
+    assert kept == n

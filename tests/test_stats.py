@@ -140,3 +140,32 @@ def test_scd_type2_intervals_partition_time(spark, sf_dir):
     assert bad_chain == 0
     cur = scd.filter("is_current").groupBy("o_custkey").count()
     assert cur.filter("count != 1").count() == 0
+
+
+def test_scd_type2_null_attr_opens_its_own_version(spark):
+    """Regression: `!=` is NULL-unsafe, so a transition to or from a
+    NULL attr produced NULL -> no change flag and the NULL run merged
+    into the prior version. NULL runs must version like any value."""
+    d = dt.datetime
+    rows = [
+        (1, "LOW", d(2024, 1, 1), 1),
+        (1, None, d(2024, 2, 1), 2),
+        (1, None, d(2024, 2, 5), 3),
+        (1, "LOW", d(2024, 3, 1), 4),
+        (3, None, d(2024, 1, 1), 5),  # key whose FIRST attr is NULL
+        (3, "HI", d(2024, 2, 1), 6),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, pri string, ts timestamp, ord long"
+    )
+    out = {
+        (r.k, r.version): r
+        for r in win.scd_type2(df, "k", "pri", "ts", "ord").collect()
+    }
+    assert len(out) == 5
+    assert out[(1, 1)].pri == "LOW" and out[(1, 1)].valid_to == d(2024, 2, 1)
+    assert out[(1, 2)].pri is None and out[(1, 2)].valid_from == d(2024, 2, 1)
+    assert out[(1, 2)].valid_to == d(2024, 3, 1)
+    assert out[(1, 3)].pri == "LOW" and out[(1, 3)].is_current
+    assert out[(3, 1)].pri is None and not out[(3, 1)].is_current
+    assert out[(3, 2)].pri == "HI" and out[(3, 2)].is_current

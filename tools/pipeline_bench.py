@@ -108,6 +108,27 @@ def main() -> None:
         )
         raw = spark.read.parquet(f"{out_dir}/bronze")
 
+        # --- calibration probes (untimed w.r.t. the pipeline window) ---
+        # This bench is parquet-write-bound; observed round-over-round
+        # swings of 4-5x on identical code trace to ambient host I/O, so
+        # absolute seconds are meaningless without a same-run yardstick.
+        # CPU probe: the identical fixed workload bench.py times as
+        # calib_sec. Disk probe: a fixed 32-part parquet write to the
+        # SAME filesystem the timed stages export to.
+        t = time.time()
+        spark.range(200_000_000).selectExpr(
+            "sum(pmod(xxhash64(id), 1000)) AS s"
+        ).write.format("noop").mode("overwrite").save()
+        calib_cpu = round(time.time() - t, 3)
+        t = time.time()
+        (
+            spark.range(0, 40_000_000, 1, 32)
+            .selectExpr("id", "xxhash64(id) AS h", "id % 997 AS v")
+            .write.mode("overwrite")
+            .parquet(f"{out_dir}/_diskprobe")
+        )
+        calib_disk = round(time.time() - t, 3)
+
         t0 = time.time()
         silver = silver_transform(
             raw, ingested_at=F.to_timestamp(F.lit("2025-09-04 00:00:00"))
@@ -152,6 +173,15 @@ def main() -> None:
                 "cpd_sec": round(t_cpd, 2),
                 "candidates": n_cand,
                 "rows_per_sec": int(n_rows / total),
+                "calib_cpu_sec": calib_cpu,
+                "calib_disk_sec": calib_disk,
+                # host-speed-normalized ratios: total and the export-bound
+                # stage expressed in units of the same-run probes — these
+                # are what is comparable round-over-round, not seconds
+                "total_per_cpu_probe": round(total / calib_cpu, 2),
+                "export_stage_per_disk_probe": round(
+                    t_features / calib_disk, 2
+                ),
                 "reference_anchor": "silver 44-353s + features ~18-588s + cpd ~120s + export 185.8s; <2h total",
             }
         )
