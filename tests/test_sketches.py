@@ -114,3 +114,16 @@ def test_tdigest_bounded_size(spark):
     cent = sk.tdigest_sketch(v, max_centroids=100)
     assert len(cent) <= 120  # delta=100 digests stay ~delta centroids
     assert np.isclose(cent[:, 1].sum(), 50000)
+
+
+def test_tdigest_merge_free_at_certified_capacity():
+    """The oracle-certified operating point: with delta >= pi*n/2 the
+    k-scale condition delta*2/(pi*n) > 1 holds for every adjacent
+    singleton pair, so no merge ever fires and the digest IS the sorted
+    value array (the basis of the agg_tdigest SQL oracle)."""
+    rng = np.random.default_rng(0)
+    v = rng.normal(size=1000)
+    cent = sk.tdigest_sketch(v, max_centroids=2000)
+    assert len(cent) == 1000
+    assert np.array_equal(cent[:, 0], np.sort(v))
+    assert (cent[:, 1] == 1.0).all()

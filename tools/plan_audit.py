@@ -47,6 +47,11 @@ BNLJ_OK = {
     "agg_histogram": 1,
     # 1-row stratum-count total folds into the share computation
     "agg_diversity": 1,
+    # 1-row global err_ub (sum of per-partition MG decrements) folds
+    # into the merged summary
+    "agg_heavy_hitters": 1,
+    # 1-row corpus (N, V) totals fold into the per-bigram probabilities
+    "text_lm_bigram": 1,
 }
 # the exact-ANN baseline is an intentional documented cross join
 CARTESIAN_OK = {"sim_cosine_topk"}
@@ -67,18 +72,30 @@ def main() -> None:
     # DataFrame BEING checkpointed, then delegate — the audit counts
     # the union of the final plan and all severed subplans.
     captured: list = []
-    orig_ckpt = DataFrame.localCheckpoint
+    # patch the CLASSIC DataFrame too — pyspark 4 instances resolve
+    # their own override, not the pyspark.sql.DataFrame base method
+    targets = [DataFrame]
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _CDF
 
-    def recording_ckpt(self, *args, **kwargs):
-        try:
-            captured.append(
-                self._jdf.queryExecution().executedPlan().toString()
-            )
-        except Exception:  # noqa: BLE001
-            pass
-        return orig_ckpt(self, *args, **kwargs)
+        targets.append(_CDF)
+    except ImportError:
+        pass
+    for cls in targets:
+        orig_ckpt = cls.__dict__.get("localCheckpoint")
+        if orig_ckpt is None:
+            continue
 
-    DataFrame.localCheckpoint = recording_ckpt
+        def recording_ckpt(self, *args, _orig=orig_ckpt, **kwargs):
+            try:
+                captured.append(
+                    self._jdf.queryExecution().executedPlan().toString()
+                )
+            except Exception:  # noqa: BLE001
+                pass
+            return _orig(self, *args, **kwargs)
+
+        cls.localCheckpoint = recording_ckpt
 
     spark = get_spark("plan_audit")
     rows = []
