@@ -45,6 +45,7 @@ def pagerank(
     damping: float = 0.85,
     quantize_dp: int = 9,
     round_to: int = 6,
+    ckpt_every: int = 3,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, rank).
 
@@ -81,7 +82,7 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_row)).select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank")
     )
-    for _ in range(n_iter):
+    for i in range(n_iter):
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
             .groupBy(F.col("dst").alias("node"))
@@ -98,6 +99,13 @@ def pagerank(
                     quantize_dp,
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=False)
         )
+        # truncate lineage every few iterations, not every one: each
+        # checkpoint is a full materialization (a Spark job of fixed
+        # overhead), and Catalyst handles a 2-3-iteration-deep plan
+        # fine. Quantization stays PER ITERATION — the oracle's grid.
+        # The last iteration never checkpoints (the caller's action
+        # materializes it).
+        if (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
+            ranks = ranks.localCheckpoint(eager=False)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))
