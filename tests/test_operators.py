@@ -1378,3 +1378,41 @@ def test_corr_matrix_needs_two_columns(spark):
     df = spark.createDataFrame([(1.0,)], ["a"])
     with pytest.raises(ValueError):
         agg.corr_matrix(df, ["a"])
+
+
+def test_ann_cheap_operating_points_recall_floors(spark):
+    """ANN.md publishes the measured recall/latency trade-off below the
+    certified full-recall settings (tools/ann_recall.py, sf0.01:
+    IVF nprobe 1/2/4 -> 0.32/0.50/0.84, LSH probe 0/1 -> 0.87/0.99,
+    PQ ADC-only 0.59, PQ rerank_from=20 -> 0.90). This pins floors a
+    few points under those measurements on the sf0.001 fixture so a
+    regression in bucketing/probing/quantization shows up as a recall
+    cliff, not a silent doc drift."""
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+    queries = emb.orderBy("vec_id").limit(10)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+
+    def recall(df):
+        got = {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+        return len(got & exact) / len(exact)
+
+    assert recall(sim.ivf_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=5, n_cells=8, nprobe=4
+    )) >= 0.6
+    assert recall(sim.lsh_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=5, probe=1
+    )) >= 0.8
+    assert recall(sim.pq_rerank_topk(
+        emb, queries, "embedding", "vec_id", dim=64, k=5,
+        m=16, k_codes=32, rerank_from=20,
+    )) >= 0.8
