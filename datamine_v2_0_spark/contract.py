@@ -34,72 +34,29 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks the
 # FIRST 50 entries in insertion order, so each round the window rotates
-# to maximize cumulative driver-green coverage (r3 verdict, tasks 1+5):
-#   1. the 16 oracle-backed queries that have NEVER had a driver row in
-#      any round (they sat at slots 51-66 in r3) come first;
-#   2. new round-4 operators follow (they need their first driver row);
-#   3. then the r2-green core whose driver evidence is two rounds old —
-#      re-proving the families most users touch (aggregates, windows,
-#      joins, filters, scalars, exact dedup);
-#   4. everything green in CORRECTNESS_r03 moves past slot 50 — its
-#      r3 driver evidence stands;
-#   5. the genuinely non-SQL entries (cpd_candidates: PELT changepoints;
-#      agg_approx: sketch internals; FFD packing; BPE; HLL binaries)
-#      sit last so they never displace an oracle-checkable slot.
+# to maximize cumulative driver-green coverage. Round-5 window:
+#   1. the 7 queries whose semantics or kernels CHANGED this round
+#      (bigram leave-one-out rewrite, scd_type2 null-safety, the newly
+#      oracle-backed agg_tdigest, the fixed SemDeDup/decontaminate/
+#      heavy-hitters kernels, the re-batched pagerank) — a change
+#      without a fresh driver row is an uncertified change;
+#   2. all 39 queries whose ONLY driver evidence is round 2 (three
+#      rounds old) — the oldest-evidence re-prove rung of the standing
+#      rotation policy;
+#   3. 4 oldest r3-green entries to fill the window.
+# Everything r3/r4-green follows past slot 50 (evidence stands); the 5
+# genuinely non-SQL rows-only entries stay last so they never displace
+# an oracle-checkable slot.
 QUERIES: dict[str, tuple] = {
-    # --- never driver-checked in r2 or r3: certify this round -----------
-    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
-    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
-    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
-    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
-    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
-    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
-    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
-    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
-    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
-    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
-    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
-    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
-    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
-    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
-    # --- new in r4: first driver row needed ------------------------------
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "dedup_substring_strip": (q_dedup_substring_strip, SQL_DEDUP_SUBSTRING_STRIP),
-    "text_rrf": (q_text_rrf, SQL_TEXT_RRF),
-    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
-    "ts_ohlc": (q_ts_ohlc, SQL_TS_OHLC),
-    "evt_transitions": (q_evt_transitions, SQL_EVT_TRANSITIONS),
-    "qa_psi": (q_qa_psi, SQL_QA_PSI),
-    "filt_temperature_mix": (q_filt_temperature_mix, SQL_FILT_TEMPERATURE_MIX),
-    "agg_outliers": (q_agg_outliers, SQL_AGG_OUTLIERS),
-    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
-    "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
-    "geo_radius_join": (q_geo_radius_join, SQL_GEO_RADIUS_JOIN),
-    "win_hampel": (q_win_hampel, SQL_WIN_HAMPEL),
-    "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
-    "agg_topk_group": (q_agg_topk_group, SQL_AGG_TOPK_GROUP),
-    "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
-    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
-    "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
-    "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
-    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
-    "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
-    "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
-    "agg_linreg": (q_agg_linreg, SQL_AGG_LINREG),
-    "agg_mannwhitney": (q_agg_mannwhitney, SQL_AGG_MANNWHITNEY),
-    "ts_seasonal": (q_ts_seasonal, SQL_TS_SEASONAL),
-    "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
+    # --- changed this round: re-certify first -----------------------
     "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
+    "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
+    "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
     "text_decontaminate_embed": (q_text_decontaminate_embed, SQL_TEXT_DECONTAMINATE_EMBED),
-    # --- r2-green core: driver evidence 2 rounds old, re-prove ----------
-    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
-    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
-    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
-    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
-    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
-    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
+    "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    # --- r2-only driver evidence (3 rounds old): re-prove -----------
     "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
     "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
     "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
@@ -128,7 +85,6 @@ QUERIES: dict[str, tuple] = {
     "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
     "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
-    # ------------------- slot 51+ (r2-green evidence) -------------------
     "join_semi": (q_join_semi, SQL_JOIN_SEMI),
     "join_lookup": (q_join_lookup, SQL_JOIN_LOOKUP),
     "filt_clamp": (q_filt_clamp, SQL_FILT_CLAMP),
@@ -140,11 +96,56 @@ QUERIES: dict[str, tuple] = {
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_lang": (q_text_lang, SQL_TEXT_LANG),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    # --- green in CORRECTNESS_r03 (driver evidence 1 round old) ---------
+    # --- oldest r3-green fill ---------------------------------------
     "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
     "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    # ------------------- slot 51+: r3/r4-green evidence stands ------
+    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
+    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
+    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
+    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
+    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
+    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
+    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
+    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
+    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_strip": (q_dedup_substring_strip, SQL_DEDUP_SUBSTRING_STRIP),
+    "text_rrf": (q_text_rrf, SQL_TEXT_RRF),
+    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
+    "ts_ohlc": (q_ts_ohlc, SQL_TS_OHLC),
+    "evt_transitions": (q_evt_transitions, SQL_EVT_TRANSITIONS),
+    "qa_psi": (q_qa_psi, SQL_QA_PSI),
+    "filt_temperature_mix": (q_filt_temperature_mix, SQL_FILT_TEMPERATURE_MIX),
+    "agg_outliers": (q_agg_outliers, SQL_AGG_OUTLIERS),
+    "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
+    "geo_radius_join": (q_geo_radius_join, SQL_GEO_RADIUS_JOIN),
+    "win_hampel": (q_win_hampel, SQL_WIN_HAMPEL),
+    "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
+    "agg_topk_group": (q_agg_topk_group, SQL_AGG_TOPK_GROUP),
+    "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
+    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
+    "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
+    "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
+    "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
+    "agg_linreg": (q_agg_linreg, SQL_AGG_LINREG),
+    "agg_mannwhitney": (q_agg_mannwhitney, SQL_AGG_MANNWHITNEY),
+    "ts_seasonal": (q_ts_seasonal, SQL_TS_SEASONAL),
+    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
+    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
+    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
+    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD_INVERTED),
     "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
@@ -191,11 +192,10 @@ QUERIES: dict[str, tuple] = {
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
-    # --- genuinely non-SQL (rows-only check): keep these LAST -----------
+    # --- genuinely non-SQL (rows-only check): keep these LAST -------
     "cpd_candidates": (q_cpd_candidates, None),
     "agg_approx": (q_agg_approx, None),
     "text_packed": (q_text_packed, None),
     "text_bpe": (q_text_bpe, None),
     "agg_hll_rollup": (q_agg_hll_rollup, None),
-    "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
 }
