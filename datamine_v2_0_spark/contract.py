@@ -43,11 +43,18 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #   2. all 39 queries whose ONLY driver evidence is round 2 (three
 #      rounds old) — the oldest-evidence re-prove rung of the standing
 #      rotation policy;
-#   3. 4 oldest r3-green entries to fill the window.
+#   3. oldest r3-green entries to fill the window.
+# The 3 brand-new round-5 operators (KS drift test, chi-square
+# independence, Cohen's kappa) lead the window — new queries always
+# need their first driver row.
 # Everything r3/r4-green follows past slot 50 (evidence stands); the 5
 # genuinely non-SQL rows-only entries stay last so they never displace
 # an oracle-checkable slot.
 QUERIES: dict[str, tuple] = {
+    # --- new in r5: first driver row needed --------------------------
+    "stat_ks": (q_stat_ks, SQL_STAT_KS),
+    "stat_chi2": (q_stat_chi2, SQL_STAT_CHI2),
+    "stat_kappa": (q_stat_kappa, SQL_STAT_KAPPA),
     # --- changed this round: re-certify first -----------------------
     "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
     "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
@@ -98,10 +105,10 @@ QUERIES: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     # --- oldest r3-green fill ---------------------------------------
     "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
+    # ------------------- slot 51+: r3/r4-green evidence stands ------
     "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
-    # ------------------- slot 51+: r3/r4-green evidence stands ------
     "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),

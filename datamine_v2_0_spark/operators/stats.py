@@ -126,3 +126,179 @@ def mann_whitney_u(
         F.round(u, round_to).alias("u_stat"),
         F.round(z, round_to).alias("z_score"),
     )
+
+
+def ks_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+    quantize_dp: int | None = None,
+) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test — the distribution-shape drift
+    check PSI can't give you (PSI sees 10 fixed bins; KS sees the whole
+    ECDF). Returns ONE row (n_a, n_b, d_stat, p_approx): D is the exact
+    sup-norm ECDF distance, p the standard asymptotic first-term
+    approximation 2·exp(−2·c²), c = D·sqrt(na·nb/(na+nb)).
+
+    Shape: one per-value aggregate (shuffles DISTINCT values, not
+    rows), one cumulative window over the distinct-value relation, one
+    1-row fold. Like `mann_whitney_u`, the ordered cumulative runs in a
+    single partition of the distinct-value relation — fine for
+    categorical/quantized data; for high-cardinality doubles at corpus
+    scale pass ``quantize_dp`` to floor-quantize values first (the D
+    statistic of the quantized ECDFs bounds the true D within one bin
+    mass)."""
+    v = F.col(value_col).cast("double")
+    if quantize_dp is not None:
+        scale = F.lit(float(10**quantize_dp))
+        v = F.floor(v * scale) / scale
+    sub = df.filter(
+        F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
+    ).select(F.col(group_col).alias("__g"), v.alias("__v"))
+    per_val = sub.groupBy("__v").agg(
+        F.count(F.when(F.col("__g") == F.lit(group_a), 1)).alias("__ca"),
+        F.count(F.when(F.col("__g") == F.lit(group_b), 1)).alias("__cb"),
+    )
+    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_val.select(
+        F.sum("__ca").over(w).cast("double").alias("__fa"),
+        F.sum("__cb").over(w).cast("double").alias("__fb"),
+    )
+    tot = per_val.agg(
+        F.sum("__ca").cast("double").alias("__na"),
+        F.sum("__cb").cast("double").alias("__nb"),
+    )
+    stats = cum.crossJoin(F.broadcast(tot)).agg(
+        F.max("__na").alias("__na"),
+        F.max("__nb").alias("__nb"),
+        F.max(
+            F.abs(F.col("__fa") / F.col("__na") - F.col("__fb") / F.col("__nb"))
+        ).alias("__d"),
+    )
+    na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
+    c2 = d * d * (na * nb / (na + nb))
+    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * c2))
+    return stats.select(
+        na.cast("bigint").alias("n_a"),
+        nb.cast("bigint").alias("n_b"),
+        F.round(d, round_to).alias("d_stat"),
+        F.round(p, round_to).alias("p_approx"),
+    )
+
+
+def chi_square_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-square test of independence between two categorical
+    columns — the 'is my label distribution independent of source?'
+    audit. Returns ONE row (n, dof, chi2, z_score): chi2 over the
+    contingency table, dof = (r−1)(c−1), and the Wilson–Hilferty
+    cube-root normal approximation for an engine-portable significance
+    score (exact chi-square CDFs need the regularized gamma, which SQL
+    engines lack).
+
+    Shape: one cell-level aggregate (r×c rows), marginals via two tiny
+    window sums over the cell relation, one 1-row fold — the corpus is
+    scanned once and the shuffle carries cells, not rows."""
+    sub = df.filter(
+        F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
+    ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
+    cells = sub.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__o")
+    )
+    wa = Window.partitionBy("__a")
+    wb = Window.partitionBy("__b")
+    wall = Window.partitionBy()
+    with_m = cells.select(
+        "__a",
+        "__b",
+        "__o",
+        F.sum("__o").over(wa).alias("__ra"),
+        F.sum("__o").over(wb).alias("__cb"),
+        F.sum("__o").over(wall).alias("__n"),
+    )
+    e = F.col("__ra") * F.col("__cb") / F.col("__n")
+    stats = with_m.agg(
+        F.max("__n").alias("__n"),
+        F.sum((F.col("__o") - e) * (F.col("__o") - e) / e).alias("__chi2"),
+        F.countDistinct("__a").cast("double").alias("__r"),
+        F.countDistinct("__b").cast("double").alias("__c"),
+    )
+    dof = (F.col("__r") - 1) * (F.col("__c") - 1)
+    x = F.col("__chi2") / dof
+    # Wilson–Hilferty: (chi2/dof)^(1/3) ~ N(1 - 2/(9·dof), 2/(9·dof))
+    mu = F.lit(1.0) - F.lit(2.0) / (F.lit(9.0) * dof)
+    s2 = F.lit(2.0) / (F.lit(9.0) * dof)
+    z = F.when(dof > 0, (F.cbrt(x) - mu) / F.sqrt(s2))
+    return stats.select(
+        F.col("__n").cast("bigint").alias("n"),
+        dof.cast("bigint").alias("dof"),
+        F.round(F.col("__chi2"), round_to).alias("chi2"),
+        F.round(z, round_to).alias("z_score"),
+    )
+
+
+def cohens_kappa(
+    df: DataFrame,
+    rater_a_col: str,
+    rater_b_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cohen's kappa inter-rater agreement between two label columns —
+    the annotation-quality gate for labeling pipelines (the reference
+    ingests Label Studio task JSON; kappa is how you decide whether the
+    labels are usable). Returns ONE row (n, po, pe, kappa):
+    po = observed agreement rate, pe = chance agreement Σ_k pa_k·pb_k,
+    kappa = (po − pe)/(1 − pe); NULL kappa when pe = 1 (both raters
+    constant — agreement is vacuous).
+
+    Shape: one label-pair aggregate (cells, not rows), marginal window
+    sums over that tiny relation, 1-row fold. Labels outside either
+    rater's repertoire contribute pa_k·0 — the union-of-categories
+    convention."""
+    sub = df.filter(
+        F.col(rater_a_col).isNotNull() & F.col(rater_b_col).isNotNull()
+    ).select(
+        F.col(rater_a_col).alias("__a"), F.col(rater_b_col).alias("__b")
+    )
+    # three consumers (agreement fold + both marginals) — materialize
+    # the tiny cell relation once so the corpus is scanned once
+    cells = sub.groupBy("__a", "__b").agg(
+        F.count(F.lit(1)).cast("double").alias("__o")
+    ).localCheckpoint(eager=False)
+    stats = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.sum(F.when(F.col("__a") == F.col("__b"), F.col("__o"))).alias(
+            "__agree"
+        ),
+    )
+    # chance agreement needs per-LABEL marginals (a label may appear in
+    # only one rater's column): aggregate marginals label-wise from the
+    # cell relation, then one tiny join on label
+    ma = cells.groupBy(F.col("__a").alias("__k")).agg(
+        F.sum("__o").alias("__pa")
+    )
+    mb = cells.groupBy(F.col("__b").alias("__k")).agg(
+        F.sum("__o").alias("__pb")
+    )
+    pe_row = (
+        ma.join(mb, "__k")
+        .agg(F.sum(F.col("__pa") * F.col("__pb")).alias("__pe_num"))
+    )
+    out = stats.crossJoin(F.broadcast(pe_row))
+    n = F.col("__n")
+    po = F.coalesce(F.col("__agree"), F.lit(0.0)) / n
+    pe = F.coalesce(F.col("__pe_num"), F.lit(0.0)) / (n * n)
+    kappa = F.when(pe < 1.0, (po - pe) / (F.lit(1.0) - pe))
+    return out.select(
+        n.cast("bigint").alias("n"),
+        F.round(po, round_to).alias("po"),
+        F.round(pe, round_to).alias("pe"),
+        F.round(kappa, round_to).alias("kappa"),
+    )

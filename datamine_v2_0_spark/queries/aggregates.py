@@ -702,3 +702,121 @@ SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
          AS z_score
 FROM s
 """
+
+def q_stat_ks(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift test: exact sup-norm ECDF
+    distance between two event types' value distributions — the
+    cumulative runs over the distinct-value relation, not rows
+    (operators/stats.ks_two_sample)."""
+    from datamine_v2_0_spark.operators import stats
+
+    ev = _t(spark, sf_dir, "events")
+    return stats.ks_two_sample(ev, "event_type", "value", "click", "view")
+
+SQL_STAT_KS = """
+WITH sub AS (
+  SELECT event_type AS g, CAST(value AS DOUBLE) AS v FROM events
+  WHERE event_type IN ('click','view') AND value IS NOT NULL
+), per_val AS (
+  SELECT v, COUNT(*) FILTER (WHERE g = 'click') AS ca,
+         COUNT(*) FILTER (WHERE g = 'view') AS cb
+  FROM sub GROUP BY v
+), cum AS (
+  SELECT CAST(SUM(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS fa,
+         CAST(SUM(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS fb
+  FROM per_val
+), tot AS (
+  SELECT CAST(SUM(ca) AS DOUBLE) AS na, CAST(SUM(cb) AS DOUBLE) AS nb
+  FROM per_val
+), s AS (
+  SELECT MAX(na) AS na, MAX(nb) AS nb,
+         MAX(ABS(fa/na - fb/nb)) AS d
+  FROM cum CROSS JOIN tot
+)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(d, 6) AS d_stat,
+       ROUND(LEAST(1.0, 2.0*EXP(-2.0 * d*d*(na*nb/(na+nb)))), 6) AS p_approx
+FROM s
+"""
+
+def q_stat_chi2(spark, sf_dir):
+    """Chi-square independence of order priority vs order status with
+    the Wilson-Hilferty normal approximation — cell-level shuffle only
+    (operators/stats.chi_square_independence)."""
+    from datamine_v2_0_spark.operators import stats
+
+    o = _t(spark, sf_dir, "orders")
+    return stats.chi_square_independence(o, "o_orderpriority", "o_orderstatus")
+
+SQL_STAT_CHI2 = """
+WITH cells AS (
+  SELECT o_orderpriority AS a, o_orderstatus AS b,
+         CAST(COUNT(*) AS DOUBLE) AS o
+  FROM orders
+  WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
+  GROUP BY 1, 2
+), m AS (
+  SELECT a, b, o,
+         SUM(o) OVER (PARTITION BY a) AS ra,
+         SUM(o) OVER (PARTITION BY b) AS cb,
+         SUM(o) OVER () AS n
+  FROM cells
+), s AS (
+  SELECT MAX(n) AS n,
+         SUM((o - ra*cb/n)*(o - ra*cb/n)/(ra*cb/n)) AS chi2,
+         CAST(COUNT(DISTINCT a) AS DOUBLE) AS r,
+         CAST(COUNT(DISTINCT b) AS DOUBLE) AS c
+  FROM m
+)
+SELECT CAST(n AS BIGINT) AS n,
+       CAST((r-1)*(c-1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND((cbrt(chi2/((r-1)*(c-1))) - (1.0 - 2.0/(9.0*(r-1)*(c-1))))
+             / sqrt(2.0/(9.0*(r-1)*(c-1))), 6) AS z_score
+FROM s
+"""
+
+def q_stat_kappa(spark, sf_dir):
+    """Cohen's kappa agreement between two deterministic document
+    labelings (char-length bucket vs whitespace-token bucket) — the
+    annotation-quality gate; cell-level aggregate + label-marginal join
+    (operators/stats.cohens_kappa)."""
+    from datamine_v2_0_spark.operators import stats
+
+    docs = _t(spark, sf_dir, "documents")
+    labeled = docs.select(
+        F.when(F.length("text") >= 200, F.lit("long"))
+        .otherwise(F.lit("short"))
+        .alias("rater_a"),
+        F.when(
+            F.size(F.split(F.trim(F.col("text")), r"\s+")) >= 40,
+            F.lit("long"),
+        )
+        .otherwise(F.lit("short"))
+        .alias("rater_b"),
+    )
+    return stats.cohens_kappa(labeled, "rater_a", "rater_b")
+
+SQL_STAT_KAPPA = r"""
+WITH labeled AS (
+  SELECT CASE WHEN LENGTH(text) >= 200 THEN 'long' ELSE 'short' END AS a,
+         CASE WHEN len(string_split_regex(trim(text), '\s+')) >= 40
+              THEN 'long' ELSE 'short' END AS b
+  FROM documents WHERE text IS NOT NULL
+), cells AS (
+  SELECT a, b, CAST(COUNT(*) AS DOUBLE) AS o FROM labeled GROUP BY 1, 2
+), s AS (
+  SELECT SUM(o) AS n,
+         COALESCE(SUM(o) FILTER (WHERE a = b), 0) AS agree
+  FROM cells
+), ma AS (SELECT a AS k, SUM(o) AS pa FROM cells GROUP BY 1),
+mb AS (SELECT b AS k, SUM(o) AS pb FROM cells GROUP BY 1),
+pe AS (SELECT COALESCE(SUM(pa*pb), 0) AS pe_num FROM ma JOIN mb USING (k))
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(agree/n, 6) AS po,
+       ROUND(pe_num/(n*n), 6) AS pe,
+       ROUND(CASE WHEN pe_num/(n*n) < 1.0
+                  THEN (agree/n - pe_num/(n*n)) / (1.0 - pe_num/(n*n)) END, 6)
+         AS kappa
+FROM s CROSS JOIN pe
+"""

@@ -169,3 +169,102 @@ def test_scd_type2_null_attr_opens_its_own_version(spark):
     assert out[(1, 3)].pri == "LOW" and out[(1, 3)].is_current
     assert out[(3, 1)].pri is None and not out[(3, 1)].is_current
     assert out[(3, 2)].pri == "HI" and out[(3, 2)].is_current
+
+
+def test_ks_two_sample_hand_computed(spark):
+    """a=[1,2,3], b=[3,4]: ECDFs cross maximally after v=2 —
+    D = |2/3 - 0| = 2/3."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 3.0), ("b", 4.0)],
+        "g string, v double",
+    )
+    r = stats.ks_two_sample(df, "g", "v", "a", "b").first()
+    assert (r.n_a, r.n_b) == (3, 2)
+    assert r.d_stat == round(2 / 3, 6)
+
+
+def test_ks_identical_distributions_zero(spark):
+    df = spark.createDataFrame(
+        [("a", float(i % 5)) for i in range(50)]
+        + [("b", float(i % 5)) for i in range(50)],
+        "g string, v double",
+    )
+    r = stats.ks_two_sample(df, "g", "v", "a", "b").first()
+    assert r.d_stat == 0.0 and r.p_approx == 1.0
+
+
+def test_ks_matches_scipy_formula(spark):
+    """D vs a direct numpy ECDF sup-norm on random data."""
+    rng = np.random.default_rng(5)
+    a = rng.normal(0, 1, 300).round(3)
+    b = rng.normal(0.5, 1, 200).round(3)
+    rows = [("a", float(x)) for x in a] + [("b", float(x)) for x in b]
+    df = spark.createDataFrame(rows, "g string, v double")
+    grid = np.unique(np.concatenate([a, b]))
+    d_np = np.max(
+        np.abs(
+            np.searchsorted(np.sort(a), grid, side="right") / len(a)
+            - np.searchsorted(np.sort(b), grid, side="right") / len(b)
+        )
+    )
+    r = stats.ks_two_sample(df, "g", "v", "a", "b").first()
+    # d_stat is rounded to 6 dp — compare within the rounding quantum
+    assert abs(r.d_stat - d_np) <= 5e-7
+
+
+def test_chi2_independent_table_zero(spark):
+    """A perfectly proportional contingency table has chi2 = 0."""
+    rows = []
+    for a, n_a in (("x", 2), ("y", 3)):
+        for b, n_b in (("p", 4), ("q", 6)):
+            rows += [(a, b)] * (n_a * n_b)
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square_independence(df, "a", "b").first()
+    assert r.chi2 == 0.0 and r.dof == 1 and r.n == 50
+
+
+def test_chi2_hand_computed_2x2(spark):
+    """[[10, 20], [20, 10]]: all expected = 15, chi2 = 4*(25/15) = 20/3."""
+    rows = (
+        [("x", "p")] * 10 + [("x", "q")] * 20
+        + [("y", "p")] * 20 + [("y", "q")] * 10
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square_independence(df, "a", "b").first()
+    assert r.chi2 == round(20 / 3, 6)
+    assert r.z_score > 2.0  # significant at any conventional level
+
+
+def test_kappa_perfect_and_chance(spark):
+    same = spark.createDataFrame(
+        [("x", "x")] * 30 + [("y", "y")] * 20, "a string, b string"
+    )
+    r = stats.cohens_kappa(same, "a", "b").first()
+    assert r.po == 1.0 and r.kappa == 1.0
+    # independent raters with 50/50 marginals: po = 0.5 = pe -> kappa 0
+    indep = spark.createDataFrame(
+        [("x", "x")] * 25 + [("x", "y")] * 25
+        + [("y", "x")] * 25 + [("y", "y")] * 25,
+        "a string, b string",
+    )
+    r = stats.cohens_kappa(indep, "a", "b").first()
+    assert r.pe == 0.5 and r.kappa == 0.0
+
+
+def test_kappa_hand_computed(spark):
+    """Classic 2x2: agree 20+15, disagree 5+10 (n=50):
+    po = 0.7, pe = (25*30 + 25*20)/2500 = 0.5, kappa = 0.4."""
+    rows = (
+        [("x", "x")] * 20 + [("x", "y")] * 5
+        + [("y", "x")] * 10 + [("y", "y")] * 15
+    )
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.cohens_kappa(df, "a", "b").first()
+    assert (r.po, r.pe, r.kappa) == (0.7, 0.5, 0.4)
+
+
+def test_kappa_constant_raters_null(spark):
+    """Both raters constant: pe = 1, kappa undefined -> NULL."""
+    df = spark.createDataFrame([("x", "x")] * 10, "a string, b string")
+    r = stats.cohens_kappa(df, "a", "b").first()
+    assert r.pe == 1.0 and r.kappa is None
