@@ -55,6 +55,8 @@ QUERIES: dict[str, tuple] = {
     "stat_ks": (q_stat_ks, SQL_STAT_KS),
     "stat_chi2": (q_stat_chi2, SQL_STAT_CHI2),
     "stat_kappa": (q_stat_kappa, SQL_STAT_KAPPA),
+    "filt_sample_exact_k": (q_filt_sample_exact_k, SQL_FILT_SAMPLE_EXACT_K),
+    "agg_winsorize": (q_agg_winsorize, SQL_AGG_WINSORIZE),
     # --- changed this round: re-certify first -----------------------
     "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
     "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
@@ -102,10 +104,9 @@ QUERIES: dict[str, tuple] = {
     "set_except": (q_set_except, SQL_SET_EXCEPT),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
     "text_lang": (q_text_lang, SQL_TEXT_LANG),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    # --- oldest r3-green fill ---------------------------------------
-    "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
     # ------------------- slot 51+: r3/r4-green evidence stands ------
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
     "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),

@@ -679,3 +679,37 @@ def corr_matrix(
     return one.select(stacked.alias("__p"), F.col("__n").alias("n")).select(
         "__p.col_a", "__p.col_b", "__p.corr", "n"
     )
+
+
+def winsorize(
+    df: DataFrame,
+    keys: Sequence[str],
+    value: str,
+    lower: float = 0.05,
+    upper: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group winsorization: clamp ``value`` to its group's
+    [lower, upper] exact percentiles — the standard heavy-tail taming
+    pass before metric aggregation (cap, don't drop: outlier rows keep
+    their other columns). Returns the input rows plus
+    (lo_cap, hi_cap, value_winsorized).
+
+    Shape: one exact-percentile aggregate per group (partial-agg
+    percentile, 2 doubles per group on the shuffle) joined back
+    co-partitioned on the grouping key — the same two-pass plan as
+    `grouped_mad`/`robust_outliers`; the corpus never sorts globally."""
+    keys = list(keys)
+    v = F.col(value).cast("double")
+    caps = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(float(lower))).alias("lo_cap"),
+        F.percentile(v, F.lit(float(upper))).alias("hi_cap"),
+    )
+    out = df.join(caps, keys)
+    wz = F.least(F.greatest(v, F.col("lo_cap")), F.col("hi_cap"))
+    return out.select(
+        *df.columns,
+        F.round("lo_cap", round_to).alias("lo_cap"),
+        F.round("hi_cap", round_to).alias("hi_cap"),
+        F.round(wz, round_to).alias("value_winsorized"),
+    )

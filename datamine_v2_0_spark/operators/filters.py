@@ -279,3 +279,42 @@ def weighted_mix(
         float(default_rate)
     )
     return df.filter(u < rate)
+
+
+def stratified_sample_exact_k(
+    df: DataFrame,
+    strata: Sequence[str],
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Exactly min(k, n_s) rows per stratum, deterministically: rank
+    rows inside each stratum by a seeded portable hash of their id and
+    keep the k smallest. Unlike fraction sampling (`weighted_mix`,
+    `random_sample`) the per-stratum count is EXACT — the eval-set /
+    demonstration-set construction where "about k" isn't acceptable.
+
+    Stable under corpus growth in distribution (a new row displaces one
+    prior pick at most), reproducible on any engine via the same hash.
+    One hash exchange on the strata key + per-stratum top-k window —
+    never a global sort; k rows per stratum bound the window's heap.
+
+    Two multiplicative rounds, not one: a single Knuth round only ADDS
+    the seed, so seed and seed+1 shift every hash by 1 and select an
+    almost identical sample — the second round makes the rank order
+    seed-sensitive. Both rounds are overflow-free under ANSI (operands
+    reduced below 2^30/2^32 before each multiply)."""
+    from pyspark.sql import Window
+
+    h1 = _portable_hash(F.col(id_col), seed)
+    h = F.pmod(
+        F.pmod(h1, F.lit(1000000007)) * F.lit(2654435761) + F.lit(seed),
+        F.lit(4294967296),
+    )
+    w = Window.partitionBy(*strata).orderBy(F.col("__h").asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__rn")
+    )

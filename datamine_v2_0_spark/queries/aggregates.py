@@ -820,3 +820,32 @@ SELECT CAST(n AS BIGINT) AS n,
          AS kappa
 FROM s CROSS JOIN pe
 """
+
+
+def q_agg_winsorize(spark, sf_dir):
+    """Per-priority winsorization of order totals: exact [p05, p95]
+    caps joined back co-partitioned (operators/aggregates.winsorize)."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    out = agg.winsorize(
+        o, ["o_orderpriority"], "o_totalprice", 0.05, 0.95, round_to=4
+    )
+    return out.select(
+        "o_orderkey", "o_orderpriority", "lo_cap", "hi_cap",
+        "value_winsorized",
+    )
+
+SQL_AGG_WINSORIZE = """
+WITH caps AS (
+  SELECT o_orderpriority,
+         QUANTILE_CONT(o_totalprice, 0.05) AS lo,
+         QUANTILE_CONT(o_totalprice, 0.95) AS hi
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT o.o_orderkey, o.o_orderpriority,
+       ROUND(caps.lo, 4) AS lo_cap, ROUND(caps.hi, 4) AS hi_cap,
+       ROUND(LEAST(GREATEST(o.o_totalprice, caps.lo), caps.hi), 4)
+         AS value_winsorized
+FROM orders o JOIN caps USING (o_orderpriority)
+"""

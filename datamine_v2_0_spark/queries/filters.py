@@ -247,3 +247,30 @@ FROM documents d JOIN rates r USING (lang)
 WHERE (((d.doc_id % 1000000007) * 2654435761 + 0) % 4294967296)
       / 4294967296.0 < r.mix_rate
 """
+
+
+def q_filt_sample_exact_k(spark, sf_dir):
+    """Exactly-k-per-stratum deterministic sampling: seeded portable
+    hash rank inside each language stratum, k smallest kept
+    (operators/filters.stratified_sample_exact_k)."""
+    df = _t(spark, sf_dir, "documents")
+    return flt.stratified_sample_exact_k(
+        df, ["lang"], "doc_id", k=20, seed=7
+    ).select("doc_id", "lang")
+
+SQL_FILT_SAMPLE_EXACT_K = """
+WITH h1 AS (
+  SELECT doc_id, lang,
+         ((doc_id % 1000000007) * 2654435761 + 7) % 4294967296 AS hh1
+  FROM documents
+), h AS (
+  SELECT doc_id, lang,
+         ((hh1 % 1000000007) * 2654435761 + 7) % 4294967296 AS hh
+  FROM h1
+), r AS (
+  SELECT doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY lang ORDER BY hh, doc_id) AS rn
+  FROM h
+)
+SELECT doc_id, lang FROM r WHERE rn <= 20
+"""

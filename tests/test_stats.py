@@ -268,3 +268,38 @@ def test_kappa_constant_raters_null(spark):
     df = spark.createDataFrame([("x", "x")] * 10, "a string, b string")
     r = stats.cohens_kappa(df, "a", "b").first()
     assert r.pe == 1.0 and r.kappa is None
+
+
+def test_stratified_sample_exact_k_counts_and_determinism(spark, sf_dir):
+    from datamine_v2_0_spark.operators import filters as flt
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    full = {r[0]: r[1] for r in docs.groupBy("lang").count().collect()}
+    got = flt.stratified_sample_exact_k(docs, ["lang"], "doc_id", k=10, seed=3)
+    counts = {r[0]: r[1] for r in got.groupBy("lang").count().collect()}
+    assert counts == {k: min(10, v) for k, v in full.items()}
+    again = flt.stratified_sample_exact_k(docs, ["lang"], "doc_id", k=10, seed=3)
+    assert sorted(r[0] for r in got.select("doc_id").collect()) == sorted(
+        r[0] for r in again.select("doc_id").collect()
+    )
+    other = flt.stratified_sample_exact_k(docs, ["lang"], "doc_id", k=10, seed=4)
+    assert sorted(r[0] for r in got.select("doc_id").collect()) != sorted(
+        r[0] for r in other.select("doc_id").collect()
+    )
+
+
+def test_winsorize_caps_and_preserves_rows(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("g", float(v)) for v in range(1, 101)] + [("g", 1e9)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = agg.winsorize(df, ["k"], "v", 0.05, 0.95).collect()
+    assert len(out) == 101
+    ws = [r.value_winsorized for r in out]
+    lo, hi = out[0].lo_cap, out[0].hi_cap
+    assert min(ws) == lo and max(ws) == hi
+    # the 1e9 outlier is capped, not dropped
+    assert hi < 1e9
+    # interior values untouched
+    mid = [r for r in out if lo < r.v < hi]
+    assert all(r.value_winsorized == r.v for r in mid)
