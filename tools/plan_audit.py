@@ -52,6 +52,10 @@ BNLJ_OK = {
     "agg_heavy_hitters": 1,
     # 1-row corpus (N, V) totals fold into the per-bigram probabilities
     "text_lm_bigram": 1,
+    # 1-row (na, nb) totals fold into the ECDF normalization
+    "stat_ks": 1,
+    # 1-row chance-agreement numerator folds into the kappa computation
+    "stat_kappa": 1,
 }
 # the exact-ANN baseline is an intentional documented cross join
 CARTESIAN_OK = {"sim_cosine_topk"}
