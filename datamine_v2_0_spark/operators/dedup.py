@@ -591,6 +591,7 @@ def connected_components(
     id_b: str = "id_b",
     max_iterations: int = 25,
     checkpoint: bool = True,
+    steps_per_check: int = 2,
 ) -> DataFrame:
     """Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
     returns (node, comp) where comp is the minimum node id reachable
@@ -622,11 +623,16 @@ def connected_components(
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    changed = 0
-    for _ in range(max_iterations):
+    # Batch ``steps_per_check`` propagation hops between convergence
+    # checks: the eager checkpoint + changed-count are fixed-overhead
+    # JOBS per cycle, while an extra in-lineage hop is just one more
+    # join+groupBy in the same job — for the typical diameter-2-4
+    # near-dup graph this halves the job count without changing the
+    # fixpoint (a block that changes nothing proves convergence).
+    def hop(lab: DataFrame) -> DataFrame:
         nbr_min = (
             edges.join(
-                labels.select(
+                lab.select(
                     F.col("node").alias("dst"), F.col("comp").alias("dcomp")
                 ),
                 "dst",
@@ -634,15 +640,26 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("dcomp").alias("nbr_min"))
         )
-        stepped = labels.join(
-            nbr_min, labels["node"] == nbr_min["src"], "left"
+        return lab.join(
+            nbr_min, lab["node"] == nbr_min["src"], "left"
         ).select(
-            F.col("node"),
-            F.col("comp").alias("old_comp"),
+            lab["node"],
             F.least(
-                F.col("comp"), F.coalesce(F.col("nbr_min"), F.col("comp"))
+                lab["comp"], F.coalesce(F.col("nbr_min"), lab["comp"])
             ).alias("comp"),
+            *([F.col("old_comp")] if "old_comp" in lab.columns else []),
         )
+
+    changed = 0
+    steps_done = 0
+    while steps_done < max_iterations:
+        block = min(max(1, steps_per_check), max_iterations - steps_done)
+        stepped = labels.select(
+            "node", "comp", F.col("comp").alias("old_comp")
+        )
+        for _ in range(block):
+            stepped = hop(stepped)
+            steps_done += 1
         if checkpoint:
             stepped = stepped.localCheckpoint(eager=True)
         changed = stepped.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
