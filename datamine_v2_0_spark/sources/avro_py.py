@@ -1,0 +1,347 @@
+"""Pure-Python Avro Object Container File (OCF) fallback IO.
+
+The native ``spark-avro`` datasource is a separate artifact and is the
+scale path (predicate-free row format, but JVM-decoded and splittable by
+block). When the jar is absent — as in this container — this module
+provides a self-contained encoder/decoder for the OCF format per the
+public Avro 1.11 specification (https://avro.apache.org/docs/): magic
+``Obj\\x01``, metadata map (``avro.schema`` JSON + ``avro.codec``),
+16-byte sync marker, then blocks of ``(count, byte-size, data, sync)``
+with zigzag-varint longs; ``null`` and ``deflate`` (raw zlib) codecs.
+
+Supported logical surface: flat records of Avro primitives
+(boolean/int/long/float/double/string/bytes) with nullable fields as
+``["null", T]`` unions — the interchange shape telemetry/labeling
+exports actually use. Nested records/arrays/maps raise with a clear
+message (use the native datasource for those).
+
+Scale shape: the WRITER emits one OCF file per input partition from the
+executors (mapInPandas — no driver collect); the READER lists files,
+reads the schema from one header driver-side, then decodes whole files
+in parallel via mapInPandas over the file list. Whole-file decode is the
+right granularity for interchange files (they are written per-partition
+and bounded); the native datasource remains the choice for monolithic
+multi-GB Avro. Local/shared filesystem only (executors open paths
+directly), which matches local[*] and any cluster with a shared mount.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import struct
+import uuid
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_MAGIC = b"Obj\x01"
+
+_SPARK_TO_AVRO = {
+    T.BooleanType: "boolean",
+    T.IntegerType: "int",
+    T.LongType: "long",
+    T.FloatType: "float",
+    T.DoubleType: "double",
+    T.StringType: "string",
+    T.BinaryType: "bytes",
+}
+_AVRO_TO_SPARK = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "string": "string",
+    "bytes": "binary",
+}
+
+
+# ---------------------------------------------------------------- varints
+def _write_long(out: bytearray, n: int) -> None:
+    u = ((n << 1) ^ (n >> 63)) & 0xFFFFFFFFFFFFFFFF
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return
+
+
+def _read_long(buf: io.BytesIO) -> int:
+    shift, acc = 0, 0
+    while True:
+        c = buf.read(1)
+        if not c:
+            raise EOFError("truncated varint")
+        b = c[0]
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            break
+        shift += 7
+    return (acc >> 1) ^ -(acc & 1)
+
+
+# ---------------------------------------------------------------- schema
+def spark_schema_to_avro(schema: T.StructType, name: str = "row") -> dict:
+    fields = []
+    for f in schema.fields:
+        base = _SPARK_TO_AVRO.get(type(f.dataType))
+        if base is None:
+            raise ValueError(
+                f"field '{f.name}': {f.dataType.simpleString()} is outside "
+                "the flat-primitive surface of the pure-Python Avro "
+                "fallback; use the native spark-avro datasource"
+            )
+        fields.append(
+            {"name": f.name, "type": ["null", base] if f.nullable else base}
+        )
+    return {"type": "record", "name": name, "fields": fields}
+
+
+def avro_schema_to_spark(avsc: dict) -> T.StructType:
+    if avsc.get("type") != "record":
+        raise ValueError("top-level Avro schema must be a record")
+    out = []
+    for f in avsc["fields"]:
+        t = f["type"]
+        nullable = isinstance(t, list)
+        if nullable:
+            nn = [x for x in t if x != "null"]
+            if len(nn) != 1:
+                raise ValueError(f"field '{f['name']}': only [null, T] unions")
+            t = nn[0]
+        if t not in _AVRO_TO_SPARK:
+            raise ValueError(f"field '{f['name']}': unsupported type {t!r}")
+        out.append(f"{f['name']}: {_AVRO_TO_SPARK[t]}")
+    return T.StructType.fromDDL(", ".join(out))
+
+
+# ---------------------------------------------------------------- datums
+def _encode_datum(out: bytearray, v, typ, nullable: bool) -> None:
+    if nullable:
+        if v is None or (isinstance(v, float) and v != v and typ in ("int", "long")):
+            _write_long(out, 0)
+            return
+        _write_long(out, 1)
+    if typ == "boolean":
+        out.append(1 if v else 0)
+    elif typ in ("int", "long"):
+        _write_long(out, int(v))
+    elif typ == "float":
+        out += struct.pack("<f", float(v))
+    elif typ == "double":
+        out += struct.pack("<d", float(v))
+    elif typ == "string":
+        b = str(v).encode("utf-8")
+        _write_long(out, len(b))
+        out += b
+    elif typ == "bytes":
+        b = bytes(v)
+        _write_long(out, len(b))
+        out += b
+    else:  # pragma: no cover - schema gate upstream
+        raise ValueError(f"unsupported type {typ!r}")
+
+
+def _decode_datum(buf: io.BytesIO, typ, nullable: bool):
+    if nullable:
+        if _read_long(buf) == 0:
+            return None
+    if typ == "boolean":
+        return buf.read(1)[0] == 1
+    if typ in ("int", "long"):
+        return _read_long(buf)
+    if typ == "float":
+        return struct.unpack("<f", buf.read(4))[0]
+    if typ == "double":
+        return struct.unpack("<d", buf.read(8))[0]
+    if typ == "string":
+        return buf.read(_read_long(buf)).decode("utf-8")
+    if typ == "bytes":
+        return buf.read(_read_long(buf))
+    raise ValueError(f"unsupported type {typ!r}")  # pragma: no cover
+
+
+def _field_plan(avsc: dict) -> list[tuple[str, str, bool]]:
+    plan = []
+    for f in avsc["fields"]:
+        t = f["type"]
+        nullable = isinstance(t, list)
+        if nullable:
+            t = [x for x in t if x != "null"][0]
+        plan.append((f["name"], t, nullable))
+    return plan
+
+
+# ---------------------------------------------------------------- writer
+def _write_header(fh, avsc: dict, codec: str, sync: bytes) -> None:
+    out = bytearray(_MAGIC)
+    meta = {
+        "avro.schema": json.dumps(avsc).encode(),
+        "avro.codec": codec.encode(),
+    }
+    _write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        _write_long(out, len(kb))
+        out += kb
+        _write_long(out, len(v))
+        out += v
+    _write_long(out, 0)
+    out += sync
+    fh.write(out)
+
+
+def _write_block(fh, records: bytearray, count: int, codec: str, sync: bytes) -> None:
+    data = bytes(records)
+    if codec == "deflate":
+        co = zlib.compressobj(9, zlib.DEFLATED, -15)
+        data = co.compress(data) + co.flush()
+    head = bytearray()
+    _write_long(head, count)
+    _write_long(head, len(data))
+    fh.write(head)
+    fh.write(data)
+    fh.write(sync)
+
+
+def write_avro_py(
+    df: DataFrame,
+    path: str,
+    codec: str = "deflate",
+    records_per_block: int = 4096,
+) -> list[tuple[str, int]]:
+    """Write ``df`` as a directory of Avro OCF files, one per input
+    partition, encoded on the EXECUTORS (no driver collect). Returns
+    [(file, n_records), ...]. ``codec``: 'null' or 'deflate'."""
+    if codec not in ("null", "deflate"):
+        raise ValueError("codec must be 'null' or 'deflate'")
+    avsc = spark_schema_to_avro(df.schema)
+    plan = _field_plan(avsc)
+    os.makedirs(path, exist_ok=True)
+
+    def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        fh = None
+        sync = uuid.uuid4().bytes
+        buf, in_buf, total = bytearray(), 0, 0
+        for pdf in it:
+            if not len(pdf):
+                continue
+            if fh is None:
+                fh = open(fname, "wb")
+                _write_header(fh, avsc, codec, sync)
+            cols = [pdf[name].tolist() for name, _, _ in plan]
+            for row in zip(*cols):
+                for (name, typ, nullable), v in zip(plan, row):
+                    if v is not None and v != v and typ not in (
+                        "float", "double", "string", "bytes", "boolean"
+                    ):
+                        v = None  # pandas NaN in an int column
+                    _encode_datum(buf, v, typ, nullable)
+                in_buf += 1
+                total += 1
+                if in_buf >= records_per_block:
+                    _write_block(fh, buf, in_buf, codec, sync)
+                    buf, in_buf = bytearray(), 0
+        if fh is not None:
+            if in_buf:
+                _write_block(fh, buf, in_buf, codec, sync)
+            fh.close()
+            yield pd.DataFrame({"file": [fname], "n_records": [total]})
+
+    out = df.mapInPandas(gen, "file string, n_records long").collect()
+    return [(r["file"], r["n_records"]) for r in out]
+
+
+# ---------------------------------------------------------------- reader
+def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
+    if buf.read(4) != _MAGIC:
+        raise ValueError("not an Avro object container file")
+    meta = {}
+    while True:
+        n = _read_long(buf)
+        if n == 0:
+            break
+        for _ in range(abs(n)):
+            k = buf.read(_read_long(buf)).decode()
+            v = buf.read(_read_long(buf))
+            meta[k] = v
+    sync = buf.read(16)
+    avsc = json.loads(meta["avro.schema"])
+    codec = meta.get("avro.codec", b"null").decode()
+    return avsc, codec, sync
+
+
+def _decode_file(content: bytes) -> tuple[dict, list[tuple]]:
+    buf = io.BytesIO(content)
+    avsc, codec, sync = _read_header(buf)
+    plan = _field_plan(avsc)
+    rows: list[tuple] = []
+    while True:
+        probe = buf.read(1)
+        if not probe:
+            break
+        buf.seek(-1, io.SEEK_CUR)
+        count = _read_long(buf)
+        size = _read_long(buf)
+        data = buf.read(size)
+        if codec == "deflate":
+            data = zlib.decompress(data, -15)
+        elif codec != "null":
+            raise ValueError(f"unsupported codec {codec!r}")
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch (corrupt block)")
+        dbuf = io.BytesIO(data)
+        for _ in range(count):
+            rows.append(
+                tuple(
+                    _decode_datum(dbuf, typ, nullable)
+                    for _, typ, nullable in plan
+                )
+            )
+    return avsc, rows
+
+
+def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
+    """Read a directory (or single file) of Avro OCF files written by
+    ``write_avro_py`` or any spec-compliant writer within the flat-
+    primitive surface. Schema comes from one header driver-side; files
+    decode in parallel (one mapInPandas task batch per file split)."""
+    if os.path.isdir(path):
+        files = sorted(
+            os.path.join(path, f)
+            for f in os.listdir(path)
+            if f.endswith(".avro")
+        )
+    else:
+        files = [path]
+    if not files:
+        raise FileNotFoundError(f"no .avro files under {path}")
+    with open(files[0], "rb") as fh:
+        avsc, _, _ = _read_header(io.BytesIO(fh.read(1 << 16)))
+    schema = avro_schema_to_spark(avsc)
+    plan = _field_plan(avsc)
+    names = [n for n, _, _ in plan]
+
+    flist = spark.createDataFrame([(f,) for f in files], "path string")
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            for p in pdf["path"]:
+                with open(p, "rb") as fh:
+                    _, rows = _decode_file(fh.read())
+                if rows:
+                    yield pd.DataFrame(rows, columns=names)
+
+    return flist.repartition(min(len(files), 32)).mapInPandas(
+        decode, schema=schema
+    )

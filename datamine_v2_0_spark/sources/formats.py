@@ -115,21 +115,48 @@ def avro_supported(spark: SparkSession) -> bool:
         return "Failed to find data source" not in str(e)
 
 
-def read_avro(spark: SparkSession, path: str) -> DataFrame:
-    """Avro source — raises a clear error when the datasource jar is
-    absent instead of Spark's opaque ClassNotFoundException."""
-    if not avro_supported(spark):
+def read_avro(
+    spark: SparkSession, path: str, allow_fallback: bool = True
+) -> DataFrame:
+    """Avro source: native spark-avro datasource when the jar is on the
+    classpath (the scale path — JVM decode, block-splittable), else the
+    pure-Python OCF fallback (`sources/avro_py.py`, flat-primitive
+    records decoded in parallel via mapInPandas)."""
+    if avro_supported(spark):
+        return spark.read.format("avro").load(path)
+    if not allow_fallback:
         raise RuntimeError(
             "spark-avro datasource not on the classpath; add the "
-            "org.apache.spark:spark-avro artifact to use Avro IO"
+            "org.apache.spark:spark-avro artifact or allow_fallback=True"
         )
-    return spark.read.format("avro").load(path)
+    from datamine_v2_0_spark.sources.avro_py import read_avro_py
+
+    return read_avro_py(spark, path)
 
 
-def write_avro(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    if not avro_supported(df.sparkSession):
+def write_avro(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    allow_fallback: bool = True,
+) -> None:
+    """Avro sink: native datasource when present, else the pure-Python
+    OCF writer (one deflate-coded container file per partition, encoded
+    on the executors)."""
+    if avro_supported(df.sparkSession):
+        df.write.mode(mode).format("avro").save(path)
+        return
+    if not allow_fallback:
         raise RuntimeError(
             "spark-avro datasource not on the classpath; add the "
-            "org.apache.spark:spark-avro artifact to use Avro IO"
+            "org.apache.spark:spark-avro artifact or allow_fallback=True"
         )
-    df.write.mode(mode).format("avro").save(path)
+    import shutil
+
+    from datamine_v2_0_spark.sources.avro_py import write_avro_py
+
+    if mode == "overwrite":
+        shutil.rmtree(path, ignore_errors=True)
+    elif mode != "append":
+        raise ValueError("fallback writer supports overwrite/append")
+    write_avro_py(df, path)

@@ -98,16 +98,99 @@ def test_binary_files_feed_multimodal_decode(spark, tmp_path):
 
 
 def test_avro_gate(spark, tmp_path):
+    """Roundtrip works on EVERY classpath: native datasource when the
+    jar is present, pure-Python OCF fallback otherwise; and the strict
+    allow_fallback=False mode still raises the clear jar error."""
+    from datamine_v2_0_spark.sources.formats import write_avro
+
     df = spark.range(3)
-    if avro_supported(spark):
-        from datamine_v2_0_spark.sources.formats import write_avro
-
-        write_avro(df, str(tmp_path / "avro"))
-        assert read_avro(spark, str(tmp_path / "avro")).count() == 3
-    else:
+    write_avro(df, str(tmp_path / "avro"))
+    assert read_avro(spark, str(tmp_path / "avro")).count() == 3
+    if not avro_supported(spark):
         with pytest.raises(RuntimeError, match="spark-avro"):
-            read_avro(spark, str(tmp_path / "avro"))
+            read_avro(
+                spark, str(tmp_path / "avro"), allow_fallback=False
+            )
         with pytest.raises(RuntimeError, match="spark-avro"):
-            from datamine_v2_0_spark.sources.formats import write_avro
+            write_avro(
+                spark.range(3),
+                str(tmp_path / "avro2"),
+                allow_fallback=False,
+            )
 
-            write_avro(spark.range(3), str(tmp_path / "avro"))
+
+def test_avro_py_roundtrip_all_primitives(spark, tmp_path):
+    """Pure-Python OCF fallback: write from executors, read back, full
+    value + schema parity including NULLs, bytes, and both codecs."""
+    import pandas as pd
+
+    from datamine_v2_0_spark.sources import avro_py as av
+
+    pdf = pd.DataFrame(
+        {
+            "i": pd.array([1, None, 3], dtype="Int64"),
+            "d": [1.5, float("nan"), -2.25],
+            "s": ["a", None, "ü€"],
+            "b": [b"\x00\xff", None, b""],
+            "f": [True, None, False],
+        }
+    )
+    df = spark.createDataFrame(
+        pdf, "i long, d double, s string, b binary, f boolean"
+    ).repartition(3)
+    for codec in ("null", "deflate"):
+        out = str(tmp_path / f"avro_{codec}")
+        files = av.write_avro_py(df, out, codec=codec)
+        assert sum(n for _, n in files) == 3
+        back = av.read_avro_py(spark, out)
+        assert back.schema == df.schema
+        got = sorted(
+            [tuple(r) for r in back.collect()],
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        want = sorted(
+            [tuple(r) for r in df.collect()],
+            key=lambda t: (t[0] is None, t[0]),
+        )
+        # NaN compares unequal to itself — compare elementwise
+        for g, w in zip(got, want):
+            for a, b in zip(g, w):
+                if isinstance(a, float) and a != a:
+                    assert isinstance(b, float) and b != b
+                else:
+                    assert a == b
+
+
+def test_avro_py_blocks_and_scale_shape(spark, tmp_path):
+    """Multi-block files (records_per_block < rows) and one file per
+    input partition."""
+    from datamine_v2_0_spark.sources import avro_py as av
+
+    df = spark.range(0, 10_000, 1, 4).selectExpr(
+        "id", "CAST(id % 7 AS DOUBLE) AS v", "CONCAT('r', id) AS s"
+    )
+    out = str(tmp_path / "avro_blocks")
+    files = av.write_avro_py(df, out, records_per_block=512)
+    assert len(files) == 4 and sum(n for _, n in files) == 10_000
+    back = av.read_avro_py(spark, out)
+    assert back.count() == 10_000
+    assert back.agg({"id": "sum"}).first()[0] == sum(range(10_000))
+
+
+def test_avro_formats_facade_falls_back(spark, tmp_path):
+    from datamine_v2_0_spark.sources import formats as fm
+
+    df = spark.range(0, 100).selectExpr("id", "CAST(id AS STRING) AS s")
+    out = str(tmp_path / "avro_facade")
+    fm.write_avro(df, out)
+    assert fm.read_avro(spark, out).count() == 100
+
+
+def test_avro_py_rejects_nested(spark):
+    from datamine_v2_0_spark.sources import avro_py as av
+
+    df = spark.range(3).selectExpr("id", "ARRAY(id) AS a")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="flat-primitive"):
+        av.spark_schema_to_avro(df.schema)
