@@ -151,6 +151,8 @@ def ivf_topk(
     nprobe: int = 3,
     seed: int = 42,
     round_to: int = 6,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
 ) -> DataFrame:
     """IVF ANN with a LEARNED coarse quantizer: KMeans cells partition
     the corpus, each query probes its ``nprobe`` nearest centroids, and
@@ -189,10 +191,24 @@ def ivf_topk(
         F.col(vec_col).alias("__cvec"),
         array_to_vector(unit).alias("__mlvec"),
     )
+    # the quantizer only needs cells GOOD ENOUGH to bucket the corpus —
+    # it never affects results at the certified nprobe=n_cells point and
+    # only shifts the recall/scan trade-off marginally below it, so cap
+    # the Lloyd iterations (MLlib defaults to 20) and optionally fit on
+    # a seeded sample instead of every vector
     km = KMeans(
-        k=n_cells, seed=seed, featuresCol="__mlvec", predictionCol="__cell"
+        k=n_cells,
+        seed=seed,
+        maxIter=max_iter,
+        featuresCol="__mlvec",
+        predictionCol="__cell",
     )
-    model = km.fit(va)
+    fit_input = (
+        va.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None
+        else va
+    )
+    model = km.fit(fit_input)
     cells = model.transform(va).select("neighbor_id", "__cvec", "__cell")
 
     C = np.array([np.asarray(c) for c in model.clusterCenters()])  # (n_cells, dim)
