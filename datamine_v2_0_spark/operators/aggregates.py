@@ -706,7 +706,12 @@ def winsorize(
         F.percentile(v, F.lit(float(upper))).alias("hi_cap"),
     )
     out = df.join(caps, keys)
-    wz = F.least(F.greatest(v, F.col("lo_cap")), F.col("hi_cap"))
+    # greatest/least SKIP null arguments, which would fabricate lo_cap
+    # for missing measurements — cap, don't invent: NULL stays NULL
+    wz = F.when(
+        v.isNotNull(),
+        F.least(F.greatest(v, F.col("lo_cap")), F.col("hi_cap")),
+    )
     return out.select(
         *df.columns,
         F.round("lo_cap", round_to).alias("lo_cap"),

@@ -169,10 +169,11 @@ def semantic_neardup_pairs(
     base_verify = _bucket_cosine_verify(threshold)
 
     def _verify(pdf):
-        # .copy() so the in-place insert can never touch a frame shared
-        # with another group in the same Arrow task (singleton clusters
-        # are routine at realistic n_clusters)
-        out = base_verify(pdf).copy()
+        # base_verify returns a FRESH frame for every group (including
+        # the degenerate empty case — see _bucket_cosine_verify), so the
+        # in-place insert below can never touch a frame shared with
+        # another group in the same Arrow task
+        out = base_verify(pdf)
         out.insert(0, "cluster_id", pdf["cluster_id"].iloc[0] if len(out) else [])
         return out
 
@@ -271,12 +272,14 @@ def decontaminate_by_embedding(
             for i in np.flatnonzero(hit):
                 # exact einsum recompute for the near-max candidates so
                 # emitted doubles are bit-identical to the oracle. The
-                # candidate margin must cover the ROUNDING quantum (the
-                # tie rule is "lowest eval_id at the round_to-dp rounded
-                # similarity"): an eval item that ties after rounding can
-                # sit up to half an ulp-of-rounding below the true max,
-                # far beyond the 1e-9 float-summation margin.
-                q = 0.5 * 10.0 ** (-round_to) + 1e-9
+                # candidate margin must cover a FULL rounding quantum
+                # (the tie rule is "lowest eval_id at the round_to-dp
+                # ROUNDED similarity"): two values on opposite sides of
+                # a rounding boundary midpoint can round equal while
+                # sitting up to 10^-round_to apart (e.g. 0.40000049 and
+                # 0.39999951 both round to 0.400000), far beyond the
+                # 1e-9 float-summation margin.
+                q = 10.0 ** (-round_to) + 1e-9
                 cand = np.flatnonzero(S[i] >= rowmax[i] - q)
                 num = np.einsum("j,ij->i", V[i], E[cand])
                 den = np.sqrt(np.einsum("j,j->", V[i], V[i])) * np.sqrt(

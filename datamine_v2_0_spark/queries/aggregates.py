@@ -783,7 +783,9 @@ def q_stat_kappa(spark, sf_dir):
     (operators/stats.cohens_kappa)."""
     from datamine_v2_0_spark.operators import stats
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull()  # the oracle's WHERE text IS NOT NULL
+    )
     labeled = docs.select(
         F.when(F.length("text") >= 200, F.lit("long"))
         .otherwise(F.lit("short"))
@@ -845,7 +847,8 @@ WITH caps AS (
 )
 SELECT o.o_orderkey, o.o_orderpriority,
        ROUND(caps.lo, 4) AS lo_cap, ROUND(caps.hi, 4) AS hi_cap,
-       ROUND(LEAST(GREATEST(o.o_totalprice, caps.lo), caps.hi), 4)
-         AS value_winsorized
+       ROUND(CASE WHEN o.o_totalprice IS NOT NULL
+                  THEN LEAST(GREATEST(o.o_totalprice, caps.lo), caps.hi)
+             END, 4) AS value_winsorized
 FROM orders o JOIN caps USING (o_orderpriority)
 """

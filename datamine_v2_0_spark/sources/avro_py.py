@@ -228,8 +228,25 @@ def write_avro_py(
     plan = _field_plan(avsc)
     os.makedirs(path, exist_ok=True)
 
+    # Arrow->pandas converts a nullable int/long column WITH a null in
+    # the batch to float64, silently rounding ids above 2^53 before the
+    # encoder ever sees them (the same hazard heavy_hitters guards) —
+    # transport those columns as strings and re-parse in the kernel,
+    # which is lossless at any magnitude. NOTE: a NULL in a nullable
+    # double column still arrives as NaN (indistinguishable in float64)
+    # and is encoded as NaN — document-level Arrow limitation.
+    from pyspark.sql import functions as F
+
+    transport = df
+    str_carried = set()
+    for name, typ, nullable in plan:
+        if nullable and typ in ("int", "long"):
+            transport = transport.withColumn(name, F.col(name).cast("string"))
+            str_carried.add(name)
+
     def gen(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         fname = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        tmp = os.path.join(path, f".{os.path.basename(fname)}.tmp")
         fh = None
         sync = uuid.uuid4().bytes
         buf, in_buf, total = bytearray(), 0, 0
@@ -237,15 +254,15 @@ def write_avro_py(
             if not len(pdf):
                 continue
             if fh is None:
-                fh = open(fname, "wb")
+                fh = open(tmp, "wb")
                 _write_header(fh, avsc, codec, sync)
             cols = [pdf[name].tolist() for name, _, _ in plan]
             for row in zip(*cols):
                 for (name, typ, nullable), v in zip(plan, row):
-                    if v is not None and v != v and typ not in (
-                        "float", "double", "string", "bytes", "boolean"
+                    if v is not None and isinstance(v, float) and v != v and (
+                        typ in ("int", "long") or name in str_carried
                     ):
-                        v = None  # pandas NaN in an int column
+                        v = None  # pandas NaN standing in for NULL
                     _encode_datum(buf, v, typ, nullable)
                 in_buf += 1
                 total += 1
@@ -256,10 +273,25 @@ def write_avro_py(
             if in_buf:
                 _write_block(fh, buf, in_buf, codec, sync)
             fh.close()
+            # publish atomically so a half-written attempt is never
+            # visible to the reader (which lists only *.avro). A task
+            # attempt that dies BEFORE this rename leaves only a .tmp;
+            # one that dies after is the normal task-retry residual risk
+            # — use the native datasource's commit protocol on clusters
+            # with speculative execution.
+            os.rename(tmp, fname)
             yield pd.DataFrame({"file": [fname], "n_records": [total]})
 
-    out = df.mapInPandas(gen, "file string, n_records long").collect()
-    return [(r["file"], r["n_records"]) for r in out]
+    out = transport.mapInPandas(gen, "file string, n_records long").collect()
+    files = [(r["file"], r["n_records"]) for r in out]
+    if not files:
+        # an empty DataFrame must still produce a READABLE dataset
+        # (schema-bearing header, zero blocks) — the native writer does
+        empty_name = os.path.join(path, f"part-{uuid.uuid4().hex}.avro")
+        with open(empty_name, "wb") as fh:
+            _write_header(fh, avsc, codec, uuid.uuid4().bytes)
+        files = [(empty_name, 0)]
+    return files
 
 
 # ---------------------------------------------------------------- reader
@@ -271,7 +303,12 @@ def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
         n = _read_long(buf)
         if n == 0:
             break
-        for _ in range(abs(n)):
+        if n < 0:
+            # spec: a negative block count is followed by the block's
+            # byte size (for skipping); consume it before the items
+            _read_long(buf)
+            n = -n
+        for _ in range(n):
             k = buf.read(_read_long(buf)).decode()
             v = buf.read(_read_long(buf))
             meta[k] = v
@@ -339,8 +376,21 @@ def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
             for p in pdf["path"]:
                 with open(p, "rb") as fh:
                     _, rows = _decode_file(fh.read())
-                if rows:
-                    yield pd.DataFrame(rows, columns=names)
+                if not rows:
+                    continue
+                # typed nullable columns, NOT an object frame: pandas
+                # object ints with a None go through float64 on the
+                # Arrow boundary and round ids above 2^53
+                cols = list(zip(*rows))
+                data = {}
+                for (name, typ, _n), vals in zip(plan, cols):
+                    if typ in ("int", "long"):
+                        data[name] = pd.array(vals, dtype="Int64")
+                    elif typ == "boolean":
+                        data[name] = pd.array(vals, dtype="boolean")
+                    else:
+                        data[name] = pd.Series(vals, dtype="object")
+                yield pd.DataFrame(data)
 
     return flist.repartition(min(len(files), 32)).mapInPandas(
         decode, schema=schema

@@ -194,3 +194,60 @@ def test_avro_py_rejects_nested(spark):
 
     with _pt.raises(ValueError, match="flat-primitive"):
         av.spark_schema_to_avro(df.schema)
+
+
+def test_avro_py_big_int_ids_with_nulls_lossless(spark, tmp_path):
+    """Regression: Arrow->pandas turns nullable long columns with a NULL
+    in the batch into float64, silently rounding ids above 2^53 — the
+    writer must transport them losslessly."""
+    from datamine_v2_0_spark.sources import avro_py as av
+
+    big = 9007199254740993  # 2^53 + 1: not representable in float64
+    df = spark.createDataFrame(
+        [(big,), (None,), (big + 2,)], "id long"
+    ).coalesce(1)
+    out = str(tmp_path / "avro_big")
+    av.write_avro_py(df, out)
+    got = sorted(
+        (r.id for r in av.read_avro_py(spark, out).collect()),
+        key=lambda x: (x is None, x),
+    )
+    assert got == [big, big + 2, None]
+
+
+def test_avro_py_empty_dataframe_roundtrip(spark, tmp_path):
+    """An empty write must still produce a readable, schema-bearing
+    dataset (and overwrite must not leave the directory unreadable)."""
+    from datamine_v2_0_spark.sources import avro_py as av
+    from datamine_v2_0_spark.sources import formats as fm
+
+    df = spark.range(10).selectExpr("id", "CAST(id AS STRING) AS s")
+    empty = df.filter("id < 0")
+    out = str(tmp_path / "avro_empty")
+    files = av.write_avro_py(empty, out)
+    assert files and files[0][1] == 0
+    back = av.read_avro_py(spark, out)
+    # reader surfaces everything nullable (like parquet readers);
+    # compare names + types
+    assert back.count() == 0
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in empty.schema.fields
+    ]
+    # facade overwrite with an empty frame keeps the dataset readable
+    out2 = str(tmp_path / "avro_ow")
+    fm.write_avro(df, out2)
+    fm.write_avro(empty, out2)  # overwrite with nothing
+    assert fm.read_avro(spark, out2).count() == 0
+
+
+def test_avro_py_null_double_becomes_nan_documented(spark, tmp_path):
+    """NULL in a nullable double column arrives at the kernel as NaN
+    (Arrow float64 limitation) and round-trips as NaN — documented."""
+    from datamine_v2_0_spark.sources import avro_py as av
+
+    df = spark.createDataFrame([(1.5,), (None,)], "d double").coalesce(1)
+    out = str(tmp_path / "avro_nan")
+    av.write_avro_py(df, out)
+    vals = [r.d for r in av.read_avro_py(spark, out).collect()]
+    assert [v for v in vals if v is not None and v == v] == [1.5]
+    assert sum(1 for v in vals if v is None or v != v) == 1

@@ -303,3 +303,15 @@ def test_winsorize_caps_and_preserves_rows(spark):
     # interior values untouched
     mid = [r for r in out if lo < r.v < hi]
     assert all(r.value_winsorized == r.v for r in mid)
+
+
+def test_winsorize_null_values_stay_null(spark):
+    """Regression: greatest/least skip NULL args, which fabricated
+    lo_cap for missing measurements."""
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("g", float(v)) for v in range(1, 21)] + [("g", None)]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = agg.winsorize(df, ["k"], "v", 0.05, 0.95).collect()
+    nulls = [r for r in out if r.v is None]
+    assert len(nulls) == 1 and nulls[0].value_winsorized is None
