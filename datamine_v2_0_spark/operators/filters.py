@@ -64,8 +64,11 @@ def deterministic_sample(df: DataFrame, key: str, modulus: int, keep: int = 0) -
     The reference samples with ``ORDER BY RANDOM() LIMIT n`` (EDA
     notebooks); for oracle-checkable and re-runnable pipelines a hash/mod
     sample is the right primitive at scale. For statistical sampling use
-    ``df.sample(fraction, seed)``."""
-    return df.filter((F.col(key) % modulus) == keep)
+    ``df.sample(fraction, seed)``. ``pmod``, not ``%``: Spark's `%`
+    follows the dividend's sign, so a negative key could never match a
+    positive ``keep`` and the whole negative-id population would be
+    silently excluded."""
+    return df.filter(F.pmod(F.col(key), F.lit(modulus)) == keep)
 
 
 def random_sample(df: DataFrame, fraction: float, seed: int = 42) -> DataFrame:
@@ -95,10 +98,7 @@ def sample_to_token_budget(
     Plan shape at scale: one window (sort within stratum partitions) —
     the same cost profile as any per-stratum ranking; no collect, no
     self-join. Returns the input rows plus cum_tokens."""
-    order = F.pmod(
-        F.pmod(F.col(id_col), F.lit(1000000007)) * F.lit(2654435761),
-        F.lit(4294967296),
-    )
+    order = _portable_hash(F.col(id_col), 0)
     from pyspark.sql import Window
 
     w = Window.partitionBy(stratum_col).orderBy(order.asc(), F.col(id_col))
@@ -109,7 +109,11 @@ def sample_to_token_budget(
 
 
 def balance_strata(
-    df: DataFrame, strata_col: str, order_col: str, cap: int | None = None
+    df: DataFrame,
+    strata_col: str,
+    order_col: str,
+    cap: int | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Downsample every stratum to the size of the SMALLEST stratum
     (optionally further capped) by keeping the first rows per stratum in
@@ -121,14 +125,22 @@ def balance_strata(
     membership is a row_number window per stratum. At scale the window
     sorts each stratum once — for heavily skewed strata where even one
     sort is too much, take a deterministic hash-mod pre-sample down to
-    ~cap first and rank that."""
+    ~cap first and rank that.
+
+    Determinism requires a total order per stratum: pass a unique
+    ``order_col``, or add ``tiebreak_col`` when order_col can repeat —
+    row_number over a non-unique order keeps an arbitrary, layout-
+    dependent subset on ties."""
     from pyspark.sql import Window
 
     counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("__c"))
     m = counts.agg(F.min("__c").alias("__m"))
     if cap is not None:
         m = m.select(F.least(F.col("__m"), F.lit(cap)).alias("__m"))
-    w = Window.partitionBy(strata_col).orderBy(order_col)
+    order = [F.col(order_col)] + (
+        [F.col(tiebreak_col)] if tiebreak_col else []
+    )
+    w = Window.partitionBy(strata_col).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .crossJoin(F.broadcast(m))
@@ -139,13 +151,23 @@ def balance_strata(
 
 def _portable_hash(id_col: Column, seed: int) -> Column:
     """Seeded Knuth multiplicative hash, portable to any SQL engine
-    (unlike xxhash64) and overflow-free under ANSI: the inner mod keeps
-    the product under 2^63 for any BIGINT id."""
-    return F.pmod(
-        F.pmod(id_col, F.lit(1000000007)) * F.lit(2654435761)
-        + F.lit(seed),
-        F.lit(4294967296),
-    )
+    (unlike xxhash64) and overflow-free under ANSI: each round's inner
+    mod keeps the product under 2^63 for any BIGINT id.
+
+    TWO multiplicative rounds: a single round only ADDS the seed, so
+    seed and seed+1 shift every hash by 1 and the induced ORDER (and
+    any threshold split) is nearly identical across seeds — splits,
+    shuffles and samples would not be independent per seed. The second
+    multiply makes the +1 shift avalanche."""
+
+    def _round(x: Column) -> Column:
+        return F.pmod(
+            F.pmod(x, F.lit(1000000007)) * F.lit(2654435761)
+            + F.lit(seed),
+            F.lit(4294967296),
+        )
+
+    return _round(_round(id_col))
 
 
 def shard_shuffle(
@@ -299,18 +321,11 @@ def stratified_sample_exact_k(
     One hash exchange on the strata key + per-stratum top-k window —
     never a global sort; k rows per stratum bound the window's heap.
 
-    Two multiplicative rounds, not one: a single Knuth round only ADDS
-    the seed, so seed and seed+1 shift every hash by 1 and select an
-    almost identical sample — the second round makes the rank order
-    seed-sensitive. Both rounds are overflow-free under ANSI (operands
-    reduced below 2^30/2^32 before each multiply)."""
+    Seed-sensitivity comes from `_portable_hash`'s two multiplicative
+    rounds (a single round only adds the seed and barely reorders)."""
     from pyspark.sql import Window
 
-    h1 = _portable_hash(F.col(id_col), seed)
-    h = F.pmod(
-        F.pmod(h1, F.lit(1000000007)) * F.lit(2654435761) + F.lit(seed),
-        F.lit(4294967296),
-    )
+    h = _portable_hash(F.col(id_col), seed)
     w = Window.partitionBy(*strata).orderBy(F.col("__h").asc(), F.col(id_col).asc())
     return (
         df.withColumn("__h", h)

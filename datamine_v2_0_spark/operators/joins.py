@@ -58,15 +58,21 @@ def upsert(
     (``INSERT ... ON CONFLICT DO UPDATE`` parity,
     02_raw_telemetry_transform.py:345-365).
 
-    `order_col` breaks ties: the row with the greatest value wins."""
+    `order_col` breaks ties: the row with the greatest value wins; on
+    an EXACT order_col tie the update wins over the current row (the
+    ON CONFLICT DO UPDATE contract — without an explicit source
+    precedence the winner would depend on partition layout and a rerun
+    could keep the stale row)."""
     keys = [key] if isinstance(key, str) else list(key)
-    unioned = current.unionByName(updates, allowMissingColumns=True)
+    unioned = current.withColumn("__src", F.lit(0)).unionByName(
+        updates.withColumn("__src", F.lit(1)), allowMissingColumns=True
+    )
     oc = F.col(order_col) if isinstance(order_col, str) else order_col
-    w = Window.partitionBy(*keys).orderBy(F.desc(oc))
+    w = Window.partitionBy(*keys).orderBy(F.desc(oc), F.desc("__src"))
     return (
         unioned.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
-        .drop("__rn")
+        .drop("__rn", "__src")
     )
 
 
@@ -329,10 +335,15 @@ def lookup_join(
     default: str = "unknown",
 ) -> DataFrame:
     """Data-driven enum decode as a broadcast lookup join (the testable
-    alternative to a CASE chain, 02_raw_telemetry_transform.py:282-327)."""
+    alternative to a CASE chain, 02_raw_telemetry_transform.py:282-327).
+
+    Mapping keys are normalized with the SAME trim+lower applied to the
+    data column — a mixed-case mapping key would otherwise silently
+    never match and every such row would fall to the default."""
     spark = df.sparkSession
     lut = spark.createDataFrame(
-        [(k, v) for k, v in mapping.items()], schema=f"__k string, {out} string"
+        [(str(k).strip().lower(), v) for k, v in mapping.items()],
+        schema=f"__k string, {out} string",
     )
     norm = F.lower(F.trim(F.coalesce(F.col(col), F.lit(default))))
     return (
@@ -392,17 +403,26 @@ def bloom_prefilter_join(
         h2 = F.pmod(F.xxhash64(key, F.lit(1)), F.lit(m))
         return [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
 
-    pos_rows = right.select(
-        F.explode(F.array(*_positions(F.col(on)))).alias("__p")
-    ).distinct()
-    pos = np.fromiter(
-        (r["__p"] for r in pos_rows.collect()), dtype=np.int64
+    # pack bits into 64-bit words DISTRIBUTEDLY (groupBy word + bit_or)
+    # so the driver receives at most m/64 packed longs (2M rows at the
+    # 2^27 cap) — collecting raw distinct positions was bounded by the
+    # build side's key count, not by max_bits, and violated the 16 MB
+    # bounded-driver-state contract on large build sides
+    word_rows = (
+        right.select(
+            F.explode(F.array(*_positions(F.col(on)))).alias("__p")
+        )
+        .select(
+            F.expr("shiftright(__p, 6)").alias("__w"),
+            F.expr("shiftleft(1L, CAST(pmod(__p, 64) AS INT))").alias("__b"),
+        )
+        .groupBy("__w")
+        .agg(F.expr("bit_or(__b)").alias("__bits"))
+        .collect()
     )
     bitset = np.zeros((m + 63) // 64, dtype=np.uint64)
-    if len(pos):
-        np.bitwise_or.at(
-            bitset, pos // 64, np.uint64(1) << (pos % 64).astype(np.uint64)
-        )
+    for r in word_rows:
+        bitset[r["__w"]] = np.uint64(r["__bits"] & 0xFFFFFFFFFFFFFFFF)
 
     @pandas_udf("boolean")
     def _test(parr: pd.Series) -> pd.Series:

@@ -68,11 +68,20 @@ def rolling_corr(
     it. ``covar_pop / (stddev_pop * stddev_pop)`` equals sample corr
     (the n-1 factors cancel), every sub-aggregate is total, and
     ``try_divide`` turns the degenerate frames into NULL — matching SQL
-    engines' native corr semantics."""
+    engines' native corr semantics.
+
+    All three moments are restricted to PAIRWISE-COMPLETE rows (both
+    inputs non-null), exactly like native corr: covar_pop drops
+    incomplete pairs on its own, so computing the stddevs over all rows
+    would mix populations and can push the ratio outside [-1, 1]."""
     f = w.rowsBetween(-before, after)
-    cov = F.covar_pop(x, y).over(f)
-    sx = F.stddev_pop(x).over(f)
-    sy = F.stddev_pop(y).over(f)
+    xc = F.col(x) if isinstance(x, str) else x
+    yc = F.col(y) if isinstance(y, str) else y
+    both = xc.isNotNull() & yc.isNotNull()
+    xm, ym = F.when(both, xc), F.when(both, yc)
+    cov = F.covar_pop(xm, ym).over(f)
+    sx = F.stddev_pop(xm).over(f)
+    sy = F.stddev_pop(ym).over(f)
     return F.try_divide(cov, sx * sy)
 
 
@@ -109,11 +118,16 @@ def partition_agg(agg: Column, partition_by: Sequence[str | Column]) -> Column:
 # --- W6/W7: gaps-and-islands + running sums -----------------------------
 
 def change_flag(col: str | Column, w: WindowSpec) -> Column:
-    """W10: 1 where the value differs from the previous row (null-safe on
-    the first row of each partition)."""
+    """W10: 1 where the value differs from the previous row — null-SAFE
+    like `scd_type2`: `!=` returns NULL on a transition to/from a NULL
+    value (merging NULL runs into the prior block) while `prev.isNull()`
+    made every row after a NULL start a new block. row_number()==1 opens
+    each partition; eqNullSafe handles NULL values as ordinary states."""
     c = F.col(col) if isinstance(col, str) else col
     prev = F.lag(c, 1).over(w)
-    return F.when(prev.isNull() | (c != prev), F.lit(1)).otherwise(F.lit(0))
+    return F.when(F.row_number().over(w) == 1, F.lit(1)).otherwise(
+        (~prev.eqNullSafe(c)).cast("int")
+    )
 
 
 def block_id(col: str | Column, w: WindowSpec) -> Column:
@@ -266,7 +280,7 @@ def hampel_filter(
         .orderBy(*order)
         .rowsBetween(-half_window, half_window)
     )
-    med = F.expr(f"percentile({value_col}, 0.5)").over(w)
+    med = F.expr(f"percentile(`{value_col}`, 0.5)").over(w)
     out = df.withColumn("roll_med", med)
     # second pass over the SAME frame: rolling median of each row's
     # deviation from ITS OWN rolling median (the windowed-SQL Hampel

@@ -122,7 +122,8 @@ WITH t AS (
   SELECT doc_id, source, n_tokens,
          CAST(SUM(n_tokens) OVER (
              PARTITION BY source
-             ORDER BY (doc_id % 1000000007) * 2654435761 % 4294967296,
+             ORDER BY (((((doc_id % 1000000007) * 2654435761 % 4294967296)
+                          % 1000000007) * 2654435761) % 4294967296),
                       doc_id) AS BIGINT) AS cum_tokens
   FROM t
 )
@@ -164,7 +165,8 @@ def q_filt_shuffle_shards(spark, sf_dir):
 SQL_FILT_SHUFFLE_SHARDS = """
 WITH h AS (
   SELECT doc_id,
-         ((doc_id % 1000000007) * 2654435761 + 7) % 4294967296 AS hh
+         ((((((doc_id % 1000000007) * 2654435761 + 7) % 4294967296)
+             % 1000000007) * 2654435761 + 7) % 4294967296) AS hh
   FROM documents
 )
 SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
@@ -183,7 +185,8 @@ def q_filt_hash_split(spark, sf_dir):
 SQL_FILT_HASH_SPLIT = """
 WITH h AS (
   SELECT doc_id,
-         (((doc_id % 1000000007) * 2654435761 + 3) % 4294967296)
+         (((((((doc_id % 1000000007) * 2654435761 + 3) % 4294967296)
+              % 1000000007) * 2654435761 + 3) % 4294967296))
              / 4294967296.0 AS u
   FROM documents
 )
@@ -211,7 +214,8 @@ def q_filt_weighted_mix(spark, sf_dir):
 SQL_FILT_WEIGHTED_MIX = """
 WITH h AS (
   SELECT doc_id, lang,
-         (((doc_id % 1000000007) * 2654435761 + 11) % 4294967296)
+         (((((((doc_id % 1000000007) * 2654435761 + 11) % 4294967296)
+              % 1000000007) * 2654435761 + 11) % 4294967296))
              / 4294967296.0 AS u
   FROM documents
 )
@@ -244,7 +248,8 @@ rates AS (
 )
 SELECT d.doc_id, d.lang, d.source, ROUND(r.mix_rate, 6) AS mix_rate
 FROM documents d JOIN rates r USING (lang)
-WHERE (((d.doc_id % 1000000007) * 2654435761 + 0) % 4294967296)
+WHERE (((((((d.doc_id % 1000000007) * 2654435761 + 0) % 4294967296)
+           % 1000000007) * 2654435761 + 0) % 4294967296))
       / 4294967296.0 < r.mix_rate
 """
 

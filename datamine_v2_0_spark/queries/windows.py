@@ -100,8 +100,9 @@ def q_win_blocks(spark, sf_dir):
 SQL_WIN_BLOCKS = """
 WITH flagged AS (
   SELECT event_id, user_id, ts, event_type,
-         CASE WHEN LAG(event_type) OVER w IS NULL
-               OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+         CASE WHEN ROW_NUMBER() OVER w = 1
+               OR LAG(event_type) OVER w IS DISTINCT FROM event_type
+              THEN 1 ELSE 0 END AS chg
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), blocks AS (
@@ -257,9 +258,9 @@ SQL_WIN_MINMAX_FLAGS = """
 SELECT event_id,
        CAST(MIN(ts) OVER (PARTITION BY user_id) AS VARCHAR) AS first_ts,
        CAST(MAX(ts) OVER (PARTITION BY user_id) AS VARCHAR) AS last_ts,
-       CASE WHEN LAG(event_type) OVER w IS NULL
-             OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END
-           AS type_changed,
+       CASE WHEN ROW_NUMBER() OVER w = 1
+             OR LAG(event_type) OVER w IS DISTINCT FROM event_type
+            THEN 1 ELSE 0 END AS type_changed,
        ROUND((value - LAG(value) OVER w)
              - (LAG(value) OVER w - LAG(value, 2) OVER w), 6) AS accel
 FROM events

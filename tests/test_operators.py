@@ -1416,3 +1416,100 @@ def test_ann_cheap_operating_points_recall_floors(spark):
         emb, queries, "embedding", "vec_id", dim=64, k=5,
         m=16, k_codes=32, rerank_from=20,
     )) >= 0.8
+
+
+def test_rolling_corr_pairwise_complete_with_null_inputs(spark):
+    """Regression: stddevs over ALL rows while covar used only
+    pairwise-complete rows pushed |corr| above 1 on asymmetric NULLs."""
+    import datetime as dt
+
+    from datamine_v2_0_spark.operators import windows as win
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        ("k", base + dt.timedelta(seconds=i), x, y)
+        for i, (x, y) in enumerate([(1.0, 1.0), (2.0, 2.0), (1.5, None)])
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, x double, y double")
+    w = win.ordered_window(["k"], ["ts"])
+    out = df.select(
+        win.rolling_corr("x", "y", w, 2, 2).alias("c")
+    ).collect()
+    for r in out:
+        if r.c is not None:
+            assert -1.0 - 1e-12 <= r.c <= 1.0 + 1e-12
+    # the pairwise-complete pairs {(1,1),(2,2)} correlate perfectly
+    assert any(r.c is not None and abs(r.c - 1.0) < 1e-9 for r in out)
+
+
+def test_change_flag_null_runs_form_single_blocks(spark):
+    """Regression: [A, NULL, NULL, A] must number blocks [1,2,2,3] —
+    the old `!=` merged the NULL run into A's block and then split it."""
+    import datetime as dt
+
+    from datamine_v2_0_spark.operators import windows as win
+
+    base = dt.datetime(2024, 1, 1)
+    vals = ["A", None, None, "A"]
+    rows = [("k", base + dt.timedelta(seconds=i), v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, v string")
+    w = win.ordered_window(["k"], ["ts"])
+    out = (
+        df.withColumn("b", win.block_id("v", w).cast("int"))
+        .orderBy("ts")
+        .collect()
+    )
+    assert [r.b for r in out] == [1, 2, 2, 3]
+
+
+def test_upsert_order_tie_prefers_update(spark):
+    rows_cur = [(1, 10, "old")]
+    rows_upd = [(1, 10, "new")]
+    cur = spark.createDataFrame(rows_cur, "k long, o long, v string")
+    upd = spark.createDataFrame(rows_upd, "k long, o long, v string")
+    got = jn.upsert(cur, upd, "k", "o").collect()
+    assert len(got) == 1 and got[0].v == "new"
+
+
+def test_lookup_join_mixed_case_mapping_keys(spark):
+    df = spark.createDataFrame([("Purchase",), ("view",)], "event_type string")
+    out = jn.lookup_join(
+        df, {"Purchase": "commerce", "VIEW": "content"}, "event_type", "cat"
+    )
+    got = {r.event_type: r.cat for r in out.collect()}
+    assert got == {"Purchase": "commerce", "view": "content"}
+
+
+def test_deterministic_sample_negative_keys(spark):
+    from datamine_v2_0_spark.operators import filters as flt
+
+    df = spark.createDataFrame([(-5,), (-3,), (1,), (4,)], "id long")
+    got = sorted(r.id for r in flt.deterministic_sample(df, "id", 3, 1).collect())
+    # pmod(-5,3)=1, pmod(-3,3)=0, pmod(1,3)=1, pmod(4,3)=1
+    assert got == [-5, 1, 4]
+
+
+def test_hampel_backquoted_column_name(spark):
+    import datetime as dt
+
+    from datamine_v2_0_spark.operators import windows as win
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [("k", base + dt.timedelta(seconds=i), float(i)) for i in range(9)]
+    df = spark.createDataFrame(
+        rows, "k string, ts timestamp, `load weight` double"
+    )
+    out = win.hampel_filter(df, ["k"], "ts", "load weight", half_window=2)
+    assert out.count() == 9
+
+
+def test_bloom_bitset_built_from_packed_words(spark):
+    """Semantics unchanged after the distributed word-packing rewrite:
+    prefiltered join equals the plain join."""
+    left = spark.range(0, 2000).selectExpr("id AS k", "id * 2 AS a")
+    right = spark.range(0, 2000, 7).selectExpr("id AS k")
+    got = jn.bloom_prefilter_join(left, right, "k", how="inner")
+    want = left.join(right, "k", "inner")
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in want.collect()
+    )
