@@ -61,6 +61,13 @@ def conditional_counts(
     return df.groupBy(*keys).agg(*aggs)
 
 
+def _pct_name(q: float) -> str:
+    """Column name for quantile q without int() truncation (0.29 would
+    become 'p28' via float error) or sub-percent collisions (0.99 and
+    0.999 both mapped to 'p99'): p25, p50, p99, p99_9."""
+    return "p" + ("%g" % (q * 100)).replace(".", "_").replace("-", "m")
+
+
 def exact_percentiles(
     df: DataFrame, keys: Sequence[str], value: str,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
@@ -69,7 +76,7 @@ def exact_percentiles(
     ``percentile`` uses the same linear interpolation
     (debug_notebook_corrected.py:167-170)."""
     aggs = [
-        F.percentile(F.col(value), F.lit(q)).alias(f"p{int(q * 100)}")
+        F.percentile(F.col(value), F.lit(q)).alias(_pct_name(q))
         for q in quantiles
     ]
     return df.groupBy(*keys).agg(*aggs)
@@ -118,7 +125,7 @@ def exact_percentiles_sorted(
         agg_pos = 1 + (F.max("__n") - 1) * F.lit(q)
         frac = agg_pos - F.floor(agg_pos)
         aggs.append(
-            (v_lo + (v_hi - v_lo) * frac).alias(f"p{int(q * 100)}")
+            (v_lo + (v_hi - v_lo) * frac).alias(_pct_name(q))
         )
     kept = ranked.filter(sum_or(keeps))
     out = kept.groupBy(*keys).agg(*aggs)
@@ -145,7 +152,7 @@ def approx_percentiles(
     per-group sort."""
     aggs = [
         F.approx_percentile(F.col(value), F.lit(q), F.lit(accuracy)).alias(
-            f"p{int(q * 100)}"
+            _pct_name(q)
         )
         for q in quantiles
     ]
@@ -494,8 +501,11 @@ def ab_welch_ttest(
     statistic folds in as scalar arithmetic on the 1-row result.
     """
     v = F.col(value_col).cast("double")
-    in_a = F.col(group_col) == F.lit(group_a)
-    in_b = F.col(group_col) == F.lit(group_b)
+    # counts over non-NULL SAMPLES, not rows: mean/variance already skip
+    # NULLs, so dividing by the row count would understate the standard
+    # error and inflate |t| whenever value_col has NULLs
+    in_a = (F.col(group_col) == F.lit(group_a)) & v.isNotNull()
+    in_b = (F.col(group_col) == F.lit(group_b)) & v.isNotNull()
     agg = df.agg(
         F.count(F.when(in_a, 1)).alias("n_a"),
         F.count(F.when(in_b, 1)).alias("n_b"),
@@ -506,9 +516,12 @@ def ab_welch_ttest(
     )
     sa = F.col("__va") / F.col("n_a")
     sb = F.col("__vb") / F.col("n_b")
-    t = (F.col("__ma") - F.col("__mb")) / F.sqrt(sa + sb)
-    dof = (sa + sb) * (sa + sb) / (
-        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1)
+    # try_divide: two constant (zero-variance) groups must yield NULL
+    # stats, not an ANSI DIVIDE_BY_ZERO that aborts the job
+    t = F.try_divide(F.col("__ma") - F.col("__mb"), F.sqrt(sa + sb))
+    dof = F.try_divide(
+        (sa + sb) * (sa + sb),
+        sa * sa / (F.col("n_a") - 1) + sb * sb / (F.col("n_b") - 1),
     )
     return agg.select(
         "n_a",
@@ -623,11 +636,17 @@ def stratum_diversity(
     per = counts.crossJoin(F.broadcast(tot)).select(
         (p * F.log(p)).alias("__plogp"), (p * p).alias("__p2")
     )
+    # try_divide: a single-stratum corpus (ln(1) = 0) must yield NULL
+    # entropy_norm, not an ANSI DIVIDE_BY_ZERO — the degenerate
+    # one-source mix is exactly the case worth reporting
     return per.agg(
         F.count(F.lit(1)).alias("n_strata"),
         F.round(-F.sum("__plogp"), round_to).alias("entropy"),
         F.round(
-            -F.sum("__plogp") / F.log(F.count(F.lit(1)).cast("double")),
+            F.try_divide(
+                -F.sum("__plogp"),
+                F.log(F.count(F.lit(1)).cast("double")),
+            ),
             round_to,
         ).alias("entropy_norm"),
         F.round(F.lit(1.0) - F.sum("__p2"), round_to).alias("gini"),

@@ -1247,11 +1247,18 @@ def dedup_against(
     # exact verify: shingle only candidate docs, per side
     def _shingles(side_df, ids, alias):
         pruned = side_df.join(ids, id_col, "left_semi")
-        return pruned.select(
+        # two-step select: materialize the word-hash array as a column
+        # FIRST (hashed_shingles_from_words' documented precondition) —
+        # inlining it re-evaluates the array once per gram, O(words^2)
+        wh = pruned.select(
             F.col(id_col).alias(alias),
-            hashed_shingles_from_words(
-                word_hashes(F.col(text_col)), shingle_n
-            ).alias(f"__sh_{alias}"),
+            word_hashes(F.col(text_col)).alias("__wh"),
+        )
+        return wh.select(
+            F.col(alias),
+            hashed_shingles_from_words(F.col("__wh"), shingle_n).alias(
+                f"__sh_{alias}"
+            ),
         )
 
     sh_new = _shingles(
@@ -1382,14 +1389,21 @@ def strip_duplicate_spans(
     token filter is a zero-shuffle higher-order expression over the
     token array.
 
-    Returns (id, n_tokens, n_removed, text_clean) for EVERY input doc
-    (docs with no duplicated span pass through unchanged).
+    Returns (id, n_tokens, n_removed, text_clean) for EVERY input doc.
+    Span DETECTION runs on normalized (lowercased) tokens, but
+    reconstruction keeps the ORIGINAL token casing — positions align
+    1:1 because normalization only lowercases and collapses whitespace,
+    so a doc with no duplicated span passes through with its casing
+    intact (newline runs still collapse to single spaces: tokenization
+    is whitespace-collapsing by construction).
     """
     spans = duplicate_substring_spans(df, text_col, id_col, k, scope)
     per_doc = spans.groupBy(id_col).agg(
         F.collect_list(F.struct("start_pos", "end_pos")).alias("__spans")
     )
-    words = F.split(normalize_text(F.col(text_col)), " ")
+    words = F.split(
+        F.trim(F.regexp_replace(F.col(text_col), r"\s+", " ")), " "
+    )
     base = df.select(F.col(id_col), words.alias("__w"))
     joined = base.join(per_doc, id_col, "left").withColumn(
         "__spans",

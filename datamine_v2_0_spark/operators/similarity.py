@@ -39,7 +39,11 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+    """try_divide: an all-zero vector (failed/padded embedding) yields
+    NULL similarity instead of an ANSI DIVIDE_BY_ZERO that aborts the
+    whole job; NULLs sort last under the desc rank ordering, so zero
+    vectors simply never make a top-k."""
+    return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
 def cosine_pairs_udf():
@@ -176,20 +180,31 @@ def ivf_topk(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    unit = F.transform(
-        F.col(vec_col).cast("array<double>"),
-        lambda x: x / F.sqrt(
-            F.aggregate(
-                F.col(vec_col).cast("array<double>"),
-                F.lit(0.0),
-                lambda a, v: a + v * v,
-            )
-        ),
+    # norm computed ONCE per row (not per element inside the transform
+    # lambda — that was O(dim^2) per row) and floored to 1 for all-zero
+    # vectors so normalization can't raise DIVIDE_BY_ZERO under ANSI
+    arr = F.col(vec_col).cast("array<double>")
+    norm_raw = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
     )
-    va = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cvec"),
-        array_to_vector(unit).alias("__mlvec"),
+    va = (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cvec"),
+            F.when(norm_raw > 0, norm_raw).otherwise(F.lit(1.0)).alias(
+                "__norm"
+            ),
+        )
+        .select(
+            "neighbor_id",
+            "__cvec",
+            array_to_vector(
+                F.transform(
+                    F.col("__cvec").cast("array<double>"),
+                    lambda x: x / F.col("__norm"),
+                )
+            ).alias("__mlvec"),
+        )
     )
     # the quantizer only needs cells GOOD ENOUGH to bucket the corpus —
     # it never affects results at the certified nprobe=n_cells point and

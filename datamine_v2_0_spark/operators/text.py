@@ -432,14 +432,23 @@ def repetition_signals(
         )
     )
 
+    # occurrences of the top bigram can OVERLAP ('a a a a' has three
+    # 'a a' occurrences sharing words), so count x chars over-counts
+    # coverage — cap at 1.0 to keep the documented [0, 1] fraction
+    # (exact de-overlapped coverage needs positional bookkeeping the
+    # Gopher-style gate doesn't require)
     return doc_units.join(top, id_col, "left").select(
         F.col(id_col),
         "n_units",
         F.round("__dup_f", 6).alias("dup_unit_frac"),
         F.round("__dupc_f", 6).alias("dup_unit_char_frac"),
         F.round(
-            F.coalesce(
-                F.col("__top_chars") / F.col("__total_chars"), F.lit(0.0)
+            F.least(
+                F.lit(1.0),
+                F.coalesce(
+                    F.col("__top_chars") / F.col("__total_chars"),
+                    F.lit(0.0),
+                ),
             ),
             6,
         ).alias("top_bigram_char_frac"),
@@ -624,8 +633,13 @@ def word_ngram_set(
     """Distinct word n-grams per document as (id, gram) rows — the
     building block for overlap-based decontamination. Distinctness is
     applied inside the array (array_distinct) BEFORE the explode, so
-    the shuffle-free exploded stream is already per-doc-unique."""
+    the shuffle-free exploded stream is already per-doc-unique.
+
+    Grams are LOWERCASED: overlap decontamination must be
+    case-insensitive or a trivially re-cased copy of a benchmark item
+    sails through (the GPT-3 protocol normalizes before matching)."""
     t, words = _norm_words(text_col)
+    words = F.transform(words, F.lower)
     return (
         df.select(F.col(id_col), words.alias("__w"))
         .filter(F.length(t) > 0)

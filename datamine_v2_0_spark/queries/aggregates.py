@@ -451,8 +451,8 @@ def q_agg_ab_test(spark, sf_dir):
 
 SQL_AGG_AB_TEST = """
 WITH s AS (
-  SELECT COUNT(*) FILTER (WHERE event_type = 'click') AS n_a,
-         COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_b,
+  SELECT COUNT(value) FILTER (WHERE event_type = 'click') AS n_a,
+         COUNT(value) FILTER (WHERE event_type = 'purchase') AS n_b,
          AVG(value) FILTER (WHERE event_type = 'click') AS ma,
          AVG(value) FILTER (WHERE event_type = 'purchase') AS mb,
          var_samp(value) FILTER (WHERE event_type = 'click') AS va,

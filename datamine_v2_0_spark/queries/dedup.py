@@ -344,11 +344,15 @@ WITH norm AS (
   FROM marked GROUP BY doc_id, grp
 ), perdoc AS (
   SELECT doc_id, list({'s': sp, 'e': ep}) AS sl FROM spans GROUP BY doc_id
+), orig AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(text, '\s+', ' ', 'g')), ' ') AS ow
+  FROM documents
 ), kept AS (
-  SELECT n.doc_id, n.w,
-         [n.w[i] for i in generate_series(1, len(n.w))
+  SELECT o.doc_id, o.ow AS w,
+         [o.ow[i] for i in generate_series(1, len(o.ow))
           if len(list_filter(COALESCE(p.sl, []), x -> i BETWEEN x.s AND x.e)) = 0] AS kw
-  FROM norm n LEFT JOIN perdoc p USING (doc_id)
+  FROM orig o LEFT JOIN perdoc p USING (doc_id)
 )
 SELECT doc_id,
        CAST(len(w) AS BIGINT) AS n_tokens,

@@ -123,7 +123,7 @@ WITH t AS (
          CAST(SUM(n_tokens) OVER (
              PARTITION BY source
              ORDER BY (((((doc_id % 1000000007) * 2654435761 % 4294967296)
-                          % 1000000007) * 2654435761) % 4294967296),
+                          % 1000000007) * 2246822507) % 4294967296),
                       doc_id) AS BIGINT) AS cum_tokens
   FROM t
 )
@@ -166,7 +166,7 @@ SQL_FILT_SHUFFLE_SHARDS = """
 WITH h AS (
   SELECT doc_id,
          ((((((doc_id % 1000000007) * 2654435761 + 7) % 4294967296)
-             % 1000000007) * 2654435761 + 7) % 4294967296) AS hh
+             % 1000000007) * 2246822507 + 7) % 4294967296) AS hh
   FROM documents
 )
 SELECT doc_id, CAST(hh % 8 AS INT) AS shard,
@@ -186,7 +186,7 @@ SQL_FILT_HASH_SPLIT = """
 WITH h AS (
   SELECT doc_id,
          (((((((doc_id % 1000000007) * 2654435761 + 3) % 4294967296)
-              % 1000000007) * 2654435761 + 3) % 4294967296))
+              % 1000000007) * 2246822507 + 3) % 4294967296))
              / 4294967296.0 AS u
   FROM documents
 )
@@ -215,7 +215,7 @@ SQL_FILT_WEIGHTED_MIX = """
 WITH h AS (
   SELECT doc_id, lang,
          (((((((doc_id % 1000000007) * 2654435761 + 11) % 4294967296)
-              % 1000000007) * 2654435761 + 11) % 4294967296))
+              % 1000000007) * 2246822507 + 11) % 4294967296))
              / 4294967296.0 AS u
   FROM documents
 )
@@ -249,7 +249,7 @@ rates AS (
 SELECT d.doc_id, d.lang, d.source, ROUND(r.mix_rate, 6) AS mix_rate
 FROM documents d JOIN rates r USING (lang)
 WHERE (((((((d.doc_id % 1000000007) * 2654435761 + 0) % 4294967296)
-           % 1000000007) * 2654435761 + 0) % 4294967296))
+           % 1000000007) * 2246822507 + 0) % 4294967296))
       / 4294967296.0 < r.mix_rate
 """
 
@@ -270,7 +270,7 @@ WITH h1 AS (
   FROM documents
 ), h AS (
   SELECT doc_id, lang,
-         ((hh1 % 1000000007) * 2654435761 + 7) % 4294967296 AS hh
+         ((hh1 % 1000000007) * 2246822507 + 7) % 4294967296 AS hh
   FROM h1
 ), r AS (
   SELECT doc_id, lang,

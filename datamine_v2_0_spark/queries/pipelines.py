@@ -291,13 +291,13 @@ WITH train AS (
   SELECT doc_id,
          unnest(list_distinct([array_to_string(w[i:i+3], ' ')
                 for i in generate_series(1, len(w) - 3)])) AS gram
-  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
         FROM deduped WHERE len(trim(text)) > 0)
   WHERE len(w) >= 4
 ), egrams AS (
   SELECT DISTINCT unnest(list_distinct([array_to_string(w[i:i+3], ' ')
                 for i in generate_series(1, len(w) - 3)])) AS gram
-  FROM (SELECT string_split_regex(trim(text), '\s+') AS w
+  FROM (SELECT string_split_regex(lower(trim(text)), '\s+') AS w
         FROM evaldocs WHERE len(trim(text)) > 0)
   WHERE len(w) >= 4
 ), dirty AS (

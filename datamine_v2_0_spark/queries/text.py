@@ -425,10 +425,10 @@ WITH norm AS (
 SELECT du.doc_id, du.n_units,
        ROUND(du.dup_f, 6) AS dup_unit_frac,
        ROUND(du.dupc_f, 6) AS dup_unit_char_frac,
-       ROUND(COALESCE(
+       ROUND(LEAST(1.0, COALESCE(
            CAST(t.c * (len(t.gram) - 1) AS DOUBLE)
                / CAST(du.total_chars AS DOUBLE),
-           0.0), 6) AS top_bigram_char_frac
+           0.0)), 6) AS top_bigram_char_frac
 FROM du LEFT JOIN (SELECT doc_id, gram, c FROM tg WHERE rn = 1) t
   USING (doc_id)
 """
@@ -445,7 +445,7 @@ def q_text_decontaminate(spark, sf_dir):
 
 SQL_TEXT_DECONTAMINATE = r"""
 WITH norm AS (
-  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
   FROM documents WHERE len(trim(text)) > 0
 ), g AS (
   SELECT doc_id, unnest(list_distinct([array_to_string(w[i:i+3], ' ')

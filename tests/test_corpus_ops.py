@@ -29,9 +29,9 @@ def test_repetition_signals_known_values(spark):
     assert r1["top_bigram_char_frac"] == pytest.approx(2 / 3, abs=1e-6)
     r2 = rows[2]
     assert r2["dup_unit_frac"] == pytest.approx(3 / 4, abs=1e-6)
-    assert r2["top_bigram_char_frac"] == pytest.approx(
-        3 * 2 / 4, abs=1e-6
-    )  # 'x x' occurs 3x, 2 chars each, 4 total chars
+    # 'x x' occurs 3x overlapping — raw occurrence-chars (1.5) exceed
+    # the document, so the fraction caps at 1.0 (all chars covered)
+    assert r2["top_bigram_char_frac"] == pytest.approx(1.0, abs=1e-6)
     r3 = rows[3]
     assert r3["dup_unit_frac"] == 0.0
     assert r3["dup_unit_char_frac"] == 0.0
@@ -446,3 +446,62 @@ def test_bigram_logprob_flags_gibberish_below_fluent(spark, sf_dir):
     rows = {r.doc_id: r.avg_logp for r in scored.collect()}
     fluent_median = sorted(v for k, v in rows.items() if k != 900001)[len(rows) // 2]
     assert rows[900001] < fluent_median
+
+
+def test_decontaminate_case_insensitive(spark):
+    """Regression: a re-cased copy of a benchmark item must be flagged."""
+    import pandas as pd
+
+    from datamine_v2_0_spark.operators import text as tx
+
+    tr = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["The Quick Brown Fox Jumps"]})
+    )
+    ev = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [9], "text": ["the quick brown fox jumps"]})
+    )
+    [r] = tx.decontaminate(tr, ev, "text", "doc_id", n=3).collect()
+    assert r.contaminated and r.n_eval_grams == 3
+
+
+def test_top_bigram_char_frac_bounded(spark):
+    """Regression: overlapping top-bigram occurrences pushed the
+    'fraction' above 1.0 ('a a a a' measured 1.5)."""
+    import pandas as pd
+
+    from datamine_v2_0_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": ["a a a a"]})
+    )
+    [r] = tx.repetition_signals(df, "text", "doc_id").collect()
+    assert r.top_bigram_char_frac <= 1.0
+
+
+def test_strip_duplicate_spans_preserves_case_outside_spans(spark):
+    """Regression: reconstruction used normalize_text, silently
+    lowercasing every document (even ones with no duplicate span)."""
+    import pandas as pd
+
+    from datamine_v2_0_spark.operators import dedup as dd
+
+    quote = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"Original Casing Stays {quote}",
+                f"Other Document Here {quote}",
+                "No Duplicates In This One At All",
+            ],
+        }
+    )
+    out = {
+        r.doc_id: r.text_clean
+        for r in dd.strip_duplicate_spans(
+            spark.createDataFrame(docs), "text", "doc_id", k=8
+        ).collect()
+    }
+    assert out[3] == "No Duplicates In This One At All"
+    assert out[1].startswith("Original Casing Stays")
+    assert quote.split()[0] not in out[1].lower().split()

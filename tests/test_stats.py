@@ -315,3 +315,52 @@ def test_winsorize_null_values_stay_null(spark):
     out = agg.winsorize(df, ["k"], "v", 0.05, 0.95).collect()
     nulls = [r for r in out if r.v is None]
     assert len(nulls) == 1 and nulls[0].value_winsorized is None
+
+
+def test_welch_null_values_excluded_from_counts(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("a", 1.0), ("a", 2.0), ("a", None), ("a", None),
+            ("b", 5.0), ("b", 6.0), ("b", 7.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = agg.ab_welch_ttest(df, "g", "v", "a", "b").first()
+    assert (r.n_a, r.n_b) == (2, 3)
+
+
+def test_welch_zero_variance_yields_null_not_error(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("a", 1.0), ("a", 1.0), ("b", 2.0), ("b", 2.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    r = agg.ab_welch_ttest(df, "g", "v", "a", "b").first()
+    assert r.t_stat is None and r.df_welch is None
+
+
+def test_diversity_single_stratum_no_crash(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([("x",)] * 10, "s string")
+    r = agg.stratum_diversity(df, "s").first()
+    assert r.n_strata == 1 and r.entropy == 0.0 and r.entropy_norm is None
+
+
+def test_percentile_names_no_truncation_or_collision(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    out = agg.exact_percentiles(df, [], "v", quantiles=(0.29, 0.99, 0.999))
+    assert out.columns == ["p29", "p99", "p99_9"]
+
+
+def test_cosine_zero_vector_yields_null_not_error(spark):
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    queries = corpus.filter("vec_id = 1")
+    got = sim.cosine_topk(corpus, queries, "embedding", "vec_id", k=1).collect()
+    # the job completes (no ANSI DIVIDE_BY_ZERO) and the zero vector
+    # never outranks a real neighbor (NULL sorts after any similarity)
+    assert {r.neighbor_id for r in got} == {3}
