@@ -25,8 +25,14 @@ def fixed_width_bins(
     [lo, hi]; right-exclusive except the last bin includes hi; outside
     range → NULL."""
     width = (hi - lo) / nbins
-    idx = F.floor((col - F.lit(lo)) / F.lit(width)).cast("int")
-    idx = F.when(col == F.lit(hi), F.lit(nbins - 1)).otherwise(idx)
+    # least() clamp: width is a floating division, and for values one
+    # ulp under hi the quotient can floor to nbins (reproduced:
+    # hi=495.43559165685383, nbins=30, col=nextafter(hi) -> 30) — an
+    # out-of-range phantom bin the range guard can't catch
+    idx = F.least(
+        F.lit(nbins - 1),
+        F.floor((col - F.lit(lo)) / F.lit(width)).cast("int"),
+    )
     return F.when((col >= lo) & (col <= hi), idx).otherwise(
         F.lit(None).cast("int")
     )
@@ -59,11 +65,27 @@ def quantile_bins_approx(
 ) -> DataFrame:
     """Scale path: one sketch pass for the boundaries, then map-side
     explicit binning (values at a boundary go to the lower bin, qcut-ish)."""
+    if nbins < 1:
+        raise ValueError("nbins must be >= 1")
+    if nbins == 1:
+        return df.withColumn(
+            out,
+            F.when(F.col(col).isNotNull(), F.lit(0)).cast("int"),
+        )
     probs = [i / nbins for i in range(1, nbins)]
     edges = df.select(
         F.percentile_approx(col, probs, accuracy).alias("e")
     ).first()["e"]
+    if edges is None:
+        # empty / all-NULL input: no boundaries — every non-null value
+        # (there are none) would be bin 0; keep the NULL-in/NULL-out rule
+        return df.withColumn(
+            out, F.when(F.col(col).isNotNull(), F.lit(0)).cast("int")
+        )
     expr = F.lit(0)
     for i, e in enumerate(edges):
         expr = F.when(F.col(col) > F.lit(float(e)), F.lit(i + 1)).otherwise(expr)
+    # NULL in -> NULL out (the fold base would otherwise conflate NULLs
+    # with real lowest-quantile rows; fixed_width/explicit both NULL)
+    expr = F.when(F.col(col).isNotNull(), expr)
     return df.withColumn(out, expr.cast("int"))

@@ -50,6 +50,10 @@ def funnel_steps(
     evs = F.array_sort(
         F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("ty")))
     )
+    # (applied below) only funnel-step events enter the per-user array:
+    # non-step events can never match a stage, and collect_list has no
+    # spill path inside a group — an unfiltered power user would
+    # materialize millions of irrelevant events in one executor array
     steps_arr = F.array(*[F.lit(s) for s in steps])
     init = F.array(*[F.lit(None).cast("timestamp") for _ in range(k)])
 
@@ -69,8 +73,10 @@ def funnel_steps(
 
         return F.transform(acc, upd)
 
-    per_user = df.groupBy(user_col).agg(
-        F.aggregate(evs, init, fold).alias("__stages")
+    per_user = (
+        df.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(user_col)
+        .agg(F.aggregate(evs, init, fold).alias("__stages"))
     )
     # explode stage completions -> per-step distinct-user counts
     out = (

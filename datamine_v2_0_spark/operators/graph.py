@@ -26,6 +26,10 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 
 def _q(c: Column, dp: int) -> Column:
+    """Half-up floor quantization — the SAME grid expression the
+    timeseries family uses (floor(x*s + 0.5)/s): the cross-engine
+    parity grid is a shared contract; keep the formulas byte-identical
+    so one family can't silently drift off the hash-matched oracle."""
     scale = F.lit(float(10**dp))
     return F.floor(c * scale + F.lit(0.5)) / scale
 

@@ -112,9 +112,9 @@ def validate_table(
     parts.extend(ref_parts)
     if not parts:
         raise ValueError("rules must be non-empty")
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
+    from datamine_v2_0_spark.operators.sets import union_all
+
+    out = union_all(parts)
     return out
 
 

@@ -157,9 +157,9 @@ def rrf_fuse(
         )
         for r in ranked
     ]
-    u = contribs[0]
-    for part in contribs[1:]:
-        u = u.unionByName(part)
+    from datamine_v2_0_spark.operators.sets import union_all
+
+    u = union_all(contribs)
     fused = u.groupBy("query_id", "doc_id").agg(
         F.round(F.sum("__contrib"), round_to).alias("rrf_score"),
         F.count(F.lit(1)).cast("int").alias("n_lists"),

@@ -10,6 +10,8 @@ from pyspark.sql import functions as F
 
 def union_all(dfs: Sequence[DataFrame]) -> DataFrame:
     """U1/U2/U3: ``UNION ALL`` by column name (checkpoint nb cell 29)."""
+    if not dfs:
+        raise ValueError("union_all needs at least one DataFrame")
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)

@@ -32,9 +32,15 @@ def salted_agg(
     e.g. ``{"n": (F.count(F.lit(1)), F.sum("n")), "s": (F.sum("x"),
     F.sum("s"))}``. Only algebraic aggregates (sum/count/min/max/avg via
     sum+count) decompose this way."""
-    # the salt must vary WITHIN a key (that's what splits a hot key);
-    # row-id mod buckets does, and the merge phase erases it from results
-    salt = F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets)).alias(
+    # the salt must vary WITHIN a key (that's what splits a hot key) and
+    # must be a pure function of row CONTENT: monotonically_increasing_id
+    # depends on row order within a partition, so a stage retry after a
+    # fetch failure re-salts rows differently than the lost attempt and
+    # reducers mixing both attempts double-count/drop rows (the
+    # SPARK-23207 class). Hashing all columns is retry-stable; rows with
+    # fully identical content share a salt, which only matters if a hot
+    # key is hot BECAUSE of byte-identical duplicate rows.
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).alias(
         "__salt"
     )
     partial = df.groupBy(*keys, salt).agg(
@@ -71,8 +77,14 @@ def salted_join(
             "only inner/left/semi/anti join types are well-defined "
             f"(got {how!r})"
         )
+    # content-derived salt, not monotonically_increasing_id — see
+    # salted_agg: order-dependent salts break under stage retry
     b = big.withColumn(
-        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))
+        "__salt",
+        F.pmod(
+            F.xxhash64(*[F.col(c) for c in big.columns]),
+            F.lit(salt_buckets),
+        ),
     )
     s = small.crossJoin(
         F.broadcast(

@@ -215,8 +215,7 @@ def q_scalar_binning(spark, sf_dir):
 
 SQL_SCALAR_BINNING = """
 SELECT CASE WHEN l_quantity BETWEEN 0.0 AND 50.0
-            THEN CASE WHEN l_quantity = 50.0 THEN 9
-                 ELSE CAST(FLOOR(l_quantity / 5.0) AS INT) END
+            THEN LEAST(9, CAST(FLOOR(l_quantity / 5.0) AS INT))
             ELSE NULL END AS qty_bin,
        CASE WHEN l_extendedprice > 0.0 AND l_extendedprice <= 10000.0 THEN 0
             WHEN l_extendedprice > 10000.0 AND l_extendedprice <= 50000.0 THEN 1

@@ -1513,3 +1513,38 @@ def test_bloom_bitset_built_from_packed_words(spark):
     assert sorted(r.k for r in got.collect()) == sorted(
         r.k for r in want.collect()
     )
+
+
+def test_fixed_width_bins_fp_edge_clamped(spark):
+    """Regression: floor((col-lo)/width) can reach nbins for values one
+    ulp under hi — must clamp into the valid 0..nbins-1 range."""
+    import math
+
+    from datamine_v2_0_spark.operators import binning as bn
+
+    hi = 495.43559165685383
+    val = math.nextafter(hi, 0)
+    df = spark.createDataFrame([(val,), (hi,), (0.0,)], "v double")
+    got = sorted(
+        r[0]
+        for r in df.select(
+            bn.fixed_width_bins(F.col("v"), 0.0, hi, 30).alias("b")
+        ).collect()
+    )
+    assert got == [0, 29, 29]
+
+
+def test_quantile_bins_approx_null_and_degenerate(spark):
+    from datamine_v2_0_spark.operators import binning as bn
+
+    df = spark.createDataFrame(
+        [(1.0,), (2.0,), (None,), (9.0,)], "v double"
+    )
+    out = {r.v: r.b for r in bn.quantile_bins_approx(df, "v", 2, "b").collect()}
+    assert out[None] is None and out[1.0] == 0 and out[9.0] == 1
+    # all-NULL input degrades gracefully
+    allnull = spark.createDataFrame([(None,), (None,)], "v double")
+    assert bn.quantile_bins_approx(allnull, "v", 2, "b").count() == 2
+    # nbins=1: single bin for every non-null
+    one = bn.quantile_bins_approx(df, "v", 1, "b")
+    assert {r.b for r in one.collect()} == {0, None}

@@ -239,3 +239,25 @@ def test_half_hot_cpd_completes(spark, half_hot):
     # the hot key's planted level shift (+500 at id 10000) must surface
     hot = [r for r in out if r["partition_key"] == "dev_hot"]
     assert hot, "no change point detected on the hot key"
+
+
+def test_salt_is_content_derived_not_order_derived(spark):
+    """Regression: monotonically_increasing_id salts depend on row order
+    within a partition, so a stage retry could re-salt rows differently
+    (SPARK-23207 class). A content hash is retry-stable: the same rows
+    salted after an arbitrary repartition give identical aggregates."""
+    from datamine_v2_0_spark.operators import skew as sk
+
+    df = spark.range(10_000).selectExpr(
+        "CAST(id % 3 AS STRING) AS k", "CAST(id AS DOUBLE) AS v", "id"
+    )
+    aggs = {
+        "n": (F.count(F.lit(1)), F.sum("n")),
+        "s": (F.sum("v"), F.sum("s")),
+    }
+    a = {r.k: (r.n, r.s) for r in sk.salted_agg(df, ["k"], aggs).collect()}
+    b = {
+        r.k: (r.n, r.s)
+        for r in sk.salted_agg(df.repartition(7), ["k"], aggs).collect()
+    }
+    assert a == b
