@@ -29,7 +29,15 @@ def pg_timestamptz_text(ts: Column) -> Column:
     (SURVEY.md §7 hard part 1). Implemented UDF-free with regexp cleanup so
     it stays inside whole-stage codegen.
     """
-    full = F.date_format(ts, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+    # render in UTC regardless of the ambient session timezone: callers
+    # outside session.py (which pins UTC) would otherwise hash LOCAL
+    # time with a '+00' suffix and never match Postgres
+    full = F.date_format(
+        F.convert_timezone(
+            F.current_timezone(), F.lit("UTC"), ts
+        ),
+        "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    )
     # strip trailing zeros in the fraction, then a dangling dot
     trimmed = F.regexp_replace(full, r"(\.\d*?)0+$", r"$1")
     trimmed = F.regexp_replace(trimmed, r"\.$", "")

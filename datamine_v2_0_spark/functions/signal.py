@@ -104,6 +104,10 @@ def savgol_filter(y: np.ndarray, window: int, polyorder: int) -> np.ndarray:
     if window <= polyorder:
         return y.copy()
     m = window // 2
+    if m == 0:
+        # window=1: the identity filter — and out[-0:] below would slice
+        # the WHOLE array, overwriting everything with the tail fit
+        return y.copy()
     c = savgol_coeffs(window, polyorder)
     out = np.convolve(y, c[::-1], mode="same")
     # edges: fit a polynomial to the first/last `window` samples and evaluate

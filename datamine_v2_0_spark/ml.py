@@ -141,11 +141,19 @@ def evaluate_classifier(predictions: DataFrame) -> dict[str, float]:
     """Accuracy + weighted F1 (the reference's accuracy_score +
     classification_report headline numbers)."""
     out = {}
-    for metric in ("accuracy", "weightedPrecision", "weightedRecall", "f1"):
-        ev = MulticlassClassificationEvaluator(
-            labelCol="label", predictionCol="prediction", metricName=metric
-        )
-        out[metric] = ev.evaluate(predictions)
+    # four evaluator jobs share one transform: cache, or the full
+    # test-side inference re-executes per metric
+    predictions = predictions.select("label", "prediction").cache()
+    try:
+        for metric in (
+            "accuracy", "weightedPrecision", "weightedRecall", "f1"
+        ):
+            ev = MulticlassClassificationEvaluator(
+                labelCol="label", predictionCol="prediction", metricName=metric
+            )
+            out[metric] = ev.evaluate(predictions)
+    finally:
+        predictions.unpersist()
     return out
 
 

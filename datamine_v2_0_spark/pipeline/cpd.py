@@ -130,10 +130,13 @@ def detect_change_points(
         cols = ["partition_key", "signal_name", "bucket_ts", "bucket_id"]
         return pd.DataFrame(out, columns=cols)
 
-    # bucket_id is declared string in CANDIDATE_SCHEMA; cast JVM-side so the
-    # Arrow batch arriving in Python already matches (int ids otherwise fail
-    # the pandas→Arrow conversion on output).
-    downsampled = downsampled.withColumn(id_col, F.col(id_col).cast("string"))
+    # bucket_id AND partition_key are declared string in CANDIDATE_SCHEMA;
+    # cast BOTH JVM-side so the Arrow batch arriving in Python already
+    # matches (an int device key otherwise fails the pandas->Arrow
+    # conversion on output exactly like an int id would).
+    downsampled = downsampled.withColumn(
+        id_col, F.col(id_col).cast("string")
+    ).withColumn(partition_col, F.col(partition_col).cast("string"))
     if num_tasks is None:
         num_tasks = downsampled.sparkSession.sparkContext.defaultParallelism
     # explicit repartition satisfies the groupBy's required distribution
@@ -189,7 +192,9 @@ def penalty_sweep(
         cols = ["penalty", "partition_key", "signal_name", "bucket_ts", "bucket_id"]
         return pd.DataFrame(out, columns=cols)
 
-    downsampled = downsampled.withColumn(id_col, F.col(id_col).cast("string"))
+    downsampled = downsampled.withColumn(
+        id_col, F.col(id_col).cast("string")
+    ).withColumn(partition_col, F.col(partition_col).cast("string"))
     if num_tasks is None:
         num_tasks = downsampled.sparkSession.sparkContext.defaultParallelism
     downsampled = downsampled.repartition(num_tasks, partition_col)
@@ -223,7 +228,14 @@ def tune_penalty(
             & sweep["bucket_ts"].between(truth[true_start], truth[true_end]),
         )
         .groupBy("penalty")
-        .agg(F.countDistinct(truth_key, truth_id).alias("n_detected"))
+        # disambiguated refs: a truth key named like a sweep column
+        # (e.g. 'partition_key') would make the bare-string form raise
+        # AMBIGUOUS_REFERENCE after the join keeps both sides
+        .agg(
+            F.countDistinct(truth[truth_key], truth[truth_id]).alias(
+                "n_detected"
+            )
+        )
     )
     # pass `penalties` explicitly to also report penalties whose sweep
     # produced zero change points anywhere (they have no sweep rows)

@@ -91,7 +91,12 @@ def build_features(
     )
 
     # final assembly: one-hot + interactions (04_final_assembly.sql:14-25)
-    for v in ("park", "reverse", "neutral", "drive", "unknown"):
+    # one flag per value PRNDL_MAP can emit — omitting 'low' left
+    # low-gear rows with every indicator False, indistinguishable from
+    # no category at all
+    from datamine_v2_0_spark.schemas import PRNDL_VALUES
+
+    for v in PRNDL_VALUES:
         df = df.withColumn(f"prndl_{v}", F.col("prndl") == v)
     df = (
         df.withColumn("is_heavy_load", F.col("load_weight_smoothed") > HEAVY_LOAD)

@@ -47,14 +47,31 @@ def read_jsonl_corpus(
     full = StructType(
         schema.fields + [StructField(corrupt_col, StringType())]
     )
-    parsed = spark.read.text(path).select(
+    # blank/whitespace-only lines parse to an all-NULL struct with a
+    # NULL corrupt column — phantom "clean" empty documents; route them
+    # to the corrupt column explicitly so split_corrupt quarantines them
+    raw = spark.read.text(path).filter(F.length(F.trim("value")) > 0)
+    parsed = raw.select(
+        F.col("value").alias("__raw"),
         F.from_json(
             F.col("value"),
             full,
             {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_col},
-        ).alias("__j")
+        ).alias("__j"),
     )
-    return parsed.select("__j.*")
+    fields = [f.name for f in schema.fields]
+    all_null = F.lit(True)
+    for name in fields:
+        all_null = all_null & F.col(f"__j.{name}").isNull()
+    return parsed.select(
+        *[F.col(f"__j.{name}").alias(name) for name in fields],
+        F.when(
+            F.col(f"__j.{corrupt_col}").isNotNull(),
+            F.col(f"__j.{corrupt_col}"),
+        )
+        .when(all_null, F.col("__raw"))
+        .alias(corrupt_col),
+    )
 
 
 def split_corrupt(

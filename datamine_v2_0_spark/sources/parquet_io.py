@@ -110,6 +110,11 @@ def scan_output_rows(df: DataFrame) -> int:
     ``df.count()`` build a separate query execution and leave this
     plan's metrics at zero."""
     plan = df._jdf.queryExecution().executedPlan()
+    # under AQE (the session default) the root is AdaptiveSparkPlanExec,
+    # a LEAF from children()'s perspective — walk its executed subplan
+    # or every aggregating query silently reports 0 scanned rows
+    if plan.nodeName().startswith("AdaptiveSparkPlan"):
+        plan = plan.executedPlan()
 
     def _walk(node) -> int:
         total = 0

@@ -69,9 +69,18 @@ def streaming_dedup(
     stream: DataFrame, key_cols: Sequence[str], ts: str, watermark: str = "1 hour"
 ) -> DataFrame:
     """Exactly-once-per-key within the watermark horizon: the streaming
-    form of the hash-key anti-join dedup."""
-    src = stream.withWatermark(ts, watermark) if stream.isStreaming else stream
-    return src.dropDuplicates([*key_cols])
+    form of the hash-key anti-join dedup.
+
+    ``dropDuplicatesWithinWatermark`` — NOT plain dropDuplicates(keys):
+    Spark only evicts dedup state when the event-time column is part of
+    the subset, so the plain form retains every key ever seen (unbounded
+    state growth) while the WithinWatermark form ages keys out once the
+    watermark passes them, which is also the documented semantic here."""
+    if stream.isStreaming:
+        return stream.withWatermark(ts, watermark).dropDuplicatesWithinWatermark(
+            [*key_cols]
+        )
+    return stream.dropDuplicates([*key_cols])
 
 
 def foreach_batch_upsert(
@@ -113,7 +122,18 @@ def foreach_batch_upsert(
         # break lineage from the files about to be overwritten —
         # executor-side materialization, never a driver collect
         merged = merged.localCheckpoint(eager=True)
-        merged.write.mode("overwrite").parquet(target_path)
+        # stage-then-swap, NOT a direct overwrite: overwrite deletes the
+        # target before writing, so a crash in between makes the next
+        # retry's existence check read "first batch" and silently rebuild
+        # the table from one micro-batch. Write the merged result to a
+        # sibling temp dir, then delete+rename (both metadata ops) — the
+        # vulnerable window shrinks from the full write to the swap.
+        tmp_path = target_path.rstrip("/") + "._staging"
+        jvm_tmp = spark._jvm.org.apache.hadoop.fs.Path(tmp_path)
+        merged.write.mode("overwrite").parquet(tmp_path)
+        if fs.exists(jvm_path):
+            fs.delete(jvm_path, True)
+        fs.rename(jvm_tmp, jvm_path)
 
     return (
         stream.writeStream.foreachBatch(_merge)

@@ -344,3 +344,27 @@ def test_zorder_rejects_single_column(spark, tmp_path):
     df = spark.range(10).selectExpr("id AS x")
     with _pt.raises(ValueError):
         pio.write_zordered(df, str(tmp_path / "z1"), ["x"])
+
+
+def test_jsonl_blank_lines_quarantined(spark, tmp_path):
+    """Regression: blank/whitespace lines parsed to all-NULL 'clean'
+    rows — phantom empty documents entering the corpus."""
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    from datamine_v2_0_spark.sources import jsonl as jl
+
+    p = tmp_path / "docs.jsonl"
+    p.write_text(
+        '{"id": "a", "text": "hello"}\n'
+        "\n"
+        "   \n"
+        "not json at all\n"
+    )
+    schema = StructType(
+        [StructField("id", StringType()), StructField("text", StringType())]
+    )
+    df = jl.read_jsonl_corpus(spark, str(p), schema)
+    clean, corrupt = jl.split_corrupt(df)
+    assert clean.count() == 1
+    assert [r.id for r in clean.collect()] == ["a"]
+    assert corrupt.count() == 1  # the garbage line; blanks are filtered
