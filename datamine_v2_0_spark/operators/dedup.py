@@ -1357,8 +1357,22 @@ def duplicate_substring_spans(
             .filter(F.col("__nd") >= 2)
         )
     marked = ex.join(shared.select("h"), "h")
+    # islands must merge OVERLAPPING/adjacent covered regions, not only
+    # CONSECUTIVE gram positions: shared grams at positions p and p+2
+    # (gap < k) cover one contiguous token range, and pos - row_number
+    # split them into two overlapping "maximal" spans that double-count
+    # tokens. Break only when the gap exceeds k (regions [p, p+k-1] and
+    # [q, q+k-1] are disjoint with a hole iff q > p + k).
     w = Window.partitionBy(id_col).orderBy(F.col("pos").asc())
-    islands = marked.withColumn("__grp", F.col("pos") - F.row_number().over(w))
+    brk = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") - F.lag("pos").over(w) > k),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    islands = marked.withColumn(
+        "__grp",
+        F.sum(brk).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
     return (
         islands.groupBy(id_col, "__grp")
         .agg(

@@ -79,18 +79,27 @@ def funnel_steps(
         .agg(F.aggregate(evs, init, fold).alias("__stages"))
     )
     # explode stage completions -> per-step distinct-user counts
-    out = (
+    counted = (
         per_user.select(
             F.posexplode(F.col("__stages")).alias("step", "__done"),
         )
         .groupBy("step")
         .agg(F.count(F.col("__done")).alias("users"))  # count skips nulls
     )
-    names = F.array(*[F.lit(s) for s in steps])
-    return out.select(
-        "step",
-        F.element_at(names, F.col("step") + 1).alias("step_name"),
-        "users",
+    # ALWAYS one row per declared step: a slice with no step events at
+    # all reports users=0 for every stage instead of an empty frame
+    # (the shape report readers and the SQL form both expect)
+    spark = df.sparkSession
+    grid = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(steps)], "step int, step_name string"
+    )
+    return (
+        grid.join(counted, "step", "left")
+        .select(
+            "step",
+            "step_name",
+            F.coalesce("users", F.lit(0)).cast("long").alias("users"),
+        )
     )
 
 

@@ -124,6 +124,7 @@ def asof_nearest_join(
     left_id: str,
     broadcast_right: bool = True,
     direction: str = "nearest",
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """J7: as-of-in-time join — for each left row, the single right row
     within tolerance (claudeinstructions.md:60-84, rewritten to window
@@ -131,8 +132,10 @@ def asof_nearest_join(
     'nearest' minimizes |t_l - t_r|; 'backward' takes the latest right
     row at-or-before t_l; 'forward' the earliest at-or-after.
 
-    Ties break on the right timestamp then remaining right columns being
-    ordered by right_ts — deterministic given unique right timestamps."""
+    Ties break on the right timestamp, then ``right_tiebreak`` when
+    given — pass a unique right-side id whenever right timestamps can
+    repeat per key, or the winner is layout-dependent (the contract
+    header requires every rank ordering to carry a unique tiebreak)."""
     if direction not in ("nearest", "backward", "forward"):
         raise ValueError(f"direction must be nearest/backward/forward, got {direction!r}")
     r = F.broadcast(right) if broadcast_right else right
@@ -151,7 +154,10 @@ def asof_nearest_join(
         rng = rng & (signed <= 0)  # right at or after left
     cond = rng if cond is None else (cond & rng)
     joined = left.join(r, cond, "inner").withColumn("__absdiff", diff)
-    w = Window.partitionBy(left[left_id]).orderBy("__absdiff", r[right_ts])
+    order = [F.col("__absdiff"), r[right_ts]] + (
+        [r[right_tiebreak]] if right_tiebreak else []
+    )
+    w = Window.partitionBy(left[left_id]).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -193,6 +199,12 @@ def asof_merge_join(
     has NULLs in some value columns. Filling each column independently
     would silently mix values from different right rows (and pull stale
     non-NULLs past a nearer NULL), diverging from ASOF row semantics.
+    
+
+    Right timestamps must be UNIQUE per key (the standard as-of input
+    contract; pandas merge_asof requires sorted input for the same
+    reason): among duplicate right timestamps the surviving row is
+    engine-/layout-dependent here and in DuckDB's ASOF JOIN alike.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward/forward, got {direction!r}")

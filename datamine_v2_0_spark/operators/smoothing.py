@@ -31,15 +31,20 @@ def savgol_smooth(
     out_col: str = "smoothed",
     window: int = 15,
     polyorder: int = 3,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Per-group Savitzky–Golay smoothing; rows are sorted by `order_col`
-    inside each group (order-sensitive kernel — SURVEY.md §7 risk 2)."""
+    inside each group (order-sensitive kernel — SURVEY.md §7 risk 2).
+    Pass ``tiebreak_col`` when order_col can repeat within a group: the
+    convolution's operand order on tied rows is otherwise arbitrary and
+    the smoothed values become nondeterministic run-to-run."""
     out_schema = ", ".join(
         f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
     ) + f", {out_col} double"
+    sort_cols = [order_col] + ([tiebreak_col] if tiebreak_col else [])
 
     def _smooth(pdf):
-        pdf = pdf.sort_values(order_col).reset_index(drop=True)
+        pdf = pdf.sort_values(sort_cols, kind="stable").reset_index(drop=True)
         n = len(pdf)
         if n == 0:
             pdf[out_col] = []

@@ -498,21 +498,26 @@ def q_agg_histogram(spark, sf_dir):
 
 SQL_AGG_HISTOGRAM = """
 WITH stats AS (
-  SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi
+  SELECT CAST(MIN(value) AS DOUBLE) AS lo, CAST(MAX(value) AS DOUBLE) AS hi,
+         -- constant column: zero width floors x/0 to NULL and every bin
+         -- reports 0 — mirror the Spark operator's degrade-to-width-1
+         CASE WHEN MAX(value) > MIN(value)
+              THEN (CAST(MAX(value) AS DOUBLE) - MIN(value)) / 20.0
+              ELSE 1.0 END AS width
   FROM events
 ), c AS (
   SELECT LEAST(GREATEST(CAST(floor((CAST(value AS DOUBLE) - s.lo)
-                       / ((s.hi - s.lo) / 20.0)) AS BIGINT), 0), 19) AS bin,
+                       / s.width) AS BIGINT), 0), 19) AS bin,
          COUNT(*) AS n
   FROM events, stats s WHERE value IS NOT NULL GROUP BY 1
 ), grid AS (
   SELECT unnest(generate_series(CAST(0 AS BIGINT), CAST(19 AS BIGINT))) AS bin,
-         s.lo, s.hi
+         s.lo, s.width
   FROM stats s
 )
 SELECT g.bin,
-       ROUND(g.lo + g.bin * ((g.hi - g.lo) / 20.0), 6) AS bin_lo,
-       ROUND(g.lo + (g.bin + 1) * ((g.hi - g.lo) / 20.0), 6) AS bin_hi,
+       ROUND(g.lo + g.bin * g.width, 6) AS bin_lo,
+       ROUND(g.lo + (g.bin + 1) * g.width, 6) AS bin_hi,
        COALESCE(c.n, 0) AS n
 FROM grid g LEFT JOIN c USING (bin)
 """
@@ -582,7 +587,8 @@ def q_agg_heavy_hitters(spark, sf_dir):
 SQL_AGG_HEAVY_HITTERS = """
 SELECT user_id, CAST(COUNT(*) AS BIGINT) AS est_count,
        CAST(0 AS BIGINT) AS err_ub
-FROM events GROUP BY user_id
+FROM events WHERE user_id IS NOT NULL
+GROUP BY user_id
 ORDER BY est_count DESC, user_id LIMIT 10
 """
 

@@ -48,8 +48,7 @@ def q_dedup_exact(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct(dd.content_hash(F.col("text"))).alias("n_unique_hash"),
         F.countDistinct(tx.fingerprint(F.col("text"))).alias("n_unique_fp"),
-        F.count(F.lit(1)).alias("n_total"),
-    ).select("n_docs", "n_unique_hash", "n_unique_fp")
+    )
 
 SQL_DEDUP_EXACT = r"""
 SELECT COUNT(*) AS n_docs,
@@ -303,10 +302,19 @@ WITH norm AS (
   SELECT doc_id, unnest(gl, recursive := true) FROM gr
 ), shared AS (
   SELECT s FROM grams GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+), hit AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN shared USING (s)
+), gapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM hit
 ), marked AS (
-  SELECT g.doc_id, g.pos,
-         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
-  FROM grams g JOIN shared USING (s)
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM gapped
 )
 SELECT doc_id,
        CAST(MIN(pos) AS BIGINT) AS start_pos,
@@ -335,10 +343,19 @@ WITH norm AS (
   SELECT doc_id, unnest(gl, recursive := true) FROM gr
 ), shared AS (
   SELECT s FROM grams GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 2
+), hit AS (
+  SELECT g.doc_id, g.pos FROM grams g JOIN shared USING (s)
+), gapped AS (
+  SELECT doc_id, pos,
+         CASE WHEN pos - LAG(pos) OVER
+                    (PARTITION BY doc_id ORDER BY pos) <= 8
+              THEN 0 ELSE 1 END AS brk
+  FROM hit
 ), marked AS (
-  SELECT g.doc_id, g.pos,
-         g.pos - ROW_NUMBER() OVER (PARTITION BY g.doc_id ORDER BY g.pos) AS grp
-  FROM grams g JOIN shared USING (s)
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+  FROM gapped
 ), spans AS (
   SELECT doc_id, MIN(pos) AS sp, MAX(pos) + 7 AS ep
   FROM marked GROUP BY doc_id, grp

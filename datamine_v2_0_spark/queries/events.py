@@ -83,12 +83,16 @@ UNION ALL
 SELECT 'pk_unique', 'unique',
        COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
                         AND l_linenumber IS NOT NULL)
-       - COUNT(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem
+       - COUNT(DISTINCT CASE WHEN l_orderkey IS NOT NULL
+                              AND l_linenumber IS NOT NULL
+                             THEN (l_orderkey, l_linenumber) END)
+FROM lineitem
 UNION ALL
 SELECT 'order_fk', 'ref',
-       COUNT(*) FILTER (WHERE l_orderkey IS NOT NULL
-                        AND l_orderkey NOT IN (SELECT o_orderkey FROM orders))
-FROM lineitem
+       COUNT(*) FILTER (WHERE l.l_orderkey IS NOT NULL
+                        AND NOT EXISTS (SELECT 1 FROM orders o
+                                        WHERE o.o_orderkey = l.l_orderkey))
+FROM lineitem l
 """
 
 def q_ts_gapfill(spark, sf_dir):

@@ -174,6 +174,7 @@ def q_join_asof(spark, sf_dir):
         "p_ts",
         3600.0,
         "event_id",
+        right_tiebreak="p_event_id",
     )
     delta = (
         F.unix_micros(F.col("ts")) - F.unix_micros(F.col("p_ts"))
@@ -195,7 +196,7 @@ WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
 SELECT event_id, p_event_id,
        CAST(date_diff('microsecond', p_ts, ts) AS DOUBLE) / 1000000.0 AS delta_s
 FROM j
-QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY absd, p_ts) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY absd, p_ts, p_event_id) = 1
 """
 
 def q_join_asof_backward(spark, sf_dir):
@@ -219,6 +220,7 @@ def q_join_asof_backward(spark, sf_dir):
         3600.0,
         "event_id",
         direction="backward",
+        right_tiebreak="p_event_id",
     )
     delta = (
         F.unix_micros(F.col("ts")) - F.unix_micros(F.col("p_ts"))
@@ -239,7 +241,7 @@ WITH e AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
      )
 SELECT event_id, p_event_id, d AS delta_s
 FROM j
-QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, p_ts) = 1
+QUALIFY ROW_NUMBER() OVER (PARTITION BY event_id ORDER BY d, p_ts, p_event_id) = 1
 """
 
 def q_join_asof_merge(spark, sf_dir):

@@ -62,7 +62,12 @@ FROM events
 def q_scalar_silver(spark, sf_dir):
     df = _t(spark, sf_dir, "events")
     dev = F.concat(F.lit("u"), F.col("user_id").cast("string"))
-    flag_text = F.when(F.col("value") > 50.0, F.lit("t")).otherwise(F.lit("f"))
+    # NULL-preserving flag text: a NULL value is UNKNOWN engagement, not
+    # 'f' — when/otherwise would coerce it to false while the oracle's
+    # `value > 50.0` correctly yields NULL
+    flag_text = F.when(F.col("value") > 50.0, F.lit("t")).when(
+        F.col("value") <= 50.0, F.lit("f")
+    )
     return df.select(
         "event_id",
         device_date(dev, F.col("ts")).alias("device_date"),
@@ -71,11 +76,14 @@ def q_scalar_silver(spark, sf_dir):
         json_string_literal(F.col("event_type")).alias("type_json"),
     )
 
-SQL_SCALAR_SILVER = """
+SQL_SCALAR_SILVER = r"""
 SELECT event_id,
        'u' || CAST(user_id AS VARCHAR) || '_' || strftime(ts, '%Y-%m-%d')
            AS device_date,
-       props AS extras,
+       CASE WHEN props IS NULL OR trim(props) = '' THEN NULL
+            WHEN regexp_matches(props, '^\s*\{.*\}\s*$')
+              OR regexp_matches(props, '^\s*\[.*\]\s*$') THEN props
+            ELSE CAST(to_json(props) AS VARCHAR) END AS extras,
        value > 50.0 AS engaged,
        CAST(to_json(event_type) AS VARCHAR) AS type_json
 FROM events
@@ -264,12 +272,12 @@ def q_scalar_json(spark, sf_dir):
 
 SQL_SCALAR_JSON = """
 SELECT event_type,
-       COUNT(CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
-       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+       COUNT(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS n_k,
+       CAST(SUM(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
          AS sum_k,
-       MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
-       MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
-       floor(AVG(CAST(json_extract_string(props, '$.k') AS INT)) * 1e6 + 0.5)
+       MIN(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+       MAX(TRY_CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       floor(AVG(TRY_CAST(json_extract_string(props, '$.k') AS INT)) * 1e6 + 0.5)
          / 1e6 AS avg_k
 FROM events GROUP BY event_type
 """

@@ -196,9 +196,10 @@ def q_win_savgol(spark, sf_dir):
     excluded here and covered by the exact-recovery pytest."""
     ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
     out = sm.savgol_smooth(
-        ev, ["user_id"], "ts", "value", out_col="smoothed", window=11, polyorder=2
+        ev, ["user_id"], "ts", "value", out_col="smoothed",
+        window=11, polyorder=2, tiebreak_col="event_id",
     )
-    w = Window.partitionBy("user_id").orderBy("ts")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     out = out.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(Window.partitionBy("user_id"))
     )
@@ -218,7 +219,7 @@ WITH r AS (
           + 84.0 * (LAG(value, 1) OVER w + LEAD(value, 1) OVER w)
           + 89.0 * value) / 429.0 AS sm
   FROM events
-  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 )
 SELECT event_id, ROUND(sm, 6) AS smoothed
 FROM r WHERE rn >= 6 AND rn <= n - 5

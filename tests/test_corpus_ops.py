@@ -505,3 +505,32 @@ def test_strip_duplicate_spans_preserves_case_outside_spans(spark):
     assert out[3] == "No Duplicates In This One At All"
     assert out[1].startswith("Original Casing Stays")
     assert quote.split()[0] not in out[1].lower().split()
+
+
+def test_duplicate_spans_merge_overlapping_regions(spark):
+    """Regression: shared k-grams at positions with gap < k cover ONE
+    contiguous region; pos - row_number split them into two overlapping
+    'maximal' spans that double-counted tokens."""
+    import pandas as pd
+
+    # T holds tokens t1..t10; X shares t1..t8, Y shares t3..t10 — T's
+    # shared 8-gram positions are {1, 3} (gap 2 < k=8): ONE span [1,10]
+    toks = [f"tok{i}" for i in range(1, 11)]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(toks),
+                "xpre " + " ".join(toks[:8]),
+                " ".join(toks[2:]) + " ypost",
+            ],
+        }
+    )
+    spans = {
+        (r.doc_id, r.start_pos, r.end_pos): r.span_tokens
+        for r in dd.duplicate_substring_spans(
+            spark.createDataFrame(docs), "text", "doc_id", k=8
+        ).collect()
+        if r.doc_id == 1
+    }
+    assert spans == {(1, 1, 10): 10}

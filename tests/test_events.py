@@ -124,3 +124,17 @@ def test_transition_matrix_single_event_user_no_rows(spark):
     rows = [(1, dt(2024, 1, 1), "a")]
     out = ev.transition_matrix(_events(spark, rows), "user_id", "ts", "event_type")
     assert out.count() == 0
+
+
+def test_funnel_empty_slice_reports_zero_rows_per_step(spark):
+    """Regression: a slice with no step events returned an EMPTY frame
+    while the SQL form reports every step with users=0."""
+    from datamine_v2_0_spark.operators import events as ev
+
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "other")],
+        "user_id long, ts string, event_type string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    out = ev.funnel_steps(df, ["view", "click"], "user_id", "ts", "event_type")
+    got = {(r.step, r.step_name): r.users for r in out.collect()}
+    assert got == {(0, "view"): 0, (1, "click"): 0}
