@@ -21,6 +21,32 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _join_back_nullsafe(
+    df: DataFrame, stats: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Join per-group stats back onto the input rows with NULL-safe key
+    equality. ``groupBy`` collects NULL-keyed rows into a NULL group,
+    but a plain equi join-back silently DROPS them (NULL == NULL is not
+    true) — rows with a NULL stratum would vanish from the output
+    instead of rejoining their own group's stats. ``eqNullSafe`` (<=>)
+    is still an equi-join predicate to Spark, so the join stays a
+    co-partitioned hash join, not a BNLJ. The stats side's key columns
+    are renamed before the join and dropped after, so the output keeps
+    exactly the input's key columns."""
+    keys = list(keys)
+    renamed = stats.select(
+        *[F.col(k).alias(f"__jk{i}") for i, k in enumerate(keys)],
+        *[c for c in stats.columns if c not in keys],
+    )
+    cond = None
+    for i, k in enumerate(keys):
+        c = F.col(k).eqNullSafe(F.col(f"__jk{i}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(renamed, cond).drop(
+        *[f"__jk{i}" for i in range(len(keys))]
+    )
+
+
 def global_stats(df: DataFrame, col: str, distinct_col: str | None = None) -> DataFrame:
     """A1: COUNT/MIN/MAX/COUNT(DISTINCT) in one pass
     (01_ingest_raw_telemetry.py:319-326)."""
@@ -294,15 +320,16 @@ def grouped_mad(
     very outliers being hunted).
 
     Two exact-median passes: group medians (one shuffle on keys), join
-    back (co-partitioned on the same keys), deviations, second median.
-    Spark's percentile(0.5) is the exact interpolated median, matching
-    SQL engines' median()."""
+    back (co-partitioned on the same keys, NULL-safe so a NULL stratum
+    keeps its rows instead of silently dropping them), deviations,
+    second median. Spark's percentile(0.5) is the exact interpolated
+    median, matching SQL engines' median()."""
     keys = list(keys)
     med = df.groupBy(*keys).agg(
         F.expr(f"percentile({value}, 0.5)").alias("__med"),
         F.count(F.lit(1)).alias("n"),
     )
-    dev = df.join(med, keys).withColumn(
+    dev = _join_back_nullsafe(df, med, keys).withColumn(
         "__adev", F.abs(F.col(value) - F.col("__med"))
     )
     return (
@@ -329,16 +356,17 @@ def robust_outliers(
     (median, mad, robust_z).
 
     Builds on ``grouped_mad`` (two exact-median passes), then one
-    co-partitioned join back on ``keys`` — groups where MAD = 0 (over
-    half the group identical) yield no finite score and are skipped.
-    """
+    co-partitioned NULL-safe join back on ``keys`` — groups where
+    MAD = 0 (over half the group identical) yield no finite score and
+    are skipped; a NULL stratum is scored within its own group like any
+    other."""
     keys = list(keys)
     stats = grouped_mad(df, keys, value, round_to=round_to).select(
         *keys, "median", "mad"
     )
     z = F.lit(0.6745) * (F.col(value) - F.col("median")) / F.col("mad")
     return (
-        df.join(stats, keys)
+        _join_back_nullsafe(df, stats, keys)
         .filter((F.col("mad") > 0) & (F.abs(z) > F.lit(float(z_thresh))))
         .withColumn("robust_z", F.round(z, round_to))
     )
@@ -716,15 +744,17 @@ def winsorize(
 
     Shape: one exact-percentile aggregate per group (partial-agg
     percentile, 2 doubles per group on the shuffle) joined back
-    co-partitioned on the grouping key — the same two-pass plan as
-    `grouped_mad`/`robust_outliers`; the corpus never sorts globally."""
+    co-partitioned on the grouping key, NULL-safe so a NULL stratum is
+    capped within its own group rather than silently dropped — the same
+    two-pass plan as `grouped_mad`/`robust_outliers`; the corpus never
+    sorts globally."""
     keys = list(keys)
     v = F.col(value).cast("double")
     caps = df.groupBy(*keys).agg(
         F.percentile(v, F.lit(float(lower))).alias("lo_cap"),
         F.percentile(v, F.lit(float(upper))).alias("hi_cap"),
     )
-    out = df.join(caps, keys)
+    out = _join_back_nullsafe(df, caps, keys)
     # greatest/least SKIP null arguments, which would fabricate lo_cap
     # for missing measurements — cap, don't invent: NULL stays NULL
     wz = F.when(

@@ -351,11 +351,23 @@ def lookup_join(
 
     Mapping keys are normalized with the SAME trim+lower applied to the
     data column — a mixed-case mapping key would otherwise silently
-    never match and every such row would fall to the default."""
+    never match and every such row would fall to the default. Two
+    mapping keys that collide after normalization ('A' and 'a') would
+    create duplicate lookup rows and silently DUPLICATE every matching
+    input row in the join output, so conflicting collisions raise;
+    collisions that agree on the value dedupe harmlessly."""
     spark = df.sparkSession
+    norm_map: dict[str, str] = {}
+    for k, val in mapping.items():
+        nk = str(k).strip().lower()
+        if nk in norm_map and norm_map[nk] != val:
+            raise ValueError(
+                f"lookup mapping keys collide after trim+lower: {nk!r} maps "
+                f"to both {norm_map[nk]!r} and {val!r}"
+            )
+        norm_map[nk] = val
     lut = spark.createDataFrame(
-        [(str(k).strip().lower(), v) for k, v in mapping.items()],
-        schema=f"__k string, {out} string",
+        list(norm_map.items()), schema=f"__k string, {out} string"
     )
     norm = F.lower(F.trim(F.coalesce(F.col(col), F.lit(default))))
     return (

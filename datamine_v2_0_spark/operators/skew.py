@@ -16,6 +16,41 @@ from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _contains_map(dt: T.DataType) -> bool:
+    if isinstance(dt, T.MapType):
+        return True
+    if isinstance(dt, T.ArrayType):
+        return _contains_map(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return any(_contains_map(f.dataType) for f in dt.fields)
+    return False
+
+
+def _content_salt(
+    df: DataFrame, salt_buckets: int, salt_cols: Sequence[str] | None
+) -> Column:
+    """Retry-stable content-derived salt (see salted_agg's rationale).
+    Spark's hash functions reject MapType anywhere in the hashed value,
+    so by default only map-free columns feed the hash; pass
+    ``salt_cols`` explicitly to salt on a chosen high-entropy subset
+    (also the fix when a key is hot because of byte-identical duplicate
+    rows — include a distinguishing column, or accept that duplicates
+    share a bucket)."""
+    if salt_cols is not None:
+        cols = list(salt_cols)
+    else:
+        cols = [
+            f.name for f in df.schema.fields if not _contains_map(f.dataType)
+        ]
+    if not cols:
+        raise ValueError(
+            "no hashable (map-free) columns to derive a retry-stable salt "
+            "from; pass salt_cols explicitly"
+        )
+    return F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(salt_buckets))
 
 
 def salted_agg(
@@ -23,6 +58,7 @@ def salted_agg(
     keys: Sequence[str],
     aggs: dict[str, tuple[Column, Column]],
     salt_buckets: int = 16,
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Two-phase aggregation over a salted key: phase 1 groups by
     (keys, salt) — splitting each hot key across `salt_buckets` reducers —
@@ -37,12 +73,10 @@ def salted_agg(
     # depends on row order within a partition, so a stage retry after a
     # fetch failure re-salts rows differently than the lost attempt and
     # reducers mixing both attempts double-count/drop rows (the
-    # SPARK-23207 class). Hashing all columns is retry-stable; rows with
-    # fully identical content share a salt, which only matters if a hot
-    # key is hot BECAUSE of byte-identical duplicate rows.
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets)).alias(
-        "__salt"
-    )
+    # SPARK-23207 class). Hashing the map-free columns is retry-stable;
+    # rows with identical content in those columns share a salt — pass
+    # salt_cols if that matters (see _content_salt).
+    salt = _content_salt(df, salt_buckets, salt_cols).alias("__salt")
     partial = df.groupBy(*keys, salt).agg(
         *[expr.alias(name) for name, (expr, _merge) in aggs.items()]
     )
@@ -57,6 +91,7 @@ def salted_join(
     on: str,
     salt_buckets: int = 16,
     how: str = "inner",
+    salt_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Skewed equi join without broadcast: salt the big side with a random
     bucket, replicate the small side across all buckets, join on
@@ -79,13 +114,7 @@ def salted_join(
         )
     # content-derived salt, not monotonically_increasing_id — see
     # salted_agg: order-dependent salts break under stage retry
-    b = big.withColumn(
-        "__salt",
-        F.pmod(
-            F.xxhash64(*[F.col(c) for c in big.columns]),
-            F.lit(salt_buckets),
-        ),
-    )
+    b = big.withColumn("__salt", _content_salt(big, salt_buckets, salt_cols))
     s = small.crossJoin(
         F.broadcast(
             big.sparkSession.range(salt_buckets).select(

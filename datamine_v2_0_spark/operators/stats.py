@@ -3,9 +3,13 @@ Mann–Whitney U rank test. Companions to `aggregates.ab_welch_ttest`
 (parametric A/B) and `aggregates.grouped_mad` (robust dispersion).
 
 Everything here is pure Column algebra — closed-form sufficient
-statistics inside ONE partial-aggregatable pass (OLS) or one rank
-window + one aggregate (Mann–Whitney). No UDFs, no collects; at 100 TB
-each operator costs a single shuffle on its grouping key.
+statistics inside ONE partial-aggregatable pass (OLS) or a distributed
+prefix sum over the distinct-value relation (Mann–Whitney / KS). No
+UDFs, no collects; no operator in this module ever funnels an unbounded
+relation through a single task: the rank cumulatives range-partition
+the distinct values, cumulate within each range bucket, and stitch the
+buckets with a broadcast offsets relation whose size is the bucket
+count, not the data.
 
 Reference parity: the reference's EDA step fits trends per device via
 pandas/Polars in a driver loop (`STEP 3 - EDA Analysis`); here the
@@ -66,6 +70,73 @@ def grouped_linreg(
     )
 
 
+def _dist_prefix_sums(
+    rel: DataFrame,
+    order_col: str,
+    sum_cols: Sequence[str],
+    include_current: bool,
+    buckets: int,
+) -> DataFrame:
+    """Distributed prefix sums over an ordered relation — the scale-safe
+    replacement for ``Window.orderBy(order_col)`` with no partitionBy
+    (which funnels the whole relation through ONE task).
+
+    Standard two-level decomposition: range-exchange the relation on
+    ``order_col`` into ``buckets`` ordered partitions (Spark's sampled
+    RangePartitioner, so skewed value distributions still balance),
+    cumulate within each bucket (each bucket is its own window task),
+    then add the running total of all PRIOR buckets via a broadcast
+    offsets relation of exactly ``buckets`` rows. The only globally
+    ordered window runs over that tiny offsets relation — bounded by
+    the bucket count by construction, never by the data.
+
+    Emits ``__cum_<col>`` for every ``sum_cols`` entry (inclusive or
+    exclusive of the current row per ``include_current``). Two lazy
+    checkpoints: the input relation (the range exchange's boundary-
+    sampling job would otherwise recompute the upstream aggregate — one
+    corpus scan, not two) and the bucketed relation (so both consumers,
+    cumulatives + bucket totals, see one consistent
+    ``spark_partition_id`` assignment)."""
+    rel = rel.localCheckpoint(eager=False)
+    pv = (
+        rel.repartitionByRange(buckets, F.col(order_col))
+        .withColumn("__bkt", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    end = 0 if include_current else -1
+    w_in = (
+        Window.partitionBy("__bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, end)
+    )
+    w_off = Window.orderBy("__bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    totals = pv.groupBy("__bkt").agg(
+        *[F.sum(c).alias(f"__tot{c}") for c in sum_cols]
+    )
+    offsets = totals.select(
+        "__bkt",
+        *[
+            F.coalesce(F.sum(f"__tot{c}").over(w_off), F.lit(0)).alias(
+                f"__off{c}"
+            )
+            for c in sum_cols
+        ],
+    )
+    out = pv
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}", F.coalesce(F.sum(c).over(w_in), F.lit(0))
+        )
+    out = out.join(F.broadcast(offsets), "__bkt")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}", F.col(f"__cum_{c}") + F.col(f"__off{c}")
+        )
+    return out.drop("__bkt", *[f"__off{c}" for c in sum_cols])
+
+
 def mann_whitney_u(
     df: DataFrame,
     group_col: str,
@@ -73,6 +144,7 @@ def mann_whitney_u(
     group_a,
     group_b,
     round_to: int = 6,
+    buckets: int = 32,
 ) -> DataFrame:
     """Mann–Whitney U (Wilcoxon rank-sum) test between two groups — the
     non-parametric A/B comparison: no normality assumption, robust to
@@ -80,11 +152,14 @@ def mann_whitney_u(
     (n_a, n_b, u_stat, z_score) where u_stat is U for group A and
     z_score the tie-corrected normal approximation.
 
-    Shape: midranks via one AVG-over-value window (the standard
-    tied-rank definition, no dense_rank trickery), tie sizes via a
-    value-level aggregate, then everything folds into a 1-row result.
-    Two shuffles total (rank exchange + final fold), both on bounded
-    data."""
+    Shape: midranks via a per-distinct-value aggregate (the rank
+    exchange carries distinct metric values, not rows) followed by a
+    DISTRIBUTED prefix sum over that relation (`_dist_prefix_sums`):
+    range-partitioned cumulatives + broadcast bucket offsets. Even on a
+    continuous metric where distinct ≈ rows (latency, loss, score) no
+    single task ever sees more than ~1/``buckets`` of the relation —
+    raise ``buckets`` toward the cluster's task budget at corpus
+    scale."""
     v = F.col(value_col).cast("double")
     sub = df.filter(
         F.col(group_col).isin([group_a, group_b]) & v.isNotNull()
@@ -96,12 +171,12 @@ def mann_whitney_u(
         F.count(F.lit(1)).alias("__t"),
         F.count(F.when(F.col("__g") == F.lit(group_a), 1)).alias("__ta"),
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = per_val.withColumn(
-        "__below", F.coalesce(F.sum("__t").over(w), F.lit(0))
+    ranked = _dist_prefix_sums(
+        per_val, "__v", ["__t"], include_current=False, buckets=buckets
     ).withColumn(
         "__midrank",
-        F.col("__below").cast("double") + (F.col("__t").cast("double") + 1.0) / 2.0,
+        F.col("__cum___t").cast("double")
+        + (F.col("__t").cast("double") + 1.0) / 2.0,
     )
     stats = ranked.agg(
         F.sum("__ta").cast("double").alias("__na"),
@@ -116,8 +191,11 @@ def mann_whitney_u(
     n = na + nb
     u = F.col("__ra") - na * (na + 1) / 2
     mu = na * nb / 2
+    # try_divide: a degenerate input (one value total, n <= 1) must
+    # yield a NULL z row, not an ANSI DIVIDE_BY_ZERO job failure
     sigma2 = (
-        na * nb / 12.0 * ((n + 1) - F.col("__ties") / (n * (n - 1)))
+        na * nb / 12.0
+        * ((n + 1) - F.try_divide(F.col("__ties"), n * (n - 1)))
     )
     z = F.when(sigma2 > 0, (u - mu) / F.sqrt(sigma2))
     return stats.select(
@@ -136,6 +214,7 @@ def ks_two_sample(
     group_b,
     round_to: int = 6,
     quantize_dp: int | None = None,
+    buckets: int = 32,
 ) -> DataFrame:
     """Two-sample Kolmogorov–Smirnov test — the distribution-shape drift
     check PSI can't give you (PSI sees 10 fixed bins; KS sees the whole
@@ -144,13 +223,14 @@ def ks_two_sample(
     approximation 2·exp(−2·c²), c = D·sqrt(na·nb/(na+nb)).
 
     Shape: one per-value aggregate (shuffles DISTINCT values, not
-    rows), one cumulative window over the distinct-value relation, one
-    1-row fold. Like `mann_whitney_u`, the ordered cumulative runs in a
-    single partition of the distinct-value relation — fine for
-    categorical/quantized data; for high-cardinality doubles at corpus
-    scale pass ``quantize_dp`` to floor-quantize values first (the D
-    statistic of the quantized ECDFs bounds the true D within one bin
-    mass)."""
+    rows), then a DISTRIBUTED prefix sum over the distinct-value
+    relation (`_dist_prefix_sums`: range-partitioned cumulatives +
+    broadcast bucket offsets — no single-task ordered window even when
+    distinct ≈ rows), one 1-row fold. ``quantize_dp`` optionally
+    floor-quantizes values first — it bounds the distinct-value relation
+    itself, cheaper still on continuous doubles (the D statistic of the
+    quantized ECDFs bounds the true D within one bin mass); the exact
+    path is scale-safe either way."""
     v = F.col(value_col).cast("double")
     if quantize_dp is not None:
         scale = F.lit(float(10**quantize_dp))
@@ -162,24 +242,36 @@ def ks_two_sample(
         F.count(F.when(F.col("__g") == F.lit(group_a), 1)).alias("__ca"),
         F.count(F.when(F.col("__g") == F.lit(group_b), 1)).alias("__cb"),
     )
-    w = Window.orderBy("__v").rowsBetween(Window.unboundedPreceding, 0)
-    cum = per_val.select(
-        F.sum("__ca").over(w).cast("double").alias("__fa"),
-        F.sum("__cb").over(w).cast("double").alias("__fb"),
+    cum = _dist_prefix_sums(
+        per_val,
+        "__v",
+        ["__ca", "__cb"],
+        include_current=True,
+        buckets=buckets,
+    ).select(
+        F.col("__cum___ca").cast("double").alias("__fa"),
+        F.col("__cum___cb").cast("double").alias("__fb"),
     )
-    tot = per_val.agg(
-        F.sum("__ca").cast("double").alias("__na"),
-        F.sum("__cb").cast("double").alias("__nb"),
-    )
-    stats = cum.crossJoin(F.broadcast(tot)).agg(
+    # the inclusive prefix sum's maximum IS the group total — no second
+    # pass over per_val needed
+    # try_divide: a group with zero non-null values yields a NULL d row,
+    # not an ANSI DIVIDE_BY_ZERO job failure
+    stats = cum.crossJoin(
+        F.broadcast(
+            cum.agg(F.max("__fa").alias("__na"), F.max("__fb").alias("__nb"))
+        )
+    ).agg(
         F.max("__na").alias("__na"),
         F.max("__nb").alias("__nb"),
         F.max(
-            F.abs(F.col("__fa") / F.col("__na") - F.col("__fb") / F.col("__nb"))
+            F.abs(
+                F.try_divide(F.col("__fa"), F.col("__na"))
+                - F.try_divide(F.col("__fb"), F.col("__nb"))
+            )
         ).alias("__d"),
     )
     na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
-    c2 = d * d * (na * nb / (na + nb))
+    c2 = d * d * F.try_divide(na * nb, na + nb)
     p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * c2))
     return stats.select(
         na.cast("bigint").alias("n_a"),
@@ -203,14 +295,28 @@ def chi_square_independence(
     score (exact chi-square CDFs need the regularized gamma, which SQL
     engines lack).
 
-    Shape: one cell-level aggregate (r×c rows), marginals via two tiny
-    window sums over the cell relation, one 1-row fold — the corpus is
-    scanned once and the shuffle carries cells, not rows."""
+    Shape: one cell-level aggregate, completed to the FULL r×c
+    contingency grid (distinct rows × distinct columns, observed count
+    0 where a combination never occurs — an unobserved cell still
+    contributes (0−E)²/E = E to the statistic, and omitting those terms
+    understates chi2 exactly when association is strongest), marginals
+    via two tiny window sums over the grid, one 1-row fold — the corpus
+    is scanned once and the shuffle carries cells, not rows."""
     sub = df.filter(
         F.col(col_a).isNotNull() & F.col(col_b).isNotNull()
     ).select(F.col(col_a).alias("__a"), F.col(col_b).alias("__b"))
-    cells = sub.groupBy("__a", "__b").agg(
+    # three consumers (grid axes + observed left join): materialize the
+    # tiny observed-cell relation once
+    observed = sub.groupBy("__a", "__b").agg(
         F.count(F.lit(1)).cast("double").alias("__o")
+    ).localCheckpoint(eager=False)
+    grid = (
+        observed.select("__a")
+        .distinct()
+        .crossJoin(observed.select("__b").distinct())
+    )
+    cells = grid.join(observed, ["__a", "__b"], "left").select(
+        "__a", "__b", F.coalesce("__o", F.lit(0.0)).alias("__o")
     )
     wa = Window.partitionBy("__a")
     wb = Window.partitionBy("__b")

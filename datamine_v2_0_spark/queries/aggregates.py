@@ -156,7 +156,8 @@ WITH med AS (
 SELECT o.o_orderpriority, ANY_VALUE(med.n) AS n,
        ROUND(ANY_VALUE(med.m), 6) AS median,
        ROUND(median(ABS(o.o_totalprice - med.m)), 6) AS mad
-FROM orders o JOIN med USING (o_orderpriority)
+FROM orders o JOIN med
+  ON o.o_orderpriority IS NOT DISTINCT FROM med.o_orderpriority
 GROUP BY o.o_orderpriority
 """
 
@@ -434,11 +435,14 @@ WITH med AS (
 ), st AS (
   SELECT e.event_type, ROUND(ANY_VALUE(med.m), 6) AS median,
          ROUND(median(ABS(e.value - med.m)), 6) AS mad
-  FROM events e JOIN med USING (event_type) GROUP BY 1
+  FROM events e JOIN med
+    ON e.event_type IS NOT DISTINCT FROM med.event_type
+  GROUP BY 1
 )
 SELECT e.event_id, e.event_type, e.value, st.median, st.mad,
        ROUND(0.6745 * (e.value - st.median) / st.mad, 6) AS robust_z
-FROM events e JOIN st USING (event_type)
+FROM events e JOIN st
+  ON e.event_type IS NOT DISTINCT FROM st.event_type
 WHERE st.mad > 0
   AND ABS(0.6745 * (e.value - st.median) / st.mad) > 3.5
 """
@@ -676,7 +680,9 @@ FROM s
 def q_agg_mannwhitney(spark, sf_dir):
     """Mann-Whitney U rank test (non-parametric A/B): midranks from a
     per-distinct-value aggregate — the rank exchange carries distinct
-    metric values, not rows (operators/stats.mann_whitney_u)."""
+    metric values, not rows — cumulated by a DISTRIBUTED prefix sum
+    (range buckets + broadcast offsets; no single-task ordered window
+    even on continuous metrics) (operators/stats.mann_whitney_u)."""
     from datamine_v2_0_spark.operators import stats
 
     ev = _t(spark, sf_dir, "events")
@@ -755,12 +761,20 @@ def q_stat_chi2(spark, sf_dir):
     return stats.chi_square_independence(o, "o_orderpriority", "o_orderstatus")
 
 SQL_STAT_CHI2 = """
-WITH cells AS (
+WITH observed AS (
   SELECT o_orderpriority AS a, o_orderstatus AS b,
          CAST(COUNT(*) AS DOUBLE) AS o
   FROM orders
   WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL
   GROUP BY 1, 2
+), cells AS (
+  -- complete the full r*c grid: an unobserved cell contributes
+  -- (0-E)^2/E = E to the statistic (mirrors the operator exactly)
+  SELECT g.a, g.b, COALESCE(c.o, 0) AS o
+  FROM (SELECT da.a, db.b
+        FROM (SELECT DISTINCT a FROM observed) da
+        CROSS JOIN (SELECT DISTINCT b FROM observed) db) g
+  LEFT JOIN observed c ON g.a = c.a AND g.b = c.b
 ), m AS (
   SELECT a, b, o,
          SUM(o) OVER (PARTITION BY a) AS ra,
@@ -856,5 +870,6 @@ SELECT o.o_orderkey, o.o_orderpriority,
        ROUND(CASE WHEN o.o_totalprice IS NOT NULL
                   THEN LEAST(GREATEST(o.o_totalprice, caps.lo), caps.hi)
              END, 4) AS value_winsorized
-FROM orders o JOIN caps USING (o_orderpriority)
+FROM orders o JOIN caps
+  ON o.o_orderpriority IS NOT DISTINCT FROM caps.o_orderpriority
 """

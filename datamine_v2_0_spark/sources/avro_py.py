@@ -295,8 +295,20 @@ def write_avro_py(
 
 
 # ---------------------------------------------------------------- reader
+def _read_exact(buf: io.BytesIO, n: int) -> bytes:
+    """Strict read: a short read means the caller's buffer is a
+    truncated prefix (e.g. the header probe in read_avro_py) — raise
+    EOFError so the probe loop can extend the buffer, instead of
+    surfacing as an opaque UnicodeDecodeError/JSONDecodeError on a
+    half-read metadata value."""
+    b = buf.read(n)
+    if len(b) != n:
+        raise EOFError(f"truncated read: wanted {n} bytes, got {len(b)}")
+    return b
+
+
 def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
-    if buf.read(4) != _MAGIC:
+    if _read_exact(buf, 4) != _MAGIC:
         raise ValueError("not an Avro object container file")
     meta = {}
     while True:
@@ -309,10 +321,10 @@ def _read_header(buf: io.BytesIO) -> tuple[dict, str, bytes]:
             _read_long(buf)
             n = -n
         for _ in range(n):
-            k = buf.read(_read_long(buf)).decode()
-            v = buf.read(_read_long(buf))
+            k = _read_exact(buf, _read_long(buf)).decode()
+            v = _read_exact(buf, _read_long(buf))
             meta[k] = v
-    sync = buf.read(16)
+    sync = _read_exact(buf, 16)
     avsc = json.loads(meta["avro.schema"])
     codec = meta.get("avro.codec", b"null").decode()
     return avsc, codec, sync
@@ -364,7 +376,19 @@ def read_avro_py(spark: SparkSession, path: str) -> DataFrame:
     if not files:
         raise FileNotFoundError(f"no .avro files under {path}")
     with open(files[0], "rb") as fh:
-        avsc, _, _ = _read_header(io.BytesIO(fh.read(1 << 16)))
+        # a header whose schema JSON exceeds the initial probe would
+        # truncate mid-varint — extend the buffer until the header parses
+        # (EOFError) instead of failing on an arbitrary 64 KiB cap
+        head = fh.read(1 << 16)
+        while True:
+            try:
+                avsc, _, _ = _read_header(io.BytesIO(head))
+                break
+            except EOFError:
+                more = fh.read(1 << 20)
+                if not more:
+                    raise
+                head += more
     schema = avro_schema_to_spark(avsc)
     plan = _field_plan(avsc)
     names = [n for n, _, _ in plan]

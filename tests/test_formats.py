@@ -251,3 +251,40 @@ def test_avro_py_null_double_becomes_nan_documented(spark, tmp_path):
     vals = [r.d for r in av.read_avro_py(spark, out).collect()]
     assert [v for v in vals if v is not None and v == v] == [1.5]
     assert sum(1 for v in vals if v is None or v != v) == 1
+
+
+def test_avro_py_header_larger_than_probe(spark, tmp_path):
+    """Regression (round-6 advice): read_avro_py probed only the first
+    64 KiB for the header; a header whose metadata exceeds that
+    truncated mid-varint with an opaque EOFError. The probe now extends
+    until the header parses. Zero data blocks = a valid empty file."""
+    import io
+    import json as _json
+
+    from datamine_v2_0_spark.sources import avro_py as A
+
+    avsc = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "x", "type": ["null", "long"]}],
+    }
+    meta = {
+        "avro.schema": _json.dumps(avsc).encode(),
+        "avro.codec": b"null",
+        "pad": b"x" * (1 << 17),  # 128 KiB of metadata > the 64 KiB probe
+    }
+    out = bytearray(A._MAGIC)
+    A._write_long(out, len(meta))
+    for k, v in meta.items():
+        kb = k.encode()
+        A._write_long(out, len(kb))
+        out += kb
+        A._write_long(out, len(v))
+        out += v
+    A._write_long(out, 0)
+    out += b"S" * 16  # sync marker
+    p = tmp_path / "big_header.avro"
+    p.write_bytes(bytes(out))
+    df = A.read_avro_py(spark, str(p))
+    assert df.columns == ["x"]
+    assert df.count() == 0

@@ -1548,3 +1548,53 @@ def test_quantile_bins_approx_null_and_degenerate(spark):
     # nbins=1: single bin for every non-null
     one = bn.quantile_bins_approx(df, "v", 1, "b")
     assert {r.b for r in one.collect()} == {0, None}
+
+
+def test_lookup_join_normalized_key_collision_raises(spark):
+    """Regression (round-6 advice): 'A' and 'a' collide after
+    trim+lower; conflicting values would silently duplicate every
+    matching input row — raise instead. Agreeing duplicates dedupe."""
+    df = spark.createDataFrame([("a",)], "c string")
+    with pytest.raises(ValueError, match="collide"):
+        jn.lookup_join(df, {"A": "x", "a": "y"}, "c", "decoded")
+    out = jn.lookup_join(df, {"A": "x", "a ": "x"}, "c", "decoded")
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0].decoded == "x"
+
+
+def test_ann_recall_floors_published_curve(spark):
+    """Recall floors pinned from the published ANN.md curve (sf0.01,
+    same deterministic kernels/seeds): lsh probe=1 measured 0.99 and
+    pq rerank_from=20 measured 0.90 — assert comfortable floors so a
+    kernel regression can't silently flatten the curve while the
+    certified full-recall contract points stay green."""
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").cache()
+    queries = emb.orderBy("vec_id").limit(20)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, queries, "embedding", "vec_id", k=5).collect()
+    }
+    lsh1 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.lsh_topk(
+            emb, queries, "embedding", "vec_id", dim=64, k=5,
+            num_planes=24, bands=8, probe=1,
+        ).collect()
+    }
+    assert len(lsh1 & exact) / len(exact) >= 0.95
+    pq20 = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_rerank_topk(
+            emb, queries, "embedding", "vec_id", dim=64, k=5,
+            m=16, k_codes=32, rerank_from=20,
+        ).collect()
+    }
+    assert len(pq20 & exact) / len(exact) >= 0.85
+    emb.unpersist()

@@ -261,3 +261,41 @@ def test_salt_is_content_derived_not_order_derived(spark):
         for r in sk.salted_agg(df.repartition(7), ["k"], aggs).collect()
     }
     assert a == b
+
+
+def test_salted_agg_map_column_ok(spark):
+    """Regression (round-6 advice): Spark's hash functions reject
+    MapType, so salting over EVERY column failed analysis on any frame
+    carrying a map column. Map columns are excluded from the salt
+    source by default."""
+    df = spark.createDataFrame(
+        [Row(k="hot", v=float(i), m={"a": i}) for i in range(50)]
+        + [Row(k="c", v=1.0, m={"b": 1})]
+    )
+    got = {
+        r["k"]: (r["n"], r["s"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {"n": (F.count(F.lit(1)), F.sum("n")), "s": (F.sum("v"), F.sum("s"))},
+            salt_buckets=4,
+        ).collect()
+    }
+    assert got["hot"][0] == 50 and got["c"] == (1, 1.0)
+
+
+def test_salted_join_explicit_salt_cols(spark, skewed_df):
+    dim = spark.createDataFrame([Row(k="hot", lbl="H"), Row(k="c1", lbl="C")])
+    plain = salted_join(skewed_df, dim, "k", salt_buckets=4)
+    explicit = salted_join(
+        skewed_df, dim, "k", salt_buckets=4, salt_cols=["v"]
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
+def test_salted_agg_all_map_columns_raises(spark):
+    df = spark.createDataFrame([Row(m={"a": 1})])
+    with pytest.raises(ValueError, match="salt_cols"):
+        salted_agg(df, ["m"], {"n": (F.count(F.lit(1)), F.sum("n"))})

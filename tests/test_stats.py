@@ -364,3 +364,97 @@ def test_cosine_zero_vector_yields_null_not_error(spark):
     # the job completes (no ANSI DIVIDE_BY_ZERO) and the zero vector
     # never outranks a real neighbor (NULL sorts after any similarity)
     assert {r.neighbor_id for r in got} == {3}
+
+
+def test_chi2_perfect_association_counts_unobserved_cells(spark):
+    """Regression (round-6 advice): a perfectly associated 2x2 table has
+    chi2 = n. The old sum ran only over OBSERVED cells, so the two
+    never-observed off-diagonal cells (each contributing E = 12.5) were
+    dropped and chi2 came out as 25 instead of 50 — understating the
+    statistic exactly when association is strongest."""
+    rows = [("x", "p")] * 25 + [("y", "q")] * 25
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = stats.chi_square_independence(df, "a", "b").first()
+    assert r.n == 50 and r.dof == 1
+    assert r.chi2 == 50.0
+
+
+def test_mann_whitney_bucket_invariant(spark):
+    """The distributed prefix sum is exact: any bucket count gives the
+    single-partition answer."""
+    rng = np.random.RandomState(7)
+    rows = [("a", float(v)) for v in rng.normal(0, 1, 150)] + [
+        ("b", float(v)) for v in rng.normal(0.3, 1, 170)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    one = stats.mann_whitney_u(df, "g", "v", "a", "b", buckets=1).first()
+    many = stats.mann_whitney_u(df, "g", "v", "a", "b", buckets=7).first()
+    assert one == many
+
+
+def test_ks_bucket_invariant(spark):
+    rng = np.random.RandomState(9)
+    rows = [("a", float(v)) for v in rng.normal(0, 1, 200)] + [
+        ("b", float(v)) for v in rng.normal(0.5, 1, 150)
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    one = stats.ks_two_sample(df, "g", "v", "a", "b", buckets=1).first()
+    many = stats.ks_two_sample(df, "g", "v", "a", "b", buckets=5).first()
+    assert one == many
+
+
+def test_ks_empty_group_null_not_ansi_error(spark):
+    """Regression (round-6 advice): a group with zero non-null values
+    must yield a NULL d_stat row, not an ANSI DIVIDE_BY_ZERO failure."""
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", None)], "g string, v double"
+    )
+    r = stats.ks_two_sample(df, "g", "v", "a", "b").first()
+    assert r.d_stat is None
+
+
+def test_mann_whitney_single_value_null_z_not_error(spark):
+    """n*(n-1) = 0 when only one observation exists: NULL z, no ANSI
+    DIVIDE_BY_ZERO."""
+    df = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    r = stats.mann_whitney_u(df, "g", "v", "a", "b").first()
+    assert r.z_score is None
+
+
+def test_winsorize_null_stratum_rows_survive(spark):
+    """Regression (round-5 verdict #2): groupBy puts NULL-keyed rows in
+    a NULL group, but the plain equi join-back dropped them — rows with
+    a NULL stratum vanished from the output. They must come back capped
+    within the NULL group."""
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = [("g", float(v)) for v in range(1, 21)] + [
+        (None, float(v)) for v in range(1, 21)
+    ]
+    df = spark.createDataFrame(rows, "k string, v double")
+    out = agg.winsorize(df, ["k"], "v", 0.05, 0.95).collect()
+    assert len(out) == 40
+    null_rows = [r for r in out if r.k is None]
+    assert len(null_rows) == 20
+    # capped within the NULL group, not against the 'g' group's caps
+    lo, hi = null_rows[0].lo_cap, null_rows[0].hi_cap
+    assert 1.0 < lo < hi < 20.0
+    assert min(r.value_winsorized for r in null_rows) == lo
+    assert max(r.value_winsorized for r in null_rows) == hi
+
+
+def test_grouped_mad_and_outliers_null_stratum(spark):
+    from datamine_v2_0_spark.operators import aggregates as agg
+
+    rows = (
+        [("g", float(v)) for v in range(1, 21)]
+        + [(None, float(v)) for v in range(1, 21)]
+        + [(None, 1e6)]  # planted outlier in the NULL stratum
+    )
+    df = spark.createDataFrame(rows, "k string, v double")
+    mad = {r.k: r for r in agg.grouped_mad(df, ["k"], "v").collect()}
+    assert set(mad) == {"g", None}
+    assert mad[None].n == 21 and mad[None].mad > 0
+    out = agg.robust_outliers(df, ["k"], "v", z_thresh=3.5).collect()
+    flagged = [(r.k, r.v) for r in out]
+    assert (None, 1e6) in flagged

@@ -54,6 +54,10 @@ BNLJ_OK = {
     "text_lm_bigram": 1,
     # 1-row (na, nb) totals fold into the ECDF normalization
     "stat_ks": 1,
+    # contingency-grid completion: distinct rows x distinct columns
+    # cross (bounded by category cardinality r*c, never data volume) —
+    # unobserved cells must contribute E to the statistic
+    "stat_chi2": 1,
     # 1-row chance-agreement numerator folds into the kappa computation
     "stat_kappa": 1,
 }
@@ -146,8 +150,10 @@ def main() -> None:
         "subplans folded back into the audit (counts are the UNION of the\n"
         "final plan and every pre-checkpoint subplan — iterative queries are\n"
         "no longer a blind spot). BNLJ entries are audited 1-row stat\n"
-        "fold-ins (see BNLJ_OK); the one cartesian is the documented exact-ANN\n"
-        "baseline.\n\n"
+        "fold-ins or bounded category-grid completions (see BNLJ_OK); the\n"
+        "cartesian column is all zeros — the exact-ANN baseline's\n"
+        "documented cross join plans as a BNLJ, so no CartesianProduct\n"
+        "node appears in any of the audited plans.\n\n"
         "| query | exch | bhj | smj | bnlj | cartesian | arrow-py | row-py | scans | ckpt-subplans |\n"
         "|---|---|---|---|---|---|---|---|---|---|\n"
     )
