@@ -34,179 +34,181 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 
 # Registry order is deliberate: the driver's CORRECTNESS gate checks the
 # FIRST 50 entries in insertion order, so each round the window rotates
-# to maximize cumulative driver-green coverage. Round-6 window:
-#   1. the 9 queries whose semantics or kernels CHANGED this round —
-#      mann_whitney_u / ks_two_sample rewritten on the distributed
-#      prefix sum (no single-task ordered window), chi-square completed
-#      to the full contingency grid (unobserved cells now contribute E,
-#      operator AND oracle), winsorize / grouped_mad / robust_outliers
-#      join-backs made NULL-safe (eqNullSafe + IS NOT DISTINCT FROM in
-#      the oracles), lookup_join collision guard, salted_agg/join
-#      map-free content salts — a change without a fresh driver row is
-#      an uncertified change;
-#   2. pipeline_silver and text_fingerprint — explicitly queued
-#      next-in-line by the round-5 rotation;
-#   3. the 39 oldest-evidence (round-3) oracle-backed queries, in the
-#      standing age order.
-# Everything fresher (r4/r5-green) follows past slot 50 (evidence
-# stands); the 5 genuinely non-SQL rows-only entries stay last so they
-# never displace an oracle-checkable slot.
+# to maximize cumulative driver-green coverage. Round-7 window
+# (per the round-6 verdict's tasks #3/#4):
+#   1. the 5 genuinely non-SQL rows-only entries (cpd_candidates,
+#      agg_approx, text_packed, text_bpe, agg_hll_rollup) get their
+#      FIRST-EVER driver rows — they had sat past slot 50 since round 1
+#      so an oracle-checkable query was never displaced; this round they
+#      lead (45 oracle + 5 rows-only for one round);
+#   2. the 3 queries whose semantics or lineage CHANGED this round —
+#      stat_ks (p_approx NULL when D is NULL, operator AND oracle),
+#      dedup_groups / dedup_canonical (shared-lineage groups memo) — a
+#      change without a fresh driver row is an uncertified change;
+#   3. the 42 remaining oracle-backed queries whose newest driver
+#      evidence is round 3, in standing age order.
+# Everything fresher (r4/r5/r6-green) follows past slot 50 in evidence
+# age order (oldest first), so the round-8 window is simply the next 50.
 QUERIES: dict[str, tuple] = {
-    # --- changed in r6: re-certify first (MW/KS distributed
-    #     prefix sum, chi2 full-grid, NULL-safe join-backs,
-    #     lookup collision guard, content-salt map filter) ---
-    "agg_mannwhitney": (q_agg_mannwhitney, SQL_AGG_MANNWHITNEY),
-    "stat_ks": (q_stat_ks, SQL_STAT_KS),
-    "stat_chi2": (q_stat_chi2, SQL_STAT_CHI2),
-    "agg_winsorize": (q_agg_winsorize, SQL_AGG_WINSORIZE),
-    "agg_mad": (q_agg_mad, SQL_AGG_MAD),
-    "agg_outliers": (q_agg_outliers, SQL_AGG_OUTLIERS),
-    "join_lookup": (q_join_lookup, SQL_JOIN_LOOKUP),
-    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
-    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
-    # --- queued next-in-line from the round-5 rotation ------
-    "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
-    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    # --- oldest driver evidence (r3): re-prove rung ---------
-    "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
-    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
-    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
-    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
-    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
-    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
-    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
-    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
-    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
-    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
-    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
-    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
-    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
-    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
-    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
-    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
-    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
-    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
-    "dedup_substring_strip": (q_dedup_substring_strip, SQL_DEDUP_SUBSTRING_STRIP),
-    "text_rrf": (q_text_rrf, SQL_TEXT_RRF),
-    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
-    "ts_ohlc": (q_ts_ohlc, SQL_TS_OHLC),
-    "evt_transitions": (q_evt_transitions, SQL_EVT_TRANSITIONS),
-    "qa_psi": (q_qa_psi, SQL_QA_PSI),
-    "filt_temperature_mix": (q_filt_temperature_mix, SQL_FILT_TEMPERATURE_MIX),
-    "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
-    "geo_radius_join": (q_geo_radius_join, SQL_GEO_RADIUS_JOIN),
-    "win_hampel": (q_win_hampel, SQL_WIN_HAMPEL),
-    "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
-    "agg_topk_group": (q_agg_topk_group, SQL_AGG_TOPK_GROUP),
-    "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
-    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
-    "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
-    "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
-    "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
-    "agg_linreg": (q_agg_linreg, SQL_AGG_LINREG),
-    "ts_seasonal": (q_ts_seasonal, SQL_TS_SEASONAL),
-    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
-    # ------------------- slot 51+: fresher evidence stands --
-    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
-    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
-    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
-    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
-    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
-    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD_INVERTED),
-    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
-    "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
-    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
-    "dedup_against": (q_dedup_against, SQL_DEDUP_AGAINST),
-    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
-    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
-    "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
-    "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),
-    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_COSINE_TOPK),
-    "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_COSINE_TOPK),
-    "mm_features": (q_mm_features, SQL_MM_FEATURES),
-    "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
-    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
-    "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
-    "evt_funnel": (q_evt_funnel, SQL_EVT_FUNNEL),
-    "evt_cohort": (q_evt_cohort, SQL_EVT_COHORT),
-    "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
-    "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
-    "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
-    "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
-    "join_asof_merge": (q_join_asof_merge, SQL_JOIN_ASOF_MERGE),
-    "scalar_json": (q_scalar_json, SQL_SCALAR_JSON),
-    "win_rolling_corr": (q_win_rolling_corr, SQL_WIN_ROLLING_CORR),
-    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
-    "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
-    "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
-    "text_packed_nextfit": (q_text_packed_nextfit, SQL_TEXT_PACKED_NEXTFIT),
-    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
-    "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
-    "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
-    "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
-    "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
-    "filt_hash_split": (q_filt_hash_split, SQL_FILT_HASH_SPLIT),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
-    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
-    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
-    "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
-    "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
-    "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
-    "text_quality_gate": (q_text_quality_gate, SQL_TEXT_QUALITY_GATE),
-    "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
-    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
-    "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
-    "stat_kappa": (q_stat_kappa, SQL_STAT_KAPPA),
-    "filt_sample_exact_k": (q_filt_sample_exact_k, SQL_FILT_SAMPLE_EXACT_K),
-    "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
-    "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
-    "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
-    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
-    "text_decontaminate_embed": (q_text_decontaminate_embed, SQL_TEXT_DECONTAMINATE_EMBED),
-    "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
-    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
-    "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
-    "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
-    "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
-    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
-    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
-    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
-    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
-    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
-    "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
-    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
-    "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
-    "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
-    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
-    "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
-    "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
-    "agg_date_distribution": (q_agg_date_distribution, SQL_AGG_DATE_DISTRIBUTION),
-    "agg_freq_topk": (q_agg_freq_topk, SQL_AGG_FREQ_TOPK),
-    "agg_hourly_profile": (q_agg_hourly_profile, SQL_AGG_HOURLY_PROFILE),
-    "agg_having": (q_agg_having, SQL_AGG_HAVING),
-    "agg_ordered_array": (q_agg_ordered_array, SQL_AGG_ORDERED_ARRAY),
-    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
-    "agg_integrity": (q_agg_integrity, SQL_AGG_INTEGRITY),
-    "agg_fraction": (q_agg_fraction, SQL_AGG_FRACTION),
-    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
-    "win_partition_stddev": (q_win_partition_stddev, SQL_WIN_PARTITION_STDDEV),
-    "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
-    "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
-    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
-    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
-    "filt_clamp": (q_filt_clamp, SQL_FILT_CLAMP),
-    "filt_sample_mod": (q_filt_sample_mod, SQL_FILT_SAMPLE_MOD),
-    "filt_between_isin": (q_filt_between_isin, SQL_FILT_BETWEEN_ISIN),
-    "set_union": (q_set_union, SQL_SET_UNION),
-    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
-    "set_except": (q_set_except, SQL_SET_EXCEPT),
-    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
-    "text_lang": (q_text_lang, SQL_TEXT_LANG),
-    # --- genuinely non-SQL (rows-only check): keep these LAST
+    # --- rows-only entries (first driver evidence ever: six rounds
+    #     with zero driver rows is the gate's only blind spot —
+    #     round-6 verdict #3 orders them into the first slots) ---
     "cpd_candidates": (q_cpd_candidates, None),
     "agg_approx": (q_agg_approx, None),
     "text_packed": (q_text_packed, None),
     "text_bpe": (q_text_bpe, None),
     "agg_hll_rollup": (q_agg_hll_rollup, None),
+    # --- changed in r7: re-certify (KS p_approx now NULL when D is
+    #     NULL, operator + oracle; dedup_groups/dedup_canonical now
+    #     share one lineage via the persisted groups memo) ---------
+    "stat_ks": (q_stat_ks, SQL_STAT_KS),
+    "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
+    "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    # --- oldest oracle-backed evidence (round 3): re-prove rung ---
+    "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
+    "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
+    "agg_rollup": (q_agg_rollup, SQL_AGG_ROLLUP),
+    "dedup_against": (q_dedup_against, SQL_DEDUP_AGAINST),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD_INVERTED),
+    "dedup_lines": (q_dedup_lines, SQL_DEDUP_LINES),
+    "dedup_simhash_pairs": (q_dedup_simhash_pairs, SQL_DEDUP_SIMHASH_PAIRS),
+    "evt_cohort": (q_evt_cohort, SQL_EVT_COHORT),
+    "evt_funnel": (q_evt_funnel, SQL_EVT_FUNNEL),
+    "filt_balance_strata": (q_filt_balance_strata, SQL_FILT_BALANCE_STRATA),
+    "filt_hash_split": (q_filt_hash_split, SQL_FILT_HASH_SPLIT),
+    "filt_shuffle_shards": (q_filt_shuffle_shards, SQL_FILT_SHUFFLE_SHARDS),
+    "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
+    "join_asof_merge": (q_join_asof_merge, SQL_JOIN_ASOF_MERGE),
+    "join_interval_priority": (q_join_interval_priority, SQL_JOIN_INTERVAL_PRIORITY),
+    "join_range_bin": (q_join_range_bin, SQL_JOIN_RANGE_BIN),
+    "mm_features": (q_mm_features, SQL_MM_FEATURES),
+    "mm_frames": (q_mm_frames, SQL_MM_FRAMES),
+    "pipeline_curation": (q_pipeline_curation, SQL_PIPELINE_CURATION),
+    "qa_validate": (q_qa_validate, SQL_QA_VALIDATE),
+    "scalar_json": (q_scalar_json, SQL_SCALAR_JSON),
+    "sim_bucketed_topk": (q_sim_bucketed_topk, SQL_SIM_BUCKETED_TOPK),
+    "sim_cosine_topk": (q_sim_cosine_topk, SQL_SIM_COSINE_TOPK),
+    "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_COSINE_TOPK),
+    "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_COSINE_TOPK),
+    "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_COSINE_TOPK),
+    "text_bm25": (q_text_bm25, SQL_TEXT_BM25),
+    "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
+    "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
+    "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
+    "text_ngrams": (q_text_ngrams, SQL_TEXT_NGRAMS),
+    "text_packed_nextfit": (q_text_packed_nextfit, SQL_TEXT_PACKED_NEXTFIT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_quality_gate": (q_text_quality_gate, SQL_TEXT_QUALITY_GATE),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
+    "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
+    "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
+    "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
+    "win_rolling_corr": (q_win_rolling_corr, SQL_WIN_ROLLING_CORR),
+    "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
+    # ------------------- slot 51+: fresher evidence stands --------
+    # next-in-line for the round-8 window (newest evidence round 4)
+    "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
+    "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),
+    "agg_tumbling": (q_agg_tumbling, SQL_AGG_TUMBLING),
+    "win_lag_delta": (q_win_lag_delta, SQL_WIN_LAG_DELTA),
+    "win_rolling": (q_win_rolling, SQL_WIN_ROLLING),
+    # newest evidence round 5
+    "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
+    "agg_date_distribution": (q_agg_date_distribution, SQL_AGG_DATE_DISTRIBUTION),
+    "agg_distinct": (q_agg_distinct, SQL_AGG_DISTINCT),
+    "agg_fraction": (q_agg_fraction, SQL_AGG_FRACTION),
+    "agg_freq_topk": (q_agg_freq_topk, SQL_AGG_FREQ_TOPK),
+    "agg_having": (q_agg_having, SQL_AGG_HAVING),
+    "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
+    "agg_hourly_profile": (q_agg_hourly_profile, SQL_AGG_HOURLY_PROFILE),
+    "agg_integrity": (q_agg_integrity, SQL_AGG_INTEGRITY),
+    "agg_ordered_array": (q_agg_ordered_array, SQL_AGG_ORDERED_ARRAY),
+    "agg_pivot": (q_agg_pivot, SQL_AGG_PIVOT),
+    "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard_inverted": (q_dedup_jaccard_inverted, SQL_DEDUP_JACCARD_INVERTED),
+    "dedup_semantic": (q_dedup_semantic, SQL_DEDUP_SEMANTIC),
+    "filt_between_isin": (q_filt_between_isin, SQL_FILT_BETWEEN_ISIN),
+    "filt_clamp": (q_filt_clamp, SQL_FILT_CLAMP),
+    "filt_project_range": (q_filt_project_range, SQL_FILT_PROJECT_RANGE),
+    "filt_sample_exact_k": (q_filt_sample_exact_k, SQL_FILT_SAMPLE_EXACT_K),
+    "filt_sample_mod": (q_filt_sample_mod, SQL_FILT_SAMPLE_MOD),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "join_anti": (q_join_anti, SQL_JOIN_ANTI),
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
+    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
+    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
+    "join_semi": (q_join_semi, SQL_JOIN_SEMI),
+    "join_upsert": (q_join_upsert, SQL_JOIN_UPSERT),
+    "scalar_hash_id": (q_scalar_hash_id, SQL_SCALAR_HASH_ID),
+    "scalar_position": (q_scalar_position, SQL_SCALAR_POSITION),
+    "scalar_silver": (q_scalar_silver, SQL_SCALAR_SILVER),
+    "scd_type2": (q_scd_type2, SQL_SCD_TYPE2),
+    "set_except": (q_set_except, SQL_SET_EXCEPT),
+    "set_intersect": (q_set_intersect, SQL_SET_INTERSECT),
+    "set_union": (q_set_union, SQL_SET_UNION),
+    "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
+    "stat_kappa": (q_stat_kappa, SQL_STAT_KAPPA),
+    "text_decontaminate_embed": (q_text_decontaminate_embed, SQL_TEXT_DECONTAMINATE_EMBED),
+    "text_lang": (q_text_lang, SQL_TEXT_LANG),
+    "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
+    "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
+    "win_diff_shift": (q_win_diff_shift, SQL_WIN_DIFF_SHIFT),
+    "win_ffill": (q_win_ffill, SQL_WIN_FFILL),
+    "win_partition_stddev": (q_win_partition_stddev, SQL_WIN_PARTITION_STDDEV),
+    "win_running_sum": (q_win_running_sum, SQL_WIN_RUNNING_SUM),
+    "win_savgol": (q_win_savgol, SQL_WIN_SAVGOL),
+    # newest evidence round 6
+    "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
+    "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
+    "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
+    "agg_describe": (q_agg_describe, SQL_AGG_DESCRIBE),
+    "agg_diversity": (q_agg_diversity, SQL_AGG_DIVERSITY),
+    "agg_global_stats": (q_agg_global_stats, SQL_AGG_GLOBAL_STATS),
+    "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
+    "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),
+    "agg_linreg": (q_agg_linreg, SQL_AGG_LINREG),
+    "agg_mad": (q_agg_mad, SQL_AGG_MAD),
+    "agg_mannwhitney": (q_agg_mannwhitney, SQL_AGG_MANNWHITNEY),
+    "agg_outliers": (q_agg_outliers, SQL_AGG_OUTLIERS),
+    "agg_salted": (q_agg_salted, SQL_AGG_SALTED),
+    "agg_topk_group": (q_agg_topk_group, SQL_AGG_TOPK_GROUP),
+    "agg_winsorize": (q_agg_winsorize, SQL_AGG_WINSORIZE),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_exact_keep": (q_dedup_exact_keep, SQL_DEDUP_EXACT_KEEP),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
+    "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
+    "dedup_substring": (q_dedup_substring, SQL_DEDUP_SUBSTRING),
+    "dedup_substring_strip": (q_dedup_substring_strip, SQL_DEDUP_SUBSTRING_STRIP),
+    "eda_movement": (q_eda_movement, SQL_EDA_MOVEMENT),
+    "evt_transitions": (q_evt_transitions, SQL_EVT_TRANSITIONS),
+    "filt_temperature_mix": (q_filt_temperature_mix, SQL_FILT_TEMPERATURE_MIX),
+    "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
+    "geo_radius_join": (q_geo_radius_join, SQL_GEO_RADIUS_JOIN),
+    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
+    "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
+    "join_fuzzy": (q_join_fuzzy, SQL_JOIN_FUZZY),
+    "join_lookup": (q_join_lookup, SQL_JOIN_LOOKUP),
+    "join_salted": (q_join_salted, SQL_JOIN_SALTED),
+    "pipeline_features": (q_pipeline_features, SQL_PIPELINE_FEATURES),
+    "pipeline_silver": (q_pipeline_silver, SQL_PIPELINE_SILVER),
+    "qa_psi": (q_qa_psi, SQL_QA_PSI),
+    "scalar_binning": (q_scalar_binning, SQL_SCALAR_BINNING),
+    "scalar_quantile_bins": (q_scalar_quantile_bins, SQL_SCALAR_QUANTILE_BINS),
+    "scalar_wkt": (q_scalar_wkt, SQL_SCALAR_WKT),
+    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
+    "stat_chi2": (q_stat_chi2, SQL_STAT_CHI2),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_redact": (q_text_redact, SQL_TEXT_REDACT),
+    "text_rrf": (q_text_rrf, SQL_TEXT_RRF),
+    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
+    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
+    "ts_ohlc": (q_ts_ohlc, SQL_TS_OHLC),
+    "ts_seasonal": (q_ts_seasonal, SQL_TS_SEASONAL),
+    "win_hampel": (q_win_hampel, SQL_WIN_HAMPEL),
+    "win_minmax_flags": (q_win_minmax_flags, SQL_WIN_MINMAX_FLAGS),
+    "win_range_frame": (q_win_range_frame, SQL_WIN_RANGE_FRAME),
 }

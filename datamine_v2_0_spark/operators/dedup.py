@@ -804,6 +804,20 @@ def dedup_groups(
     )
 
 
+def canonical_ids(groups: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deduplicated-corpus ids from a ``dedup_groups`` output: keep the
+    smallest-id representative per duplicate cluster (the rows where
+    ``group_id == id``).
+
+    This is THE one-pass pattern for 'groups AND canonical corpus':
+    compute ``dedup_groups`` once (persist/write it), then derive the
+    canonical set with this narrow filter — NOT by re-running the pair
+    graph + connected components. At corpus scale the pair graph is
+    hours of work; this filter is a single scan of the (id, group_id)
+    relation."""
+    return groups.filter(F.col("group_id") == F.col(id_col)).select(id_col)
+
+
 def portable_shingle_hash(s: Column) -> Column:
     """60-bit shingle hash any ANSI-SQL engine can reproduce bit-for-bit:
     the first 15 hex chars of md5, parsed base 16 (fits a signed 64-bit

@@ -76,6 +76,7 @@ def _dist_prefix_sums(
     sum_cols: Sequence[str],
     include_current: bool,
     buckets: int,
+    reliable: bool = False,
 ) -> DataFrame:
     """Distributed prefix sums over an ordered relation — the scale-safe
     replacement for ``Window.orderBy(order_col)`` with no partitionBy
@@ -90,19 +91,39 @@ def _dist_prefix_sums(
     ordered window runs over that tiny offsets relation — bounded by
     the bucket count by construction, never by the data.
 
+    PRECONDITION: ``rel`` must have at most one row per distinct
+    ``order_col`` value (both call sites pass a ``groupBy(order_col)``
+    output). With duplicate keys the within-bucket ``rowsBetween``
+    cumulatives are nondeterministic inside ties and the exclusive
+    (``include_current=False``) prefix loses its '#values strictly
+    below' meaning — pre-aggregate duplicates before calling.
+
     Emits ``__cum_<col>`` for every ``sum_cols`` entry (inclusive or
     exclusive of the current row per ``include_current``). Two lazy
     checkpoints: the input relation (the range exchange's boundary-
     sampling job would otherwise recompute the upstream aggregate — one
     corpus scan, not two) and the bucketed relation (so both consumers,
     cumulatives + bucket totals, see one consistent
-    ``spark_partition_id`` assignment)."""
-    rel = rel.localCheckpoint(eager=False)
+    ``spark_partition_id`` assignment).
+
+    Fault-tolerance caveat: ``localCheckpoint`` stores blocks
+    UNREPLICATED on executors, so losing an executor mid-job
+    (preemption, dynamic-allocation downscale) makes the job fail
+    loudly and need a re-run — it never returns wrong results. For
+    long-running cluster jobs where that retry cost matters, set
+    ``reliable=True`` to persist through ``spark.sparkContext
+    .setCheckpointDir``-backed reliable checkpoints instead (requires a
+    checkpoint dir on durable storage; slower, survives executor
+    loss)."""
+    if reliable:
+        rel = rel.checkpoint(eager=True)
+    else:
+        rel = rel.localCheckpoint(eager=False)
     pv = (
         rel.repartitionByRange(buckets, F.col(order_col))
         .withColumn("__bkt", F.spark_partition_id())
-        .localCheckpoint(eager=False)
     )
+    pv = pv.checkpoint(eager=True) if reliable else pv.localCheckpoint(eager=False)
     end = 0 if include_current else -1
     w_in = (
         Window.partitionBy("__bkt")
@@ -272,7 +293,13 @@ def ks_two_sample(
     )
     na, nb, d = F.col("__na"), F.col("__nb"), F.col("__d")
     c2 = d * d * F.try_divide(na * nb, na + nb)
-    p = F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * c2))
+    # guard: F.least skips NULL operands, so a degenerate input (one or
+    # both groups empty → D NULL) would report p = 1.0; the consistent
+    # answer is (NULL d, NULL p)
+    p = F.when(
+        d.isNotNull(),
+        F.least(F.lit(1.0), F.lit(2.0) * F.exp(F.lit(-2.0) * c2)),
+    )
     return stats.select(
         na.cast("bigint").alias("n_a"),
         nb.cast("bigint").alias("n_b"),

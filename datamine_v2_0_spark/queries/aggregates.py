@@ -747,7 +747,10 @@ WITH sub AS (
 )
 SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
        ROUND(d, 6) AS d_stat,
-       ROUND(LEAST(1.0, 2.0*EXP(-2.0 * d*d*(na*nb/(na+nb)))), 6) AS p_approx
+       -- NULL p when D is NULL (degenerate group), mirroring the operator
+       ROUND(CASE WHEN d IS NOT NULL
+                  THEN LEAST(1.0, 2.0*EXP(-2.0 * d*d*(na*nb/(na+nb))))
+             END, 6) AS p_approx
 FROM s
 """
 

@@ -514,6 +514,40 @@ def test_dedup_groups_covers_all_docs(spark):
     assert own == {i: i for i in range(6)}
 
 
+def test_canonical_ids_from_groups(spark):
+    """canonical_ids is the documented one-pass 'groups -> deduplicated
+    corpus' filter (round-6 verdict #6): representatives only, no
+    pair-graph recomputation."""
+    docs = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    pairs = spark.createDataFrame([(0, 4), (4, 5)], "id_a long, id_b long")
+    groups = dd.dedup_groups(docs, "doc_id", pairs)
+    kept = {r["doc_id"] for r in dd.canonical_ids(groups).collect()}
+    assert kept == {0, 1, 2, 3}
+
+
+def test_dedup_canonical_query_reuses_groups_cache(spark):
+    """The registry pair q_dedup_groups -> q_dedup_canonical must share
+    one lineage: after q_dedup_groups runs, q_dedup_canonical derives
+    from the persisted memo (and matches the cold recomputation)."""
+    import os
+
+    from datamine_v2_0_spark.queries import dedup as qd
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    qd._GROUPS_CACHE.clear()
+    cold = {r["doc_id"] for r in qd.q_dedup_canonical(spark, sf).collect()}
+    assert (id(spark), sf) not in qd._GROUPS_CACHE
+    groups = qd.q_dedup_groups(spark, sf)
+    assert qd._GROUPS_CACHE[(id(spark), sf)] is groups
+    warm = {r["doc_id"] for r in qd.q_dedup_canonical(spark, sf).collect()}
+    assert warm == cold
+    n_groups = groups.count()
+    assert len(warm) <= n_groups
+    qd._GROUPS_CACHE.pop((id(spark), sf)).unpersist()
+
+
 def test_lsh_topk_recall(spark):
     """Multi-probe LSH: probe=3 recovers the exact top-k on the sf0.001
     embeddings fixture (this full-recall property is what lets the

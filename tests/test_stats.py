@@ -411,6 +411,28 @@ def test_ks_empty_group_null_not_ansi_error(spark):
     )
     r = stats.ks_two_sample(df, "g", "v", "a", "b").first()
     assert r.d_stat is None
+    # round-7 consistency fix: NULL D must carry NULL p, not p = 1.0
+    # (F.least skips NULL operands, so the unguarded form reported 1.0)
+    assert r.p_approx is None
+
+
+def test_dist_prefix_sums_reliable_checkpoint(spark, tmp_path):
+    """The reliable=True fault-tolerance path (round-6 advice: lazy
+    localCheckpoint blocks are unreplicated, executor loss kills the
+    job) must produce identical cumulatives through a durable
+    checkpoint dir."""
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    rows = [(float(i), i % 3 + 1) for i in range(50)]
+    df = spark.createDataFrame(rows, "v double, c int")
+    base = stats._dist_prefix_sums(
+        df, "v", ["c"], include_current=True, buckets=4
+    )
+    rel = stats._dist_prefix_sums(
+        df, "v", ["c"], include_current=True, buckets=4, reliable=True
+    )
+    a = sorted((r["v"], r["__cum_c"]) for r in base.collect())
+    b = sorted((r["v"], r["__cum_c"]) for r in rel.collect())
+    assert a == b
 
 
 def test_mann_whitney_single_value_null_z_not_error(spark):
