@@ -51,13 +51,57 @@ def explicit_bins(col: Column, edges: Sequence[float]) -> Column:
 
 
 def quantile_bins_exact(
-    df: DataFrame, col: str, nbins: int, out: str, tiebreak: str
+    df: DataFrame,
+    col: str,
+    nbins: int,
+    out: str,
+    tiebreak: str,
+    buckets: int = 32,
 ) -> DataFrame:
-    """pd.qcut parity: NTILE over the global order (col, tiebreak).
-    Requires a total sort — report-scale only; use the approx variant for
-    large data."""
-    w = Window.orderBy(F.col(col), F.col(tiebreak))
-    return df.withColumn(out, F.ntile(nbins).over(w) - 1)
+    """pd.qcut parity: exact NTILE(nbins)-1 over the global
+    (col, tiebreak) order. ``tiebreak`` must be a UNIQUE key — it makes
+    the ordering total, so the bin of every row is deterministic.
+
+    Scale shape (round-7 rewrite): the old form was a global
+    ``Window.orderBy`` NTILE, which funnels the ENTIRE relation through
+    ONE task (the exact single-task-window anti-pattern
+    `tools/plan_audit.py` now probes for). Now the global 1-based rank
+    comes from `stats._dist_prefix_sums` — range-partitioned cumulative
+    counts stitched with broadcast bucket offsets, every stage parallel
+    — and the NTILE bucket is closed-form arithmetic on (rank, n):
+    with n rows and k buckets the first n mod k buckets hold
+    floor(n/k)+1 rows (SQL NTILE semantics), so
+      bucket(r) = ceil(r/(base+1))                 if r <= rem*(base+1)
+                = rem + ceil((r-rem*(base+1))/base) otherwise
+    with base = floor(n/k), rem = n mod k."""
+    from datamine_v2_0_spark.operators.stats import _dist_prefix_sums
+
+    rel = df.withColumn(
+        "__ord", F.struct(F.col(col), F.col(tiebreak))
+    ).withColumn("__one", F.lit(1).cast("long"))
+    ranked = _dist_prefix_sums(
+        rel, "__ord", ["__one"], include_current=True, buckets=buckets
+    )
+    total = ranked.agg(F.sum("__one").alias("__n"))
+    r = F.col("__cum___one").cast("double")
+    n = F.col("__n").cast("long")
+    k = F.lit(int(nbins)).cast("long")
+    base = F.floor(n / k).cast("long")
+    rem = n % k
+    big = (rem * (base + F.lit(1))).cast("double")
+    bucket = F.when(
+        r <= big, F.ceil(r / (base + F.lit(1)).cast("double"))
+    ).otherwise(
+        # greatest(base,1): base=0 only when n<k, where r<=big always
+        # holds — the guard keeps the dead branch ANSI-safe
+        rem
+        + F.ceil((r - big) / F.greatest(base, F.lit(1)).cast("double"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn(out, (bucket - 1).cast("int"))
+        .drop("__ord", "__one", "__cum___one", "__n")
+    )
 
 
 def quantile_bins_approx(

@@ -330,12 +330,22 @@ def fraction_of_total(
     df: DataFrame, keys: Sequence[str], round_to: int = 4
 ) -> DataFrame:
     """J10: scalar-subquery percentage — per-group count over global count
-    (debug_notebook_corrected.py:137-147). Window-over-empty-partition form:
-    one extra exchange, no crossJoin."""
-    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    total = F.sum("n").over(Window.partitionBy())
-    return counts.withColumn(
-        "pct", F.round(F.col("n") / total * 100.0, round_to)
+    (debug_notebook_corrected.py:137-147). Broadcast 1-row-total fold-in:
+    the earlier Window-over-empty-partition form funneled the ENTIRE
+    grouped relation through one task (flagged by the round-7
+    single-task-window plan probe — high-cardinality keys make the
+    counts relation data-sized); the 1-row total broadcast keeps every
+    stage parallel."""
+    # two consumers (total fold + join side): materialize the grouped
+    # counts once — one corpus scan, not two
+    counts = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=False)
+    total = counts.agg(F.sum("n").alias("__total"))
+    return counts.crossJoin(F.broadcast(total)).select(
+        *keys,
+        "n",
+        F.round(F.col("n") / F.col("__total") * 100.0, round_to).alias("pct"),
     )
 
 

@@ -38,6 +38,41 @@ def test_quantile_bins_exact_balanced(spark):
     assert counts == {0: 25, 1: 25, 2: 25, 3: 25}
 
 
+def test_quantile_bins_exact_matches_ntile(spark):
+    """The round-7 scale-safe rewrite (distributed prefix-sum rank +
+    closed-form bucket arithmetic — no single-task global NTILE window)
+    must reproduce SQL NTILE semantics bit-for-bit, including the
+    uneven-remainder split and k > n."""
+    import random
+
+    from pyspark.sql import Window
+
+    random.seed(7)
+    df = spark.createDataFrame(
+        [(i, random.random() * 100) for i in range(197)], "i long, x double"
+    )
+    for k in (1, 3, 4, 7, 197, 300):
+        got = {r["i"]: r["q"] for r in
+               bn.quantile_bins_exact(df, "x", k, "q", "i", buckets=5).collect()}
+        w = Window.orderBy(F.col("x"), F.col("i"))
+        exp = {r["i"]: r["q"] for r in
+               df.withColumn("q", F.ntile(k).over(w) - 1).collect()}
+        assert got == exp, k
+
+
+def test_fraction_of_total_broadcast_form(spark):
+    """fraction_of_total (round-7 rewrite: broadcast 1-row total, no
+    empty-partition window) sums to 100% and matches per-group shares."""
+    from datamine_v2_0_spark.operators.joins import fraction_of_total
+
+    df = spark.createDataFrame(
+        [("a",)] * 6 + [("b",)] * 3 + [("c",)] * 1, "k string"
+    )
+    got = {r["k"]: (r["n"], r["pct"]) for r in
+           fraction_of_total(df, ["k"]).collect()}
+    assert got == {"a": (6, 60.0), "b": (3, 30.0), "c": (1, 10.0)}
+
+
 def test_quantile_bins_approx_monotone(spark):
     df = spark.createDataFrame([Row(i=i, x=float(i)) for i in range(1000)])
     out = bn.quantile_bins_approx(df, "x", 4, "q")
