@@ -61,3 +61,123 @@ def test_jdbc_validation_failure_raises(spark, derby_url):
         write_jdbc_validated(
             df, derby_url, "short_tbl", expected_rows=999, mode="overwrite"
         )
+
+
+# ---------- Postgres dialect layer (sources/postgres.py) ----------
+# String/DDL generation is unit-tested exactly; the transactional
+# executor and staged-swap publish run for real against embedded Derby
+# (same java.sql call path the Postgres driver jar takes).
+
+from datamine_v2_0_spark.sources import postgres as pg
+
+
+def test_pg_url_defaults_and_props():
+    url = pg.pg_url("db.internal", "telemetry")
+    assert url == (
+        "jdbc:postgresql://db.internal:5432/telemetry"
+        "?reWriteBatchedInserts=true&stringtype=unspecified"
+    )
+    bare = pg.pg_url(
+        "h", "d", rewrite_batched_inserts=False, stringtype_unspecified=False
+    )
+    assert bare == "jdbc:postgresql://h:5432/d"
+    extra = pg.pg_url("h", "d", port=5433, connectTimeout=10)
+    assert "jdbc:postgresql://h:5433/d?" in extra
+    assert "connectTimeout=10" in extra
+
+
+def test_pg_column_types_mapping(spark):
+    from decimal import Decimal
+
+    df = spark.createDataFrame(
+        [(1, 1.5, "x", True, Decimal("1.23"), [1.0], b"\x00")],
+        "id long, v double, s string, b boolean, d decimal(10,2), "
+        "arr array<double>, raw binary",
+    ).withColumn("ts", F.current_timestamp())
+    ddl = pg.pg_column_types(
+        df, overrides={"s": "GEOGRAPHY(POINTZ, 4326)"}
+    )
+    assert ddl == (
+        "id BIGINT, v DOUBLE PRECISION, s GEOGRAPHY(POINTZ, 4326), "
+        "b BOOLEAN, d NUMERIC(10,2), arr DOUBLE PRECISION[], raw BYTEA, "
+        "ts TIMESTAMPTZ"
+    )
+    with pytest.raises(ValueError, match="override columns not in"):
+        pg.pg_column_types(df, overrides={"nope": "TEXT"})
+    with pytest.raises(TypeError, match="no Postgres mapping"):
+        pg.pg_type(df.select(F.struct("id").alias("st")).schema[0].dataType)
+
+
+def test_pg_upsert_sql_golden():
+    sql = pg.pg_upsert_sql(
+        "silver", ["raw_event_hash_id", "device_id", "v"],
+        ["raw_event_hash_id"],
+    )
+    assert sql == (
+        "INSERT INTO silver (raw_event_hash_id, device_id, v) "
+        "VALUES (?, ?, ?) ON CONFLICT (raw_event_hash_id) DO NOTHING"
+    )
+    upd = pg.pg_upsert_sql(
+        "silver", ["k", "a", "b"], ["k"], update_columns=["a", "b"]
+    )
+    assert upd.endswith("DO UPDATE SET a = EXCLUDED.a, b = EXCLUDED.b")
+
+
+def test_jdbc_execute_transactional(spark, derby_url):
+    t = f"txn_{uuid.uuid4().hex[:8]}"
+    pg.jdbc_execute(
+        spark, derby_url,
+        [f"CREATE TABLE {t} (id INT)", f"INSERT INTO {t} VALUES (1), (2)"],
+    )
+    n = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", f"(SELECT COUNT(*) AS n FROM {t}) q").load()
+        .first()[0]
+    )
+    assert n == 2
+    # all-or-nothing: the valid INSERT before the broken statement must
+    # roll back with it
+    with pytest.raises(Exception):
+        pg.jdbc_execute(
+            spark, derby_url,
+            [f"INSERT INTO {t} VALUES (3)", "THIS IS NOT SQL"],
+        )
+    n2 = (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", f"(SELECT COUNT(*) AS n FROM {t}) q").load()
+        .first()[0]
+    )
+    assert n2 == 2, "rolled-back INSERT must not be visible"
+
+
+def test_staged_swap_publish_and_validation(spark, derby_url):
+    t = f"pub_{uuid.uuid4().hex[:8]}"
+    v1 = spark.range(0, 100).select(F.col("id"))
+    pg.write_jdbc_staged_swap(
+        v1, derby_url, t, expected_rows=100, dialect="derby"
+    )
+    live = spark.read.format("jdbc").option("url", derby_url).option(
+        "dbtable", t
+    ).load()
+    assert live.count() == 100
+
+    # second publish replaces the first atomically
+    v2 = spark.range(0, 37).select(F.col("id"))
+    pg.write_jdbc_staged_swap(
+        v2, derby_url, t, expected_rows=37, dialect="derby"
+    )
+    assert (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", t).load().count() == 37
+    )
+
+    # failed validation leaves the live table untouched
+    v3 = spark.range(0, 5).select(F.col("id"))
+    with pytest.raises(ValueError, match="staged write validation failed"):
+        pg.write_jdbc_staged_swap(
+            v3, derby_url, t, expected_rows=6, dialect="derby"
+        )
+    assert (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", t).load().count() == 37
+    ), "live table must survive a failed staged publish"
