@@ -64,6 +64,14 @@ QUERIES: dict[str, tuple] = {
     "stat_ks": (q_stat_ks, SQL_STAT_KS),
     "dedup_groups": (q_dedup_groups, SQL_DEDUP_GROUPS),
     "dedup_canonical": (q_dedup_canonical, SQL_DEDUP_CANONICAL),
+    # --- NEW in r7: candidate-validation harness (the archived visual
+    #     validator's numeric equivalents — ground-truth window builder,
+    #     clustering summary, per-candidate signal context) -----------
+    "val_label_windows": (q_val_label_windows, SQL_VAL_LABEL_WINDOWS),
+    "val_candidate_clustering": (
+        q_val_candidate_clustering, SQL_VAL_CANDIDATE_CLUSTERING
+    ),
+    "val_signal_context": (q_val_signal_context, SQL_VAL_SIGNAL_CONTEXT),
     # --- oldest oracle-backed evidence (round 3): re-prove rung ---
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
@@ -104,10 +112,13 @@ QUERIES: dict[str, tuple] = {
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "ts_gapfill": (q_ts_gapfill, SQL_TS_GAPFILL),
     "win_blocks": (q_win_blocks, SQL_WIN_BLOCKS),
+    # ------------------- slot 51+: fresher evidence stands --------
+    # (win_rank_family / win_rolling_corr / win_sessionize were the tail
+    #  of the round-3-evidence rung; the three NEW val_* queries above
+    #  displace them into the round-8 window's front)
     "win_rank_family": (q_win_rank_family, SQL_WIN_RANK_FAMILY),
     "win_rolling_corr": (q_win_rolling_corr, SQL_WIN_ROLLING_CORR),
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
-    # ------------------- slot 51+: fresher evidence stands --------
     # next-in-line for the round-8 window (newest evidence round 4)
     "agg_grouped_stats": (q_agg_grouped_stats, SQL_AGG_GROUPED_STATS),
     "agg_percentiles": (q_agg_percentiles, SQL_AGG_PERCENTILES),

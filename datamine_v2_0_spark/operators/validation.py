@@ -14,7 +14,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datamine_v2_0_spark.operators.joins import asof_nearest_join, overlap_join
@@ -98,4 +98,178 @@ def proximity_match(
         ),
         on=truth_id,
         how="left",
+    )
+
+
+def label_windows(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    label: str,
+    max_gap_seconds: float,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Group consecutive same-label point events into (start, end)
+    windows: a new window opens when the label changes or the gap to the
+    previous event exceeds ``max_gap_seconds`` (the archived visual
+    validator's ground-truth window builder, ``STEP 5 - CPD/_archive/
+    05_validate_candidates_visually.py:86-118``). Gaps-and-islands over
+    (keys) — one shuffle, no driver loop. Output: keys, label,
+    win_start, win_end, n_events. Pass a unique ``tiebreak`` column when
+    timestamps can collide so the lag order is total."""
+    gap_us = int(max_gap_seconds * 1_000_000)
+    order = [ts] + ([tiebreak] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    t_us = F.unix_micros(F.col(ts))
+    brk = (
+        F.lag(label).over(w).isNull()
+        | (F.lag(label).over(w) != F.col(label))
+        | ((t_us - F.lag(t_us).over(w)) > gap_us)
+    )
+    grp = F.sum(brk.cast("long")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__grp", grp)
+        .groupBy(*keys, F.col(label).alias("label"), F.col("__grp"))
+        .agg(
+            F.min(ts).alias("win_start"),
+            F.max(ts).alias("win_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .drop("__grp")
+    )
+
+
+def candidate_clustering(
+    truth_windows: DataFrame,
+    candidates: DataFrame,
+    keys: Sequence[tuple[str, str]],
+    win_start: str,
+    win_end: str,
+    cand_ts: str,
+    near_seconds: float,
+) -> DataFrame:
+    """One-row clustering summary of detected candidates vs ground-truth
+    windows (``05_validate_candidates_visually.py:253-312``):
+    in-window / near-window (±``near_seconds``) candidate counts summed
+    PER WINDOW (a candidate inside two overlapping windows counts twice,
+    matching the reference's per-window loop), windows with no nearby
+    candidate, and the hit rate. Interval join per key — broadcast the
+    windows side when small; candidates never collect."""
+    near = F.expr(f"INTERVAL {int(near_seconds)} SECONDS")
+    tw = truth_windows.select(
+        F.monotonically_increasing_id().alias("__wid"),
+        *[F.col(c).alias(f"__k_{i}") for i, (_, c) in enumerate(keys)],
+        F.col(win_start).alias("__ws"),
+        F.col(win_end).alias("__we"),
+    ).localCheckpoint(eager=False)  # __wid must be stable across reuse
+    cond = None
+    for i, (cand_col, _) in enumerate(keys):
+        c = candidates[cand_col] == tw[f"__k_{i}"]
+        cond = c if cond is None else (cond & c)
+    near_rng = candidates[cand_ts].between(
+        tw["__ws"] - near, tw["__we"] + near
+    )
+    cond = near_rng if cond is None else (cond & near_rng)
+    j = tw.join(candidates, cond, "left")
+    per_win = j.groupBy("__wid").agg(
+        F.count(F.col(cand_ts)).alias("near_n"),
+        F.count(
+            F.when(
+                F.col(cand_ts).between(F.col("__ws"), F.col("__we")),
+                F.lit(1),
+            )
+        ).alias("in_n"),
+    )
+    n_cand = candidates.count()
+    return per_win.agg(
+        F.lit(n_cand).alias("total_candidates"),
+        F.count(F.lit(1)).alias("total_truth_windows"),
+        F.sum("in_n").alias("candidates_in_windows"),
+        F.sum("near_n").alias("candidates_near_windows"),
+        F.sum((F.col("near_n") == 0).cast("long")).alias("empty_windows"),
+        F.round(
+            F.avg((F.col("near_n") > 0).cast("double")) * 100.0, 4
+        ).alias("window_hit_rate"),
+    )
+
+
+def candidate_signal_context(
+    signal: DataFrame,
+    candidates: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    cand_id: str,
+    before_seconds: float,
+    after_seconds: float,
+) -> DataFrame:
+    """Per-candidate numeric context — the distilled form of the archived
+    validator's plot (``05_validate_candidates_visually.py:176-249``):
+    for each candidate, mean/std/count of the signal in
+    (ts - before_seconds, ts) and (ts, ts + after_seconds), the
+    before→after mean shift, and |shift| / pooled-std SNR, so candidates
+    rank and audit numerically at any scale.
+
+    Shape: candidates are UNIONed into the signal stream as marker rows
+    (NULL value, so they never pollute the aggregates), then two
+    RANGE-frame window passes per key compute the exclusive before/after
+    stats — no join, no per-candidate loop, partition-parallel by key.
+    Signal rows at exactly the candidate timestamp are excluded on both
+    sides (value-based RANGE frames), keeping the split unambiguous."""
+    b_us = int(before_seconds * 1_000_000)
+    a_us = int(after_seconds * 1_000_000)
+    sig = signal.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(ts)).alias("__t"),
+        F.col(value).cast("double").alias("__v"),
+        F.lit(None).cast("long").alias("__cid"),
+        F.lit(None).cast("timestamp").alias("__cts"),
+    )
+    cand = candidates.select(
+        *[F.col(k) for k in keys],
+        F.unix_micros(F.col(ts)).alias("__t"),
+        F.lit(None).cast("double").alias("__v"),
+        F.col(cand_id).cast("long").alias("__cid"),
+        F.col(ts).alias("__cts"),
+    )
+    u = sig.unionByName(cand)
+    order = Window.partitionBy(*keys).orderBy("__t")
+    wb = order.rangeBetween(-b_us, -1)
+    wa = order.rangeBetween(1, a_us)
+    out = u.select(
+        "__cid",
+        "__cts",
+        *keys,
+        F.avg("__v").over(wb).alias("__mb"),
+        F.stddev_samp("__v").over(wb).alias("__sb"),
+        F.count("__v").over(wb).alias("n_before"),
+        F.avg("__v").over(wa).alias("__ma"),
+        F.stddev_samp("__v").over(wa).alias("__sa"),
+        F.count("__v").over(wa).alias("n_after"),
+    ).filter(F.col("__cid").isNotNull())
+    shift = F.col("__ma") - F.col("__mb")
+    pooled = F.sqrt(
+        (F.col("__sb") * F.col("__sb") + F.col("__sa") * F.col("__sa"))
+        / F.lit(2.0)
+    )
+    # 6 dp, not 4: means of 2-decimal inputs over <=20-row frames have
+    # at most ~5 true decimals, so no result sits on a 6 dp rounding
+    # boundary — at 4 dp, sums/8 land EXACTLY on x.xxxx5 and the two
+    # engines' accumulation orders round to different sides
+    return out.select(
+        F.col("__cid").alias(cand_id),
+        F.col("__cts").alias(ts),
+        *keys,
+        F.round("__mb", 6).alias("mean_before"),
+        F.round("__sb", 6).alias("std_before"),
+        "n_before",
+        F.round("__ma", 6).alias("mean_after"),
+        F.round("__sa", 6).alias("std_after"),
+        "n_after",
+        F.round(shift, 6).alias("mean_shift"),
+        F.round(
+            F.when(pooled > 0, F.abs(shift) / pooled), 6
+        ).alias("snr"),
     )

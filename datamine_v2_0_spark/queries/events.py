@@ -461,3 +461,153 @@ SELECT s.event_id, s.event_type, CAST(s.how_slot AS INT) AS how_slot,
 FROM slotted s JOIN base b USING (event_type, how_slot)
 WHERE ABS(ROUND((s.value - b.m) / b.sd, 6)) > 3.0
 """
+
+
+def q_val_label_windows(spark, sf_dir):
+    """Ground-truth window builder (the archived visual validator's
+    grouping, 05_validate_candidates_visually.py:86-118): consecutive
+    same-type events per user merge into windows while the gap stays
+    under 4 h."""
+    from datamine_v2_0_spark.operators import validation as vl
+
+    ev = _t(spark, sf_dir, "events")
+    out = vl.label_windows(
+        ev, ["user_id"], "ts", "event_type", 14400.0, tiebreak="event_id"
+    )
+    return out.select(
+        "user_id",
+        "label",
+        F.col("win_start").cast("string").alias("win_start"),
+        F.col("win_end").cast("string").alias("win_end"),
+        "n_events",
+    )
+
+SQL_VAL_LABEL_WINDOWS = """
+WITH d AS (
+  SELECT user_id, ts, event_id, event_type,
+         LAG(event_type) OVER w AS pl,
+         date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts, event_type,
+         SUM(CASE WHEN pl IS NULL OR pl <> event_type
+                       OR gap_us > 14400000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM d
+)
+SELECT user_id, event_type AS label,
+       CAST(MIN(ts) AS VARCHAR) AS win_start,
+       CAST(MAX(ts) AS VARCHAR) AS win_end,
+       COUNT(*) AS n_events
+FROM g GROUP BY user_id, event_type, grp
+"""
+
+
+def q_val_candidate_clustering(spark, sf_dir):
+    """Candidate-clustering summary (05_validate_candidates_visually.py:
+    253-312): click events as detected candidates vs purchase
+    ground-truth windows (4 h grouping), near tolerance ±2 h."""
+    from datamine_v2_0_spark.operators import validation as vl
+
+    ev = _t(spark, sf_dir, "events")
+    truth = vl.label_windows(
+        ev.filter(F.col("event_type") == "purchase"),
+        ["user_id"], "ts", "event_type", 14400.0, tiebreak="event_id",
+    )
+    cands = ev.filter(F.col("event_type") == "click")
+    return vl.candidate_clustering(
+        truth, cands, [("user_id", "user_id")],
+        "win_start", "win_end", "ts", 7200.0,
+    )
+
+SQL_VAL_CANDIDATE_CLUSTERING = """
+WITH p AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'purchase'
+), d AS (
+  SELECT user_id, ts,
+         date_diff('microsecond', LAG(ts) OVER w, ts) AS gap_us,
+         event_id
+  FROM p
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), g AS (
+  SELECT user_id, ts,
+         SUM(CASE WHEN gap_us IS NULL OR gap_us > 14400000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+  FROM d
+), w AS (
+  SELECT user_id, grp, MIN(ts) AS ws, MAX(ts) AS we
+  FROM g GROUP BY user_id, grp
+), c AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+), per AS (
+  SELECT w.user_id, w.grp,
+         COUNT(c.ts) AS near_n,
+         COUNT(*) FILTER (WHERE c.ts BETWEEN w.ws AND w.we) AS in_n
+  FROM w LEFT JOIN c
+    ON c.user_id = w.user_id
+   AND c.ts BETWEEN w.ws - INTERVAL 7200 SECONDS
+                AND w.we + INTERVAL 7200 SECONDS
+  GROUP BY w.user_id, w.grp, w.ws, w.we
+)
+SELECT (SELECT COUNT(*) FROM c) AS total_candidates,
+       COUNT(*) AS total_truth_windows,
+       CAST(SUM(in_n) AS BIGINT) AS candidates_in_windows,
+       CAST(SUM(near_n) AS BIGINT) AS candidates_near_windows,
+       CAST(SUM(CASE WHEN near_n = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS empty_windows,
+       ROUND(CAST(100 AS DOUBLE)
+             * AVG(CASE WHEN near_n > 0 THEN 1.0 ELSE 0.0 END), 4)
+           AS window_hit_rate
+FROM per
+"""
+
+
+def q_val_signal_context(spark, sf_dir):
+    """Per-candidate signal context (the numeric distillation of the
+    archived validator's plot, 05_validate_candidates_visually.py:
+    176-249): for every error event, mean/std/count of ALL events'
+    value in the 48 h before and after, plus mean shift and SNR."""
+    from datamine_v2_0_spark.operators import validation as vl
+
+    ev = _t(spark, sf_dir, "events")
+    cands = ev.filter(F.col("event_type") == "error")
+    out = vl.candidate_signal_context(
+        ev, cands, ["user_id"], "ts", "value", "event_id",
+        172800.0, 172800.0,
+    )
+    return out.withColumn("ts", F.col("ts").cast("string"))
+
+SQL_VAL_SIGNAL_CONTEXT = """
+WITH u AS (
+  SELECT user_id, epoch_us(ts) AS t, value AS v,
+         CAST(NULL AS BIGINT) AS cid, CAST(NULL AS TIMESTAMP) AS cts
+  FROM events
+  UNION ALL
+  SELECT user_id, epoch_us(ts), NULL, event_id, ts
+  FROM events WHERE event_type = 'error'
+), s AS (
+  SELECT cid, cts, user_id,
+         AVG(v) OVER wb AS mb, STDDEV_SAMP(v) OVER wb AS sb,
+         COUNT(v) OVER wb AS n_before,
+         AVG(v) OVER wa AS ma, STDDEV_SAMP(v) OVER wa AS sa,
+         COUNT(v) OVER wa AS n_after
+  FROM u
+  WINDOW
+    wb AS (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN 172800000000 PRECEDING AND 1 PRECEDING),
+    wa AS (PARTITION BY user_id ORDER BY t
+           RANGE BETWEEN 1 FOLLOWING AND 172800000000 FOLLOWING)
+)
+SELECT cid AS event_id, CAST(cts AS VARCHAR) AS ts, user_id,
+       ROUND(mb, 6) AS mean_before, ROUND(sb, 6) AS std_before, n_before,
+       ROUND(ma, 6) AS mean_after, ROUND(sa, 6) AS std_after, n_after,
+       ROUND(ma - mb, 6) AS mean_shift,
+       CASE WHEN SQRT((sb * sb + sa * sa) / 2.0) > 0
+            THEN ROUND(ABS(ma - mb) / SQRT((sb * sb + sa * sa) / 2.0), 6)
+       END AS snr
+FROM s WHERE cid IS NOT NULL
+"""

@@ -88,3 +88,120 @@ def test_integrity_report_full_bundle(spark):
     assert r["null_v"] == 1
     assert r["time_min"] == t(0).replace(tzinfo=None)
     assert r["time_max"] == t(30).replace(tzinfo=None)
+
+
+def test_label_windows_grouping(spark):
+    """Consecutive same-label events merge while the gap stays under the
+    max; a label change OR an oversize gap opens a new window (the
+    archived visual validator's grouping rules)."""
+    from datetime import datetime, timezone
+
+    from datamine_v2_0_spark.operators.validation import label_windows
+
+    t = lambda s: datetime(2025, 1, 1, 0, 0, 0, tzinfo=timezone.utc).replace(
+        second=s % 60, minute=s // 60
+    )
+    rows = [
+        ("d1", t(0), "load", 1),
+        ("d1", t(30), "load", 2),     # 30s gap, same label -> extends
+        ("d1", t(120), "load", 3),    # 90s gap > 60 -> new window
+        ("d1", t(150), "dump", 4),    # label change -> new window
+        ("d2", t(0), "load", 5),      # other key, own windows
+    ]
+    df = spark.createDataFrame(
+        rows, "device string, ts timestamp, label string, eid long"
+    )
+    out = {
+        (r["device"], r["label"], r["n_events"]): (r["win_start"], r["win_end"])
+        for r in label_windows(
+            df, ["device"], "ts", "label", 60.0, tiebreak="eid"
+        ).collect()
+    }
+    naive = lambda s: t(s).replace(tzinfo=None)
+    assert out[("d1", "load", 2)] == (naive(0), naive(30))
+    assert out[("d1", "load", 1)] == (naive(120), naive(120))
+    assert out[("d1", "dump", 1)] == (naive(150), naive(150))
+    assert out[("d2", "load", 1)] == (naive(0), naive(0))
+
+
+def test_candidate_clustering_counts(spark):
+    """Hand-built fixture: 3 truth windows, candidates inside / near /
+    far — the summary must match the reference's per-window counting
+    (a candidate near two windows counts toward each)."""
+    from datetime import datetime, timezone
+
+    from datamine_v2_0_spark.operators.validation import candidate_clustering
+
+    ts = lambda m: datetime(2025, 1, 1, 0, m, 0, tzinfo=timezone.utc)
+    truth = spark.createDataFrame(
+        [("d1", ts(10), ts(20)), ("d1", ts(40), ts(50)), ("d2", ts(0), ts(5))],
+        "device string, ws timestamp, we timestamp",
+    )
+    cands = spark.createDataFrame(
+        [
+            ("d1", ts(15)),  # inside window 1
+            ("d1", ts(21)),  # near window 1 (within 2 min), not inside
+            ("d1", ts(30)),  # >2min from both d1 windows -> nowhere
+            ("d2", ts(59)),  # far from d2's window
+        ],
+        "device string, cts timestamp",
+    )
+    r = candidate_clustering(
+        truth, cands, [("device", "device")], "ws", "we", "cts", 120.0
+    ).first()
+    assert r["total_candidates"] == 4
+    assert r["total_truth_windows"] == 3
+    assert r["candidates_in_windows"] == 1
+    assert r["candidates_near_windows"] == 2
+    assert r["empty_windows"] == 2
+    assert abs(r["window_hit_rate"] - 100.0 / 3) < 0.01
+
+
+def test_candidate_signal_context_exact(spark):
+    """Before/after stats computed by hand: exclusive frames (the signal
+    row AT the candidate timestamp belongs to neither side), NULL std for
+    single-sample frames, NULL snr when pooled std is NULL."""
+    from datetime import datetime, timezone
+
+    from datamine_v2_0_spark.operators.validation import (
+        candidate_signal_context,
+    )
+
+    ts = lambda s: datetime(2025, 1, 1, 0, 0, 0, tzinfo=timezone.utc).replace(
+        minute=s // 60, second=s % 60
+    )
+    signal = spark.createDataFrame(
+        [
+            ("d1", ts(0), 10.0),
+            ("d1", ts(50), 20.0),
+            ("d1", ts(100), 99.0),   # exactly at candidate ts -> excluded
+            ("d1", ts(150), 40.0),
+            ("d1", ts(200), 60.0),
+            ("d1", ts(500), 7.0),    # outside the 120s after-window
+        ],
+        "device string, ts timestamp, v double",
+    )
+    cand = spark.createDataFrame(
+        [("d1", ts(100), 1)], "device string, ts timestamp, cid long"
+    )
+    r = candidate_signal_context(
+        signal, cand, ["device"], "ts", "v", "cid", 120.0, 120.0
+    ).first()
+    assert r["n_before"] == 2 and r["n_after"] == 2
+    assert r["mean_before"] == 15.0 and r["mean_after"] == 50.0
+    assert r["mean_shift"] == 35.0
+    # std_samp of {10,20} and {40,60}: sqrt(50), sqrt(200)
+    assert abs(r["std_before"] - 50 ** 0.5) < 1e-4
+    assert abs(r["std_after"] - 200 ** 0.5) < 1e-4
+    # snr = 35 / sqrt((50+200)/2) = 35/sqrt(125)
+    assert abs(r["snr"] - 35.0 / 125 ** 0.5) < 1e-4
+
+    # single-sample frames: NULL stds -> NULL snr, means still defined
+    cand2 = spark.createDataFrame(
+        [("d1", ts(30), 2)], "device string, ts timestamp, cid long"
+    )
+    r2 = candidate_signal_context(
+        signal, cand2, ["device"], "ts", "v", "cid", 40.0, 40.0
+    ).first()
+    assert r2["n_before"] == 1 and r2["std_before"] is None
+    assert r2["snr"] is None
