@@ -69,6 +69,10 @@ def quantile_bins_exact(
     comes from `stats._dist_prefix_sums` — range-partitioned cumulative
     counts stitched with broadcast bucket offsets, every stage parallel
     — and the NTILE bucket is closed-form arithmetic on (rank, n):
+    NULLs in ``col`` rank first (Spark's ASC default) — mind that
+    engines differ here (DuckDB/Postgres default NULLS LAST), so keep
+    the input non-null where cross-engine parity matters.
+
     with n rows and k buckets the first n mod k buckets hold
     floor(n/k)+1 rows (SQL NTILE semantics), so
       bucket(r) = ceil(r/(base+1))                 if r <= rem*(base+1)

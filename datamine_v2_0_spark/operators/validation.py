@@ -220,18 +220,23 @@ def candidate_signal_context(
     sides (value-based RANGE frames), keeping the split unambiguous."""
     b_us = int(before_seconds * 1_000_000)
     a_us = int(after_seconds * 1_000_000)
+    # marker NULL columns take the candidate frame's own types, so any
+    # id type (long, string, sha256 hash) and either timestamp flavor
+    # union cleanly
+    cid_t = candidates.schema[cand_id].dataType
+    cts_t = candidates.schema[ts].dataType
     sig = signal.select(
         *[F.col(k) for k in keys],
         F.unix_micros(F.col(ts)).alias("__t"),
         F.col(value).cast("double").alias("__v"),
-        F.lit(None).cast("long").alias("__cid"),
-        F.lit(None).cast("timestamp").alias("__cts"),
+        F.lit(None).cast(cid_t).alias("__cid"),
+        F.lit(None).cast(cts_t).alias("__cts"),
     )
     cand = candidates.select(
         *[F.col(k) for k in keys],
         F.unix_micros(F.col(ts)).alias("__t"),
         F.lit(None).cast("double").alias("__v"),
-        F.col(cand_id).cast("long").alias("__cid"),
+        F.col(cand_id).alias("__cid"),
         F.col(ts).alias("__cts"),
     )
     u = sig.unionByName(cand)

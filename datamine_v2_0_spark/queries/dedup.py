@@ -221,7 +221,10 @@ def q_dedup_groups(spark, sf_dir):
     key = (id(spark), sf_dir)
     old = _GROUPS_CACHE.pop(key, None)
     if old is not None:
-        old.unpersist()
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # stale frame from a stopped session: nothing to free
     groups = _compute_groups(spark, sf_dir).persist()
     _GROUPS_CACHE[key] = groups
     return groups

@@ -395,3 +395,85 @@ class TestRound4Properties:
             if math.sqrt((la - lb) ** 2 + (lo - lc) ** 2) <= r
         }
         assert got == want
+
+
+def test_quantile_bins_exact_random_ties_parity(spark):
+    """Scale-safe NTILE (distributed prefix-sum rank + closed-form
+    bucket arithmetic) vs Spark's own global F.ntile over random data
+    WITH heavy duplicate values (ties resolved by the unique tiebreak):
+    bit-for-bit bucket parity across sizes and bucket counts."""
+    import random
+
+    from pyspark.sql import Window, functions as F
+
+    from datamine_v2_0_spark.operators import binning as bn
+
+    rng = random.Random(77)
+    for trial in range(4):
+        n = rng.choice([1, 7, 64, 331])
+        k = rng.choice([2, 5, 16, 40])
+        # values drawn from a tiny domain -> massive tie groups
+        rows = [(i, float(rng.randint(0, 4))) for i in range(n)]
+        df = spark.createDataFrame(rows, "i long, x double").repartition(8)
+        got = {
+            r["i"]: r["q"]
+            for r in bn.quantile_bins_exact(
+                df, "x", k, "q", "i", buckets=6
+            ).collect()
+        }
+        w = Window.orderBy(F.col("x"), F.col("i"))
+        exp = {
+            r["i"]: r["q"]
+            for r in df.withColumn("q", F.ntile(k).over(w) - 1).collect()
+        }
+        assert got == exp, (n, k)
+
+
+def test_label_windows_random_vs_bruteforce(spark):
+    """label_windows vs an independent single-pass Python reimplementation
+    of the reference's grouping loop over random event streams."""
+    import random
+    from datetime import datetime, timedelta
+
+    from datamine_v2_0_spark.operators.validation import label_windows
+
+    rng = random.Random(99)
+    base = datetime(2025, 3, 1)
+    rows = []
+    eid = 0
+    for dev in ("a", "b", "c"):
+        t = base
+        for _ in range(rng.randint(0, 40)):
+            t += timedelta(seconds=rng.choice([5, 30, 59, 61, 200]))
+            rows.append((dev, t, rng.choice(["load", "dump"]), eid))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "device string, ts timestamp, label string, eid long"
+    ).repartition(5)
+    got = sorted(
+        (r["device"], r["label"], r["win_start"], r["win_end"], r["n_events"])
+        for r in label_windows(
+            df, ["device"], "ts", "label", 60.0, tiebreak="eid"
+        ).collect()
+    )
+    # brute force: the reference's sequential loop
+    exp = []
+    for dev in ("a", "b", "c"):
+        evs = sorted([r for r in rows if r[0] == dev], key=lambda r: (r[1], r[3]))
+        cur = None
+        for _, t, lab, _ in evs:
+            if (
+                cur is None
+                or lab != cur[1]
+                or (t - cur[3]).total_seconds() > 60.0
+            ):
+                if cur:
+                    exp.append(cur)
+                cur = [dev, lab, t, t, 1]
+            else:
+                cur[3] = t
+                cur[4] += 1
+        if cur:
+            exp.append(cur)
+    exp = sorted((d, l, s, e, n) for d, l, s, e, n in exp)
+    assert got == exp

@@ -205,3 +205,28 @@ def test_candidate_signal_context_exact(spark):
     ).first()
     assert r2["n_before"] == 1 and r2["std_before"] is None
     assert r2["snr"] is None
+
+
+def test_candidate_signal_context_string_id_ntz(spark):
+    """The marker columns adopt the candidate frame's own types: string
+    candidate ids union cleanly (no hard-coded long cast)."""
+    from datetime import datetime
+
+    from datamine_v2_0_spark.operators.validation import (
+        candidate_signal_context,
+    )
+
+    ts = lambda s: datetime(2025, 1, 1, 0, 0, s)
+    signal = spark.createDataFrame(
+        [("d1", ts(0), 1.0), ("d1", ts(10), 3.0), ("d1", ts(40), 5.0)],
+        "device string, ts timestamp, v double",
+    )
+    cand = spark.createDataFrame(
+        [("d1", ts(20), "sha-abc")], "device string, ts timestamp, cid string"
+    )
+    r = candidate_signal_context(
+        signal, cand, ["device"], "ts", "v", "cid", 30.0, 30.0
+    ).first()
+    assert r["cid"] == "sha-abc"
+    assert r["n_before"] == 2 and r["mean_before"] == 2.0
+    assert r["n_after"] == 1 and r["mean_after"] == 5.0
