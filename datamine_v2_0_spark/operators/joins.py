@@ -84,12 +84,16 @@ def interval_contain_join(
     start: str,
     end: str,
     how: str = "left",
-    broadcast_intervals: bool = True,
+    broadcast_intervals: bool = False,
 ) -> DataFrame:
     """J4: point-in-interval containment join — label each point row with
     any interval containing its timestamp (02.1.2:358-399).
 
-    `point_keys` is [(point_col, interval_col), ...] equi conditions."""
+    `point_keys` is [(point_col, interval_col), ...] equi conditions.
+    ``broadcast_intervals`` defaults to FALSE (scale-safe; see
+    ``asof_nearest_join``) — set it only for interval sets bounded by
+    construction (zone tables, label windows), where it turns the plan
+    into a map-side join with no shuffle."""
     iv = F.broadcast(intervals) if broadcast_intervals else intervals
     cond = None
     for p, i in point_keys:
@@ -122,7 +126,7 @@ def asof_nearest_join(
     right_ts: str,
     tolerance_seconds: float,
     left_id: str,
-    broadcast_right: bool = True,
+    broadcast_right: bool = False,
     direction: str = "nearest",
     right_tiebreak: str | None = None,
 ) -> DataFrame:
@@ -135,7 +139,15 @@ def asof_nearest_join(
     Ties break on the right timestamp, then ``right_tiebreak`` when
     given — pass a unique right-side id whenever right timestamps can
     repeat per key, or the winner is layout-dependent (the contract
-    header requires every rank ordering to carry a unique tiebreak)."""
+    header requires every rank ordering to carry a unique tiebreak).
+
+    ``broadcast_right`` defaults to FALSE (scale-safe): a forced
+    broadcast hint overrides Catalyst's size logic at ANY data size, so
+    it is only correct when the caller can declare the right side
+    bounded by construction (a dim table, a probe set) — the round-7
+    plan-audit broadcast gate flags hint-forced broadcasts of
+    corpus-scaled relations. Un-hinted, Catalyst still broadcasts small
+    sides by size and AQE re-plans at scale."""
     if direction not in ("nearest", "backward", "forward"):
         raise ValueError(f"direction must be nearest/backward/forward, got {direction!r}")
     r = F.broadcast(right) if broadcast_right else right
@@ -267,10 +279,12 @@ def overlap_join(
     right_start: str,
     right_end: str,
     how: str = "inner",
-    broadcast_right: bool = True,
+    broadcast_right: bool = False,
 ) -> DataFrame:
     """J8: interval-interval overlap join — ``max(starts) < min(ends)``
-    (05_cpd_algorithm_tuning.py:121-139)."""
+    (05_cpd_algorithm_tuning.py:121-139). ``broadcast_right`` defaults
+    to FALSE (scale-safe; see ``asof_nearest_join``) — opt in only for
+    bounded right sides."""
     r = F.broadcast(right) if broadcast_right else right
     cond = None
     for lk, rk in keys:

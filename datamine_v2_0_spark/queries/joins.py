@@ -50,7 +50,8 @@ def q_join_equi_revenue(spark, sf_dir):
         jn.equi_join(li, o.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey"),
         c.withColumnRenamed("c_custkey", "o_custkey"),
         "o_custkey",
-        broadcast_right=True,
+        # no forced broadcast: customer is corpus-scaled — Catalyst
+        # broadcasts it by size at test scale, AQE re-plans at 100 TB
     )
     return joined.groupBy("c_mktsegment").agg(
         F.round(

@@ -152,6 +152,89 @@ def count_single_task_windows(plan: str) -> int:
     return n
 
 
+# tables whose size scales with the corpus — broadcasting one of these
+# RAW is a driver/executor OOM at 100 TB (region/nation and fixture
+# VALUES frames are genuinely constant-size and exempt)
+_BIG_TABLES = ("customer", "supplier", "part", "orders", "lineitem",
+               "events", "documents", "embeddings")
+# nodes that bound a subtree's cardinality regardless of input size
+_BOUNDING = ("HashAggregate", "SortAggregate", "ObjectHashAggregate",
+             "CollectLimit", "GlobalLimit", "LocalLimit",
+             "TakeOrderedAndProject")
+
+# queries whose big-table broadcast subtrees are BOUNDED by
+# construction despite carrying no aggregate/limit node on the path —
+# value = audited maximum count; one more than audited is a flag.
+# Justification per entry:
+BROADCAST_OK = {
+    # eval/query-side documents or embeddings subsets selected by id or
+    # source filter: bounded by the benchmark-suite / probe-set size a
+    # user supplies, not by corpus volume (decontamination grams, ANN
+    # query frames, BM25/RRF query terms). At scale the eval set is
+    # thousands of rows vs billions of corpus rows.
+    "text_decontaminate": 1,
+    "text_decontaminate_embed": 1,
+    "sim_bucketed_topk": 1,
+    "sim_lsh_topk": 1,
+    "sim_ivf_topk": 2,   # probe frame + learned-centroid frame
+    "sim_pq_topk": 1,
+    "text_rrf": 1,
+    "text_bm25": 1,
+    # cross-corpus dedup broadcasts the FRESH-CRAWL side's buckets by
+    # design (documented small side); the corpus side never broadcasts
+    "dedup_against": 1,
+}
+
+
+def count_unbounded_broadcasts(plan: str) -> int:
+    """Count BroadcastExchange nodes whose subtree scans a
+    corpus-scaled table with NO aggregate/limit between the exchange
+    and the scan — the 'broadcast a data-sized relation' shape that
+    works at sf0.1 and OOMs the driver at 100 TB. Filters/projections
+    do NOT bound (a predicate's selectivity scales with the data);
+    only aggregates and limits do.
+
+    MUST be fed a plan compiled under
+    ``spark.sql.autoBroadcastJoinThreshold=-1``: with size-based
+    broadcasts disabled, every surviving BroadcastExchange comes from
+    an EXPLICIT broadcast() hint — the only kind that still forces a
+    broadcast when the data is 10^7 times bigger (Catalyst's own
+    size-threshold choices at test scale re-plan to shuffle joins at
+    real scale and are not defects)."""
+    lines = plan.splitlines()
+    n = 0
+    for idx, ln in enumerate(lines):
+        if "BroadcastExchange" not in ln:
+            continue
+        d0 = _tree_depth(ln)
+        j = idx + 1
+        sub: list[int] = []
+        while j < len(lines) and _tree_depth(lines[j]) > d0:
+            sub.append(j)
+            j += 1
+        for j2 in sub:
+            l2 = lines[j2]
+            if "Scan parquet" not in l2:
+                continue
+            if not any(f"{t}.parquet" in l2 for t in _BIG_TABLES):
+                continue
+            # ancestor walk from the scan back up to the exchange
+            cur = _tree_depth(l2)
+            bounded = False
+            for k in range(j2 - 1, idx, -1):
+                dk = _tree_depth(lines[k])
+                if dk >= cur:
+                    continue
+                cur = dk
+                if lines[k].strip(" :+|-*(").startswith(_BOUNDING):
+                    bounded = True
+                    break
+            if not bounded:
+                n += 1
+                break  # one flag per exchange, not per scan
+    return n
+
+
 def _selftest() -> None:
     """Prove the probe fires: build a deliberately-broken global ordered
     window over an unbounded relation (the exact round-5 MW/KS defect
@@ -183,8 +266,43 @@ def _selftest() -> None:
     agg = df.agg(F.sum("v").alias("s"))
     p_agg = agg._jdf.queryExecution().executedPlan().toString()
     assert count_single_task_windows(p_agg) == 0
-    print("selftest OK: probe fires on global-window fixture, silent on "
-          "partitioned window and global aggregate")
+
+    # --- unbounded-broadcast probe (hint-forced plans only) ---
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    dim = spark.read.parquet("/root/testdata/sf0.001/region.parquet")
+    # broken: broadcast a RAW corpus-scaled table (filter does not bound)
+    bad = dim.join(
+        F.broadcast(docs.filter(F.col("lang") == "en")),
+        F.lit(True), "left",
+    )
+    p_bad = bad._jdf.queryExecution().executedPlan().toString()
+    got_b = count_unbounded_broadcasts(p_bad)
+    assert got_b == 1, f"broadcast probe must fire on raw-corpus broadcast, got {got_b}\n{p_bad}"
+    # fine: broadcast an AGGREGATE of the corpus (bounded by keys)
+    ok_b = dim.join(
+        F.broadcast(docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))),
+        F.lit(True), "left",
+    )
+    p_okb = ok_b._jdf.queryExecution().executedPlan().toString()
+    assert count_unbounded_broadcasts(p_okb) == 0, p_okb
+    # fine: broadcast a constant-size dim table
+    ok_d = docs.join(F.broadcast(dim), F.lit(True), "left")
+    p_okd = ok_d._jdf.queryExecution().executedPlan().toString()
+    assert count_unbounded_broadcasts(p_okd) == 0, p_okd
+    # fine: an UN-hinted big-table join never plans a BroadcastExchange
+    # under threshold=-1 (this is what exonerates Catalyst's size-based
+    # choices at test scale)
+    ok_u = docs.alias("x").join(
+        docs.alias("y"), F.col("x.doc_id") == F.col("y.doc_id")
+    )
+    p_oku = ok_u._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in p_oku, p_oku
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    print("selftest OK: window probe fires on global-window fixture, "
+          "silent on partitioned window and global aggregate; broadcast "
+          "probe fires on raw-corpus broadcast, silent on aggregated and "
+          "dim-table broadcasts")
 
 
 def main() -> None:
@@ -244,6 +362,20 @@ def main() -> None:
         except Exception as ex:  # noqa: BLE001
             flags.append(f"{name}: plan build failed: {ex}")
             continue
+        # second compile with size-based broadcasts disabled: any
+        # BroadcastExchange that SURVIVES comes from an explicit hint —
+        # the only kind that still forces a broadcast at 100 TB
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            captured.clear()
+            df2 = fn(spark, sf_dir)
+            p2 = df2._jdf.queryExecution().executedPlan().toString()
+            if captured:
+                p2 = "\n".join([p2, *captured])
+        except Exception:  # noqa: BLE001
+            p2 = p  # fall back to the sized plan (over-counts, never under)
+        finally:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         stats = {
             "exch": p.count("Exchange hashpartitioning")
             + p.count("Exchange rangepartitioning"),
@@ -258,6 +390,7 @@ def main() -> None:
             "scans": p.count("Scan parquet"),
             "sub": n_sub,
             "win1": count_single_task_windows(p),
+            "ubc": count_unbounded_broadcasts(p2),
         }
         rows.append((name, stats))
         if stats["cart"] and name not in CARTESIAN_OK:
@@ -270,6 +403,11 @@ def main() -> None:
             flags.append(
                 f"{name}: single-task ordered window x{stats['win1']} "
                 "(Exchange SinglePartition -> Sort -> Window)"
+            )
+        if stats["ubc"] > BROADCAST_OK.get(name, 0):
+            flags.append(
+                f"{name}: unbounded corpus-table broadcast x{stats['ubc']} "
+                "(BroadcastExchange over a raw data-sized scan)"
             )
 
     hdr = (
@@ -296,7 +434,7 @@ def main() -> None:
     lines = [
         f"| {n} | {s['exch']} | {s['bhj']} | {s['smj']} | {s['bnlj']} "
         f"| {s['cart']} | {s['arrow_py']} | {s['row_py']} | {s['scans']} "
-        f"| {s['sub']} | {s['win1']} |"
+        f"| {s['sub']} | {s['win1']} | {s['ubc']} |"
         for n, s in rows
     ]
     with open("/root/repo/PLANS.md", "w") as f:
