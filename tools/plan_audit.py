@@ -11,6 +11,13 @@ cartesian products, and parquet scans, then flag scale anti-patterns:
   partitionBy funnels the WHOLE relation through ONE task — the
   round-5 Mann-Whitney/KS defect class, found then by review, now by
   this probe) beyond the audited bounded-relation allowlist
+- unbounded broadcasts: explicit broadcast() hints whose subtree scans
+  a corpus-scaled table with no aggregate/limit bounding it (plans are
+  recompiled under autoBroadcastJoinThreshold=-1 so ONLY hint-forced
+  broadcasts survive — Catalyst's size-based choices re-plan at scale
+  and are not defects). This probe found six real hazards on its first
+  run (round 7): asof/overlap/interval joins defaulted to broadcasting
+  their right side and the registry fed them data-sized relations.
 
 Writes PLANS.md and exits nonzero on any flag.
 
