@@ -72,6 +72,15 @@ QUERIES: dict[str, tuple] = {
         q_val_candidate_clustering, SQL_VAL_CANDIDATE_CLUSTERING
     ),
     "val_signal_context": (q_val_signal_context, SQL_VAL_SIGNAL_CONTEXT),
+    # --- plan changed in r7 (broadcast hints now opt-in: the unbounded-
+    #     broadcast gate found the forced-broadcast defaults) — results
+    #     verified identical, but a changed plan re-certifies under the
+    #     driver like any other change ----------------------------------
+    "join_asof": (q_join_asof, SQL_JOIN_ASOF),
+    "join_asof_backward": (q_join_asof_backward, SQL_JOIN_ASOF_BACKWARD),
+    "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
+    "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
+    "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
     # --- oldest oracle-backed evidence (round 3): re-prove rung ---
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
