@@ -2,7 +2,7 @@
 # deterministically failing test because the suite was never run at the
 # commit. Nothing gets snapshotted without `make preflight` green.
 
-.PHONY: test verify audit bench pipeline-bench preflight
+.PHONY: test verify audit empty-sweep bench pipeline-bench preflight
 
 test:
 	python -m pytest tests/ -q
@@ -13,11 +13,14 @@ verify:
 audit:
 	python tools/plan_audit.py
 
+empty-sweep:
+	python tools/empty_sweep.py
+
 bench:
 	python bench.py
 
 pipeline-bench:
 	python tools/pipeline_bench.py
 
-preflight: test verify audit
+preflight: test verify audit empty-sweep
 	@echo "preflight green — safe to snapshot"

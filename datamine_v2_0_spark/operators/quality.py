@@ -190,8 +190,10 @@ def population_stability(
         F.sum("n_ref").alias("__tr"), F.sum("n_cur").alias("__tc")
     )
     e = F.lit(float(eps))
-    p = F.greatest(F.col("n_ref") / F.col("__tr"), e)
-    q = F.greatest(F.col("n_cur") / F.col("__tc"), e)
+    # try_divide: an EMPTY side has total 0, which must degrade to the
+    # eps floor (greatest skips the NULL), not raise under ANSI
+    p = F.greatest(F.try_divide(F.col("n_ref"), F.col("__tr")), e)
+    q = F.greatest(F.try_divide(F.col("n_cur"), F.col("__tc")), e)
     return (
         g.crossJoin(F.broadcast(tot))
         .select(

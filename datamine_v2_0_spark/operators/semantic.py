@@ -56,6 +56,11 @@ def assign_to_centroids(
     similarity break to the LOWEST cluster id (the -cluster struct
     field), which is what makes the assignment reproducible in ANSI SQL.
     """
+    if not centroids:
+        # no centroids only happens for an empty/over-clustered input:
+        # a NULL assignment keeps the (empty) frame flowing instead of
+        # an untyped array_max(array()) analysis error
+        return df.withColumn(out_col, F.lit(None).cast("int"))
     v = F.col(vec_col)
     cands = [
         F.struct(
@@ -250,11 +255,17 @@ def decontaminate_by_embedding(
     eval_rows = (
         eval_df.select(id_col, vec_col).orderBy(id_col).collect()
     )
+    id_type = dict(train.dtypes)[id_col]
+    eid_type = dict(eval_df.dtypes)[id_col]
+    if not eval_rows:
+        # empty eval set: nothing can be contaminated — empty result,
+        # not a zero-dim einsum crash at operator-build time
+        return train.sparkSession.createDataFrame(
+            [], f"{id_col} {id_type}, eval_id {eid_type}, cos_sim double"
+        )
     eval_ids = np.array([r[0] for r in eval_rows])
     E = np.array([list(r[1]) for r in eval_rows], dtype=np.float64)
     En = E / np.sqrt(np.einsum("ij,ij->i", E, E))[:, None]
-    id_type = dict(train.dtypes)[id_col]
-    eid_type = dict(eval_df.dtypes)[id_col]
 
     def scan(it):
         for pdf in it:

@@ -211,6 +211,14 @@ def ivf_topk(
     # only shifts the recall/scan trade-off marginally below it, so cap
     # the Lloyd iterations (MLlib defaults to 20) and optionally fit on
     # a seeded sample instead of every vector
+    # empty corpus: KMeans.fit raises on zero rows — return the empty
+    # result frame instead (an empty ingest day is routine, not an error)
+    if va.limit(1).count() == 0:
+        qt = dict(queries.dtypes)[id_col]
+        ct = dict(corpus.dtypes)[id_col]
+        return corpus.sparkSession.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {ct}, cos_sim double"
+        )
     km = KMeans(
         k=n_cells,
         seed=seed,
@@ -223,6 +231,8 @@ def ivf_topk(
         if fit_fraction is not None
         else va
     )
+    if fit_fraction is not None and fit_input.limit(1).count() == 0:
+        fit_input = va  # sampled away everything: fit on the full frame
     model = km.fit(fit_input)
     cells = model.transform(va).select("neighbor_id", "__cvec", "__cell")
 
@@ -405,6 +415,10 @@ def train_pq(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        # empty corpus: zero codebooks — pq_encode/pq_topk over the same
+        # empty corpus then yield empty codes/results instead of raising
+        return np.zeros((m, k_codes, dsub), dtype=np.float64)
     X = np.array([r["v"] for r in rows], dtype=np.float64)
     norms = np.linalg.norm(X, axis=1, keepdims=True)
     X = X / np.where(norms == 0, 1.0, norms)

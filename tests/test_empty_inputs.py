@@ -1,0 +1,70 @@
+"""Empty-input robustness: the defect class tools/empty_sweep.py probes
+(an empty ingest day / a filter matching nothing is routine at scale).
+These pin the five crashes the round-7 sweep found, fixed operator-side."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture()
+def empty_vecs(spark):
+    return spark.createDataFrame([], "doc_id long, vec array<double>")
+
+
+def test_psi_empty_sides(spark):
+    from datamine_v2_0_spark.operators.quality import population_stability
+
+    empty = spark.createDataFrame([], "value double")
+    some = spark.createDataFrame([(float(i),) for i in range(20)], "value double")
+    # both empty, and each side empty alone: no ANSI divide-by-zero;
+    # the eps floor makes every psi_term 0 for the all-empty case
+    rows = population_stability(empty, empty, "value").collect()
+    assert len(rows) == 10 and all(r["psi_term"] == 0.0 for r in rows)
+    rows2 = population_stability(some, empty, "value").collect()
+    assert len(rows2) == 10
+    assert all(r["n_cur"] == 0 for r in rows2)
+
+
+def test_ivf_topk_empty_corpus(spark, empty_vecs):
+    from datamine_v2_0_spark.operators.similarity import ivf_topk
+
+    out = ivf_topk(empty_vecs, empty_vecs, "vec", "doc_id", dim=4)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "cos_sim",
+    ]
+
+
+def test_train_pq_empty_corpus(spark, empty_vecs):
+    from datamine_v2_0_spark.operators.similarity import pq_topk, train_pq
+
+    books = train_pq(empty_vecs, "vec", dim=4, m=2, k_codes=4)
+    assert books.shape == (2, 4, 2) and not books.any()
+    assert pq_topk(
+        empty_vecs, empty_vecs, "vec", "doc_id", dim=4, m=2, k_codes=4
+    ).collect() == []
+
+
+def test_decontaminate_embedding_empty_eval(spark, empty_vecs):
+    from datamine_v2_0_spark.operators.semantic import decontaminate_by_embedding as decontaminate_embedding
+
+    train = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "doc_id long, vec array<double>"
+    )
+    out = decontaminate_embedding(train, empty_vecs, "vec", "doc_id", 0.9)
+    assert out.collect() == []
+
+
+def test_assign_to_centroids_no_centroids(spark, empty_vecs):
+    from datamine_v2_0_spark.operators.semantic import (
+        assign_to_centroids, semantic_neardup_pairs,
+    )
+
+    out = assign_to_centroids(empty_vecs, "vec", [])
+    assert out.collect() == []
+    assert semantic_neardup_pairs(
+        empty_vecs, "vec", "doc_id", n_clusters=4, threshold=0.9
+    ).collect() == []

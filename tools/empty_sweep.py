@@ -1,0 +1,62 @@
+"""Empty-input robustness sweep: run EVERY registered contract query
+against a zero-row copy of the testdata tables and require that none
+of them raises.
+
+Why: at corpus scale, empty inputs are routine — an empty ingest day, a
+filter that matches nothing, a partition with no rows for a key. A
+query that divides by a .first()[0] count, indexes an empty collect, or
+feeds an empty pandas frame to a kernel works in every bench and dies
+on the first quiet day in production. The sweep materializes each
+query's plan with a noop write (full execution, no driver collect) so
+lazy failures surface too.
+
+Usage: python tools/empty_sweep.py [template_sf_dir]
+Exits nonzero listing every query that raised.
+"""
+
+from __future__ import annotations
+
+import shutil
+import sys
+import tempfile
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings")
+
+
+def main() -> None:
+    template = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+    from datamine_v2_0_spark.contract import QUERIES
+    from datamine_v2_0_spark.session import get_spark
+
+    spark = get_spark("empty_sweep")
+    out_dir = tempfile.mkdtemp(prefix="empty_sf_")
+    try:
+        for t in TABLES:
+            df = spark.read.parquet(f"{template}/{t}.parquet")
+            df.limit(0).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+        failed: list[tuple[str, str]] = []
+        n_ok = 0
+        for name, (fn, _sql) in QUERIES.items():
+            try:
+                df = fn(spark, out_dir)
+                df.write.format("noop").mode("overwrite").save()
+                n_ok += 1
+            except Exception as ex:  # noqa: BLE001
+                msg = str(ex).splitlines()[0][:160]
+                failed.append((name, f"{type(ex).__name__}: {msg}"))
+        for name, err in failed:
+            print(f"FAIL  {name}: {err}")
+        print(f"{n_ok} ok, {len(failed)} failed on empty input")
+        if failed:
+            sys.exit(1)
+    finally:
+        shutil.rmtree(out_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
