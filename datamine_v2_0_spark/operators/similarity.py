@@ -211,32 +211,49 @@ def ivf_topk(
     # only shifts the recall/scan trade-off marginally below it, so cap
     # the Lloyd iterations (MLlib defaults to 20) and optionally fit on
     # a seeded sample instead of every vector
-    # empty corpus: KMeans.fit raises on zero rows — return the empty
-    # result frame instead (an empty ingest day is routine, not an error)
-    if va.limit(1).count() == 0:
+    # tiny corpus: KMeans.fit raises on zero rows AND on k > n — probe
+    # min(n, n_cells) with a bounded limit-count (never a full scan) and
+    # degrade gracefully (an empty/1-row ingest day is routine, not an
+    # error)
+    n_bounded = va.limit(n_cells).count()
+    if n_bounded == 0:
         qt = dict(queries.dtypes)[id_col]
         ct = dict(corpus.dtypes)[id_col]
         return corpus.sparkSession.createDataFrame(
             [], f"query_id {qt}, neighbor_id {ct}, cos_sim double"
         )
-    km = KMeans(
-        k=n_cells,
-        seed=seed,
-        maxIter=max_iter,
-        featuresCol="__mlvec",
-        predictionCol="__cell",
-    )
-    fit_input = (
-        va.sample(fraction=fit_fraction, seed=seed)
-        if fit_fraction is not None
-        else va
-    )
-    if fit_fraction is not None and fit_input.limit(1).count() == 0:
-        fit_input = va  # sampled away everything: fit on the full frame
-    model = km.fit(fit_input)
-    cells = model.transform(va).select("neighbor_id", "__cvec", "__cell")
+    if n_bounded < 2:
+        # a singleton corpus can't cluster (MLlib requires k >= 2) and
+        # doesn't need to: one cell holds everything, every query
+        # probes it
+        cells = va.select(
+            "neighbor_id", "__cvec", F.lit(0).alias("__cell")
+        )
+        C = np.zeros((1, dim))
+        model = None
+    else:
+        k_eff = min(n_cells, n_bounded)
+        km = KMeans(
+            k=k_eff,
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="__mlvec",
+            predictionCol="__cell",
+        )
+        fit_input = (
+            va.sample(fraction=fit_fraction, seed=seed)
+            if fit_fraction is not None
+            else va
+        )
+        if (
+            fit_fraction is not None
+            and fit_input.limit(k_eff).count() < k_eff
+        ):
+            fit_input = va  # sampled below k rows: fit on the full frame
+        model = km.fit(fit_input)
+        cells = model.transform(va).select("neighbor_id", "__cvec", "__cell")
 
-    C = np.array([np.asarray(c) for c in model.clusterCenters()])  # (n_cells, dim)
+        C = np.array([np.asarray(c) for c in model.clusterCenters()])
     probe = min(nprobe, len(C))
 
     @pandas_udf("array<int>")

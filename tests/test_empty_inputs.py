@@ -68,3 +68,14 @@ def test_assign_to_centroids_no_centroids(spark, empty_vecs):
     assert semantic_neardup_pairs(
         empty_vecs, "vec", "doc_id", n_clusters=4, threshold=0.9
     ).collect() == []
+
+
+def test_ivf_topk_single_row_corpus(spark):
+    """KMeans k must cap at the corpus row count: a 1-row corpus with
+    n_cells=8 fits k=1 instead of raising (the 1-row sweep's find)."""
+    from datamine_v2_0_spark.operators.similarity import ivf_topk
+
+    one = spark.createDataFrame([(1, [1.0, 0.0])], "doc_id long, vec array<double>")
+    q = spark.createDataFrame([(9, [1.0, 0.1])], "doc_id long, vec array<double>")
+    rows = ivf_topk(one, q, "vec", "doc_id", dim=2, n_cells=8).collect()
+    assert len(rows) == 1 and rows[0]["neighbor_id"] == 1

@@ -1,6 +1,6 @@
-"""Empty-input robustness sweep: run EVERY registered contract query
-against a zero-row copy of the testdata tables and require that none
-of them raises.
+"""Degenerate-input robustness sweep: run EVERY registered contract
+query against a zero-row (default) or N-row copy of the testdata
+tables and require that none of them raises.
 
 Why: at corpus scale, empty inputs are routine — an empty ingest day, a
 filter that matches nothing, a partition with no rows for a key. A
@@ -10,7 +10,10 @@ on the first quiet day in production. The sweep materializes each
 query's plan with a noop write (full execution, no driver collect) so
 lazy failures surface too.
 
-Usage: python tools/empty_sweep.py [template_sf_dir]
+Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows]
+n_rows=0 (default) probes the empty case; n_rows=1 probes the
+single-row case (stddev-of-one, interpolation with a single point,
+self-join of a singleton — all NULL-producing, none crash-producing).
 Exits nonzero listing every query that raised.
 """
 
@@ -28,6 +31,7 @@ TABLES = ("region", "nation", "customer", "supplier", "part", "orders",
 
 def main() -> None:
     template = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    n_rows = int(sys.argv[2]) if len(sys.argv) > 2 else 0
 
     from datamine_v2_0_spark.contract import QUERIES
     from datamine_v2_0_spark.session import get_spark
@@ -37,7 +41,9 @@ def main() -> None:
     try:
         for t in TABLES:
             df = spark.read.parquet(f"{template}/{t}.parquet")
-            df.limit(0).write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+            df.limit(n_rows).write.mode("overwrite").parquet(
+                f"{out_dir}/{t}.parquet"
+            )
 
         failed: list[tuple[str, str]] = []
         n_ok = 0
@@ -51,7 +57,8 @@ def main() -> None:
                 failed.append((name, f"{type(ex).__name__}: {msg}"))
         for name, err in failed:
             print(f"FAIL  {name}: {err}")
-        print(f"{n_ok} ok, {len(failed)} failed on empty input")
+        label = "empty" if n_rows == 0 else f"{n_rows}-row"
+        print(f"{n_ok} ok, {len(failed)} failed on {label} input")
         if failed:
             sys.exit(1)
     finally:
