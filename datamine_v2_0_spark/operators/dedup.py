@@ -475,6 +475,8 @@ def _bucket_cosine_verify(threshold: float):
         # always a fresh frame: callers (e.g. the SemDeDup wrapper) may
         # insert grouping columns in place, and one Arrow task handles
         # many groups — a shared empty would be mutated across groups
+        pdf = pdf[pdf["__vec"].notna()]  # belt-and-braces: a None row
+        # would turn the batch into an object array and break the einsum
         m = len(pdf)
         if m < 2:
             return empty.copy()
@@ -536,7 +538,10 @@ def embedding_neardup_pairs(
         make_hyperplanes,
     )
 
-    base = df.select(F.col(id_col), F.col(vec_col))
+    # NULL vectors can't hash into a band or verify a cosine — drop them
+    base = df.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col)
+    )
     if exact:
         a = base.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
@@ -559,7 +564,7 @@ def embedding_neardup_pairs(
         # Emitting post-verify pairs keeps the shuffle linear
         # (bands × corpus vector rows in, passing pairs out).
         keys = banded_keys_udf(make_hyperplanes(dim, num_planes, seed), bands)
-        banded = df.select(
+        banded = base.select(
             F.col(id_col).alias("__id"),
             F.col(vec_col).alias("__vec"),
             F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),

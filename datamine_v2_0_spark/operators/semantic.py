@@ -83,7 +83,13 @@ def seed_centroids_lowest_ids(
     n_iter=0 operating point be certified against an exact SQL oracle,
     and (b) a bounded k-row driver collect, same as `train_pq`'s capped
     codebook sample."""
-    rows = df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    rows = (
+        df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(k)
+        .collect()
+    )
     return [np.asarray(r[1], dtype=np.float64) for r in rows]
 
 
@@ -162,6 +168,8 @@ def semantic_neardup_pairs(
     the cluster key; per-cluster cost is bounded by cluster size — pick
     n_clusters ≈ corpus / target_cluster_size at scale.
     """
+    # NULL vectors can't cluster or verify — drop them up front
+    df = df.filter(F.col(vec_col).isNotNull())
     assigned = kmeans_fit_assign(
         df, vec_col, id_col, n_clusters, n_iter=n_iter
     )
@@ -253,7 +261,10 @@ def decontaminate_by_embedding(
             "raise max_eval only with executor memory to match"
         )
     eval_rows = (
-        eval_df.select(id_col, vec_col).orderBy(id_col).collect()
+        eval_df.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .orderBy(id_col)
+        .collect()
     )
     id_type = dict(train.dtypes)[id_col]
     eid_type = dict(eval_df.dtypes)[id_col]
@@ -307,7 +318,9 @@ def decontaminate_by_embedding(
                     {id_col: out_id, "eval_id": out_eid, "cos_sim": out_cos}
                 )
 
-    return train.select(id_col, vec_col).mapInPandas(
+    return train.filter(F.col(vec_col).isNotNull()).select(
+        id_col, vec_col
+    ).mapInPandas(
         scan,
         schema=f"{id_col} {id_type}, eval_id {eid_type}, cos_sim double",
     )

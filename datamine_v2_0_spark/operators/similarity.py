@@ -188,7 +188,7 @@ def ivf_topk(
         F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
     )
     va = (
-        corpus.select(
+        corpus.filter(F.col(vec_col).isNotNull()).select(
             F.col(id_col).alias("neighbor_id"),
             F.col(vec_col).alias("__cvec"),
             F.when(norm_raw > 0, norm_raw).otherwise(F.lit(1.0)).alias(
@@ -265,7 +265,7 @@ def ivf_topk(
         order = np.argsort(d2, axis=1)[:, :probe].astype(np.int32)
         return pd.Series(list(order))
 
-    q = queries.select(
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
@@ -356,12 +356,14 @@ def lsh_topk(
     side by (1+probe) and leaves the corpus-side index untouched."""
     planes = make_hyperplanes(dim, num_planes, seed)
     keys = banded_keys_udf(planes, bands)
-    c = corpus.select(
+    # NULL vectors have no signature and would crash the numpy kernel
+    # (a None row turns the Arrow batch into an object array)
+    c = corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
     )
-    q_exact = queries.select(
+    q_exact = queries.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qvec"),
         F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
@@ -427,7 +429,8 @@ def train_pq(
     assert dim % m == 0, "dim must divide into m equal subspaces"
     dsub = dim // m
     rows = (
-        corpus.select(F.col(vec_col).alias("v"))
+        corpus.filter(F.col(vec_col).isNotNull())
+        .select(F.col(vec_col).alias("v"))
         .orderBy(F.col("v").getItem(0))  # any deterministic order works
         .limit(sample_n)
         .collect()
@@ -468,6 +471,7 @@ def pq_encode(
     codebooks ship in the closure (KBs)."""
     B = np.ascontiguousarray(codebooks)
     m, _, dsub = B.shape
+    corpus = corpus.filter(F.col(vec_col).isNotNull())
 
     @pandas_udf("array<int>")
     def _enc(v: pd.Series) -> pd.Series:
@@ -525,7 +529,9 @@ def pq_topk(
     )
     codes = pq_encode(corpus, vec_col, id_col, books)
 
-    qframe = queries.select(F.col(id_col), F.col(vec_col))
+    qframe = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col), F.col(vec_col)
+    )
     n_queries = qframe.limit(max_queries + 1).count()
     if n_queries > max_queries:
         raise ValueError(

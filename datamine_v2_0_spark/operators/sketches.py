@@ -228,7 +228,10 @@ def grouped_tdigest(
         for kt, st in state.items():
             cent = _fold(st[0], st[1])
             for k, kv in zip(keys, kt):
-                cols[k].append(kv)
+                # pandas groupby(dropna=False) renders a NULL key as
+                # NaN/NaT in the key's own dtype family; hand Arrow a
+                # real None or the cast back to date/int key types fails
+                cols[k].append(None if pd.isna(kv) else kv)
             ns.append(st[2])
             ms.append(cent[:, 0].tolist())
             ws.append(cent[:, 1].tolist())

@@ -79,3 +79,43 @@ def test_ivf_topk_single_row_corpus(spark):
     q = spark.createDataFrame([(9, [1.0, 0.1])], "doc_id long, vec array<double>")
     rows = ivf_topk(one, q, "vec", "doc_id", dim=2, n_cells=8).collect()
     assert len(rows) == 1 and rows[0]["neighbor_id"] == 1
+
+
+def test_null_vectors_skipped_everywhere(spark):
+    """NULL embeddings (half-written upstream rows) are dropped, not
+    crashed on: every vector operator must return the same result as on
+    the NULL-free frame (the all-NULL-payload sweep's find)."""
+    from datamine_v2_0_spark.operators.dedup import embedding_neardup_pairs
+    from datamine_v2_0_spark.operators.semantic import semantic_neardup_pairs
+    from datamine_v2_0_spark.operators.similarity import ivf_topk, lsh_topk
+
+    clean = [(1, [1.0, 0.0]), (2, [0.99, 0.14]), (3, [0.0, 1.0])]
+    dirty = clean + [(4, None), (5, None)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id long, vec array<double>"
+    )
+    for fn in (
+        lambda df: embedding_neardup_pairs(
+            df, "vec", "doc_id", dim=2, threshold=0.9, num_planes=4, bands=2
+        ),
+        lambda df: semantic_neardup_pairs(
+            df, "vec", "doc_id", n_clusters=2, threshold=0.9
+        ),
+        lambda df: lsh_topk(df, df, "vec", "doc_id", dim=2, num_planes=4, bands=2),
+        lambda df: ivf_topk(df, df, "vec", "doc_id", dim=2, n_cells=2),
+    ):
+        want = sorted(map(tuple, fn(mk(clean)).collect()))
+        got = sorted(map(tuple, fn(mk(dirty)).collect()))
+        assert got == want
+
+
+def test_grouped_tdigest_null_date_key(spark):
+    """A NULL date group key round-trips through the Arrow boundary
+    (pandas renders it NaT; the kernel must hand Arrow a real None)."""
+    from datamine_v2_0_spark.operators.sketches import grouped_tdigest
+
+    df = spark.createDataFrame(
+        [(None, 1.0), (None, 3.0)], "d date, v double"
+    )
+    rows = grouped_tdigest(df, ["d"], "v", max_centroids=10).collect()
+    assert len(rows) == 1 and rows[0]["d"] is None and rows[0]["n"] == 2
