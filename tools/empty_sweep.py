@@ -10,15 +10,19 @@ on the first quiet day in production. The sweep materializes each
 query's plan with a noop write (full execution, no driver collect) so
 lazy failures surface too.
 
-Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows|nulls]
+Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows|nulls|text]
 n_rows=0 (default) probes the empty case; n_rows=1 probes the
 single-row case (stddev-of-one, interpolation with a single point,
 self-join of a singleton — all NULL-producing, none crash-producing);
 the literal mode ``nulls`` keeps 50 rows per table but NULLs every
 non-identifier column — NULL text reaching a shingle kernel or a NULL
 embedding reaching a numpy matmul is the production shape of a
-half-written upstream row. Exits nonzero listing every query that
-raised.
+half-written upstream row; the literal mode ``text`` keeps 50 rows but
+replaces every document's text (and events' props JSON) with
+adversarial strings — emoji, CJK, RTL + combining marks, control
+chars, NBSP-only, empty, kilobyte words, malformed JSON — the
+production shape of a real web crawl hitting the text/JSON kernels.
+Exits nonzero listing every query that raised.
 """
 
 from __future__ import annotations
@@ -37,7 +41,8 @@ def main() -> None:
     template = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     mode = sys.argv[2] if len(sys.argv) > 2 else "0"
     nulls = mode == "nulls"
-    n_rows = 50 if nulls else int(mode)
+    adversarial = mode == "text"
+    n_rows = 50 if (nulls or adversarial) else int(mode)
 
     from datamine_v2_0_spark.contract import QUERIES
     from datamine_v2_0_spark.session import get_spark
@@ -61,6 +66,36 @@ def main() -> None:
                         for c in df.columns
                     ]
                 )
+            if adversarial and t in ("documents", "events"):
+                nasty = [
+                    "\U0001f600\U0001f4a9\U0001f680 emoji only",
+                    "\u4f60\u597d\u4e16\u754c \u6e2c\u8a66\u6587\u5b57",   # CJK
+                    "\u0645\u0631\u062d\u0628\u0627 \u05e9\u05dc\u05d5\u05dd",  # RTL Arabic+Hebrew
+                    "a\u0301e\u0301i\u0301 combining c\u0327 marks",
+                    "ctrl\x01\x02\x03chars\x7f",
+                    "\u00a0\u00a0\u00a0",                       # NBSP-only
+                    "",                                            # empty
+                    "x" * 1024,                                    # one kB word
+                    "tab\tnewline\nret\rmix",
+                    "ZALGO z\u0351\u036b\u0343a\u0342l\u0340g\u0360o",
+                ]
+                pick = F.element_at(
+                    F.array(*[F.lit(x) for x in nasty]),
+                    (F.pmod(F.monotonically_increasing_id(), F.lit(len(nasty))) + 1).cast("int"),
+                )
+                if t == "documents":
+                    df = df.withColumn("text", pick).withColumn(
+                        "lang", F.lit("zz")
+                    )
+                else:
+                    bad_json = F.element_at(
+                        F.array(
+                            F.lit('{"k": }'), F.lit("not json"), F.lit(""),
+                            F.lit('{"k": "\u00e9\U0001f600"}'), F.lit("[1,2,"),
+                        ),
+                        (F.pmod(F.monotonically_increasing_id(), F.lit(5)) + 1).cast("int"),
+                    )
+                    df = df.withColumn("props", bad_json)
             df.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
         failed: list[tuple[str, str]] = []
@@ -76,6 +111,7 @@ def main() -> None:
         for name, err in failed:
             print(f"FAIL  {name}: {err}")
         label = ("all-NULL-payload" if nulls
+                 else "adversarial-text" if adversarial
                  else "empty" if n_rows == 0 else f"{n_rows}-row")
         print(f"{n_ok} ok, {len(failed)} failed on {label} input")
         if failed:
