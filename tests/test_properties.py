@@ -477,3 +477,63 @@ def test_label_windows_random_vs_bruteforce(spark):
             exp.append(cur)
     exp = sorted((d, l, s, e, n) for d, l, s, e, n in exp)
     assert got == exp
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=400),
+    st.integers(min_value=1, max_value=12),
+)
+@settings(max_examples=60, deadline=None)
+def test_misra_gries_compress_invariants(stream, capacity):
+    """_mg_compress keeps the MG guarantees on arbitrary streams: at most
+    `capacity` survivors, every surviving estimate is a lower bound with
+    error <= the total decrement, and any key with true count > total
+    decrement SURVIVES (the frequent-items guarantee)."""
+    from collections import Counter
+
+    from datamine_v2_0_spark.operators.sketches import _mg_compress
+
+    counts: dict = {}
+    dec_total = 0
+    true = Counter()
+    for x in stream:
+        true[x] += 1
+        counts[x] = counts.get(x, 0) + 1
+        counts, d = _mg_compress(counts, capacity)
+        dec_total += d
+
+    assert len(counts) <= capacity
+    for k, est in counts.items():
+        assert 0 < est <= true[k]
+        assert true[k] - est <= dec_total
+    for k, t in true.items():
+        if t > dec_total:
+            assert k in counts, (k, t, dec_total)
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1, max_size=500,
+    ),
+)
+@settings(max_examples=40, deadline=None)
+def test_tdigest_quantile_rank_error(values):
+    """t-digest quantile estimates stay within the digest's rank-error
+    class on arbitrary inputs: for each probed q, the estimate lies
+    between the exact values at ranks q +/- 10% (loose band; the scale
+    function concentrates accuracy at the tails)."""
+    from datamine_v2_0_spark.operators.sketches import (
+        tdigest_quantile, tdigest_sketch,
+    )
+
+    arr = np.sort(np.asarray(values, dtype=np.float64))
+    cent = tdigest_sketch(arr, max_centroids=100)
+    n = len(arr)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        est = tdigest_quantile(cent, q)
+        lo = arr[max(0, min(n - 1, int(np.floor((q - 0.1) * n))))]
+        hi = arr[max(0, min(n - 1, int(np.ceil((q + 0.1) * n))))]
+        assert lo <= est <= hi or np.isclose(est, lo) or np.isclose(est, hi), (
+            q, est, lo, hi, n,
+        )
