@@ -222,15 +222,20 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"query_id {qt}, neighbor_id {ct}, cos_sim double"
         )
-    if n_bounded < 2:
-        # a singleton corpus can't cluster (MLlib requires k >= 2) and
-        # doesn't need to: one cell holds everything, every query
-        # probes it
-        cells = va.select(
-            "neighbor_id", "__cvec", F.lit(0).alias("__cell")
+    def _single_cell():
+        # one cell holds everything, every query probes it — correct at
+        # any size (scoring always uses the real vectors); used when the
+        # corpus can't cluster: a singleton (MLlib requires k >= 2) or a
+        # degenerate all-identical corpus (MLlib's k-means|| init then
+        # yields fewer centers than k and its aggregator throws
+        # ArrayIndexOutOfBounds — observed on 50 identical vectors)
+        return (
+            va.select("neighbor_id", "__cvec", F.lit(0).alias("__cell")),
+            np.zeros((1, dim)),
         )
-        C = np.zeros((1, dim))
-        model = None
+
+    if n_bounded < 2:
+        cells, C = _single_cell()
     else:
         k_eff = min(n_cells, n_bounded)
         km = KMeans(
@@ -250,10 +255,15 @@ def ivf_topk(
             and fit_input.limit(k_eff).count() < k_eff
         ):
             fit_input = va  # sampled below k rows: fit on the full frame
-        model = km.fit(fit_input)
-        cells = model.transform(va).select("neighbor_id", "__cvec", "__cell")
-
-        C = np.array([np.asarray(c) for c in model.clusterCenters()])
+        try:
+            model = km.fit(fit_input)
+        except Exception:
+            cells, C = _single_cell()
+        else:
+            cells = model.transform(va).select(
+                "neighbor_id", "__cvec", "__cell"
+            )
+            C = np.array([np.asarray(c) for c in model.clusterCenters()])
     probe = min(nprobe, len(C))
 
     @pandas_udf("array<int>")

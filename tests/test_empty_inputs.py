@@ -119,3 +119,19 @@ def test_grouped_tdigest_null_date_key(spark):
     )
     rows = grouped_tdigest(df, ["d"], "v", max_centroids=10).collect()
     assert len(rows) == 1 and rows[0]["d"] is None and rows[0]["n"] == 2
+
+
+def test_ivf_topk_all_identical_vectors(spark):
+    """An all-identical corpus breaks MLlib's k-means|| init (its
+    aggregator throws ArrayIndexOutOfBounds when fewer than k distinct
+    centers exist) — ivf_topk must fall back to the single-cell layout
+    and still return exact results (the all-identical sweep's find)."""
+    from datamine_v2_0_spark.operators.similarity import ivf_topk
+
+    corpus = spark.createDataFrame(
+        [(i, [0.5] * 64) for i in range(50)], "doc_id long, vec array<double>"
+    )
+    q = corpus.limit(2)
+    rows = ivf_topk(corpus, q, "vec", "doc_id", dim=64, n_cells=8, k=3).collect()
+    assert len(rows) == 6  # 2 queries x top-3
+    assert all(r["cos_sim"] == 1.0 for r in rows)

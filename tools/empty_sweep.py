@@ -10,7 +10,7 @@ on the first quiet day in production. The sweep materializes each
 query's plan with a noop write (full execution, no driver collect) so
 lazy failures surface too.
 
-Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows|nulls|text]
+Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows|nulls|text|dupes]
 n_rows=0 (default) probes the empty case; n_rows=1 probes the
 single-row case (stddev-of-one, interpolation with a single point,
 self-join of a singleton — all NULL-producing, none crash-producing);
@@ -42,7 +42,8 @@ def main() -> None:
     mode = sys.argv[2] if len(sys.argv) > 2 else "0"
     nulls = mode == "nulls"
     adversarial = mode == "text"
-    n_rows = 50 if (nulls or adversarial) else int(mode)
+    dupes = mode == "dupes"
+    n_rows = 50 if (nulls or adversarial or dupes) else int(mode)
 
     from datamine_v2_0_spark.contract import QUERIES
     from datamine_v2_0_spark.session import get_spark
@@ -66,6 +67,17 @@ def main() -> None:
                         for c in df.columns
                     ]
                 )
+            if dupes:
+                first = df.limit(1).collect()
+                if first:
+                    r0 = first[0].asDict()
+                    df = df.select(
+                        *[
+                            df[c] if is_id(c)
+                            else F.lit(r0[c]).cast(dict(df.dtypes)[c]).alias(c)
+                            for c in df.columns
+                        ]
+                    )
             if adversarial and t in ("documents", "events"):
                 nasty = [
                     "\U0001f600\U0001f4a9\U0001f680 emoji only",
@@ -112,6 +124,7 @@ def main() -> None:
             print(f"FAIL  {name}: {err}")
         label = ("all-NULL-payload" if nulls
                  else "adversarial-text" if adversarial
+                 else "all-identical-payload" if dupes
                  else "empty" if n_rows == 0 else f"{n_rows}-row")
         print(f"{n_ok} ok, {len(failed)} failed on {label} input")
         if failed:
