@@ -15,6 +15,10 @@ audit:
 
 empty-sweep:
 	python tools/empty_sweep.py
+	python tools/empty_sweep.py /root/testdata/sf0.001 1
+	python tools/empty_sweep.py /root/testdata/sf0.001 nulls
+	python tools/empty_sweep.py /root/testdata/sf0.001 text
+	python tools/empty_sweep.py /root/testdata/sf0.001 dupes
 
 bench:
 	python bench.py
