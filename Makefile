@@ -19,6 +19,7 @@ empty-sweep:
 	python tools/empty_sweep.py /root/testdata/sf0.001 nulls
 	python tools/empty_sweep.py /root/testdata/sf0.001 text
 	python tools/empty_sweep.py /root/testdata/sf0.001 dupes
+	python tools/empty_sweep.py /root/testdata/sf0.001 extremes
 
 bench:
 	python bench.py

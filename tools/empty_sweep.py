@@ -10,7 +10,7 @@ on the first quiet day in production. The sweep materializes each
 query's plan with a noop write (full execution, no driver collect) so
 lazy failures surface too.
 
-Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows|nulls|text|dupes]
+Usage: python tools/empty_sweep.py [template_sf_dir] [n_rows|nulls|text|dupes|extremes]
 n_rows=0 (default) probes the empty case; n_rows=1 probes the
 single-row case (stddev-of-one, interpolation with a single point,
 self-join of a singleton — all NULL-producing, none crash-producing);
@@ -22,6 +22,11 @@ replaces every document's text (and events' props JSON) with
 adversarial strings — emoji, CJK, RTL + combining marks, control
 chars, NBSP-only, empty, kilobyte words, malformed JSON — the
 production shape of a real web crawl hitting the text/JSON kernels.
+the literal mode ``extremes`` keeps 50 rows but rotates every
+double-typed payload column through IEEE edge values (NaN, +/-Inf,
++/-1e308, 0.0) — legitimate floating-point citizens that corrupt
+sensors emit and that must flow through stats/windows/sketches
+without aborting the job.
 Exits nonzero listing every query that raised.
 """
 
@@ -43,7 +48,9 @@ def main() -> None:
     nulls = mode == "nulls"
     adversarial = mode == "text"
     dupes = mode == "dupes"
-    n_rows = 50 if (nulls or adversarial or dupes) else int(mode)
+    extremes = mode == "extremes"
+    special = nulls or adversarial or dupes or extremes
+    n_rows = 50 if special else int(mode)
 
     from datamine_v2_0_spark.contract import QUERIES
     from datamine_v2_0_spark.session import get_spark
@@ -64,6 +71,22 @@ def main() -> None:
                     *[
                         df[c] if is_id(c)
                         else F.lit(None).cast(dict(df.dtypes)[c]).alias(c)
+                        for c in df.columns
+                    ]
+                )
+            if extremes:
+                edge = [float("nan"), float("inf"), float("-inf"),
+                        1e308, -1e308, 0.0]
+                pick = F.element_at(
+                    F.array(*[F.lit(x) for x in edge]),
+                    (F.pmod(F.monotonically_increasing_id(),
+                            F.lit(len(edge))) + 1).cast("int"),
+                )
+                df = df.select(
+                    *[
+                        pick.alias(c)
+                        if (not is_id(c) and dict(df.dtypes)[c] == "double")
+                        else df[c]
                         for c in df.columns
                     ]
                 )
@@ -125,6 +148,7 @@ def main() -> None:
         label = ("all-NULL-payload" if nulls
                  else "adversarial-text" if adversarial
                  else "all-identical-payload" if dupes
+                 else "extreme-doubles" if extremes
                  else "empty" if n_rows == 0 else f"{n_rows}-row")
         print(f"{n_ok} ok, {len(failed)} failed on {label} input")
         if failed:
