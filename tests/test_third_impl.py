@@ -167,3 +167,65 @@ def test_text_lm_bigram_vs_python(spark):
             tot += math.log10(lam * cond + (1 - lam) * back)
         assert got[d][0] == nd
         assert abs(got[d][1] - tot / nd) <= 2e-6, (d, got[d][1], tot / nd)
+
+
+def test_ts_ewma_vs_pandas(spark, events_pdf):
+    """Hourly-resample + exact EWMA recurrence vs pandas
+    groupby-resample + ewm(alpha, adjust=False) — an entirely separate
+    implementation of both stages."""
+    from datamine_v2_0_spark.contract import QUERIES
+
+    fn, _ = QUERIES["ts_ewma"]
+    got = {
+        (r["event_type"], str(r["bucket"])): (r["value"], r["ewma"])
+        for r in fn(spark, SF).collect()
+    }
+
+    pdf = events_pdf.copy()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    hourly = (
+        pdf.groupby(["event_type", "bucket"])["value"].mean().reset_index()
+    )
+    hourly["value"] = np.floor(hourly["value"] * 1e6 + 0.5) / 1e6
+    n_checked = 0
+    for et, grp in hourly.groupby("event_type"):
+        g = grp.sort_values("bucket")
+        ew = g["value"].ewm(alpha=0.3, adjust=False).mean()
+        for b, v, e in zip(g["bucket"], g["value"], ew):
+            key = (et, str(b))
+            assert key in got, key
+            gv, ge = got[key]
+            assert abs(gv - v) <= 1e-9
+            assert abs(ge - round(e, 6)) <= 2e-6, (key, ge, e)
+            n_checked += 1
+    assert n_checked == len(got)
+
+
+def test_win_savgol_vs_numpy_polyfit(spark, events_pdf):
+    """Interior Savitzky-Golay points vs a per-window numpy quadratic
+    least-squares fit evaluated at the center — no convolution
+    coefficients shared with either engine."""
+    from datamine_v2_0_spark.contract import QUERIES
+
+    fn, _ = QUERIES["win_savgol"]
+    got = {r["event_id"]: r["smoothed"] for r in fn(spark, SF).collect()}
+
+    pos = np.arange(-5, 6, dtype=np.float64)
+    n_checked = 0
+    for _, grp in events_pdf.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        y = g["value"].to_numpy(dtype=np.float64)
+        for i in range(5, len(g) - 5):
+            win = y[i - 5 : i + 6]
+            if np.isnan(win).any():
+                # kernel input NaNs: skip — covered by the operator's
+                # own NULL-handling tests
+                continue
+            coef = np.polyfit(pos, win, 2)
+            exp = round(float(np.polyval(coef, 0.0)), 6)
+            assert g["event_id"][i] in got
+            assert abs(got[g["event_id"][i]] - exp) <= 2e-6, (
+                g["event_id"][i], got[g["event_id"][i]], exp,
+            )
+            n_checked += 1
+    assert n_checked > 100  # the sf0.001 fixture has plenty of interior rows
