@@ -53,16 +53,28 @@ def q_join_equi_revenue(spark, sf_dir):
         # no forced broadcast: customer is corpus-scaled — Catalyst
         # broadcasts it by size at test scale, AQE re-plans at 100 TB
     )
+    # money sums in EXACT decimal, not double: at 4x sf0.1 the segment
+    # revenues reach ~1e9 where double partial-agg tree order vs the
+    # oracle's sequential order differ within float error, and a sum
+    # landing near a cent-rounding half-boundary hash-mismatches
+    # (observed in the round-7 4x-replica sweep). price has 2 decimals
+    # and discount 2, so DECIMAL(30,4) terms sum exactly on both
+    # engines at any scale.
+    term = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    ).cast("decimal(30,4)")
     return joined.groupBy("c_mktsegment").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(term), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
 SQL_JOIN_EQUI_REVENUE = """
 SELECT c_mktsegment,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))
+                           AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

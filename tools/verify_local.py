@@ -63,10 +63,16 @@ def main() -> None:
     import __spark_entry__ as e
 
     spark = get_spark("verify_local")
+    import os
+
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        # Spark-written tables are DIRECTORIES of part files; the
+        # driver's flat files read directly
+        pat = f"{path}/*.parquet" if os.path.isdir(path) else path
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pat}')"
         )
 
     qs = e.queries()
