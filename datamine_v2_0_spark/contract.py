@@ -81,6 +81,11 @@ QUERIES: dict[str, tuple] = {
     "join_equi_revenue": (q_join_equi_revenue, SQL_JOIN_EQUI_REVENUE),
     "join_interval": (q_join_interval, SQL_JOIN_INTERVAL),
     "join_overlap": (q_join_overlap, SQL_JOIN_OVERLAP),
+    # money sums moved to exact DECIMAL after the 4x-replica sweep
+    # caught the double-summation rounding instability — same change,
+    # same re-certification rule
+    "sql_views": (q_sql_views, SQL_SQL_VIEWS),
+    "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
     # --- oldest oracle-backed evidence (round 3): re-prove rung ---
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),

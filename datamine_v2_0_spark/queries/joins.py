@@ -458,16 +458,21 @@ def q_join_bloom(spark, sf_dir):
         .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
     )
     j = jn.bloom_prefilter_join(li, o, "l_orderkey", expected_items=50000, fpp=0.01)
+    term = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(3,2)") - F.col("l_discount").cast("decimal(3,2)"))
+    ).cast("decimal(30,4)")
     return j.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-        ).alias("revenue"),
+        F.round(F.sum(term), 2).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
 
 SQL_JOIN_BLOOM = """
 SELECT l_returnflag,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))
+                           AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*) AS n
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey

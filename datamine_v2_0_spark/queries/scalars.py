@@ -125,7 +125,13 @@ def q_sql_views(spark, sf_dir):
         """
         SELECT o_orderstatus,
                COUNT(*) AS n,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               -- exact decimal money sum (TPC-H defines these columns
+               -- DECIMAL(15,2)): double tree-vs-sequential summation
+               -- order crosses cent-rounding boundaries at scale
+               CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                              * (CAST(1 AS DECIMAL(3,2))
+                                 - CAST(l_discount AS DECIMAL(3,2)))
+                              AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
         FROM v_lineitem JOIN v_orders ON l_orderkey = o_orderkey
         WHERE l_shipdate >= DATE '1995-01-01'
         GROUP BY o_orderstatus
@@ -134,7 +140,10 @@ def q_sql_views(spark, sf_dir):
 
 SQL_SQL_VIEWS = """
 SELECT o_orderstatus, COUNT(*) AS n,
-       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(ROUND(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                           * (CAST(1 AS DECIMAL(3,2))
+                              - CAST(l_discount AS DECIMAL(3,2)))
+                           AS DECIMAL(30,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= DATE '1995-01-01'
 GROUP BY o_orderstatus
