@@ -86,6 +86,10 @@ QUERIES: dict[str, tuple] = {
     # same re-certification rule
     "sql_views": (q_sql_views, SQL_SQL_VIEWS),
     "join_bloom": (q_join_bloom, SQL_JOIN_BLOOM),
+    # 16x-replica catches: self-scaling merge-free t-digest capacity,
+    # 4dp hourly-mean quantum ahead of the EWMA recurrence
+    "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
+    "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
     # --- oldest oracle-backed evidence (round 3): re-prove rung ---
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),

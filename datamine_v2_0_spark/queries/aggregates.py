@@ -608,15 +608,23 @@ def q_agg_tdigest(spark, sf_dir):
     every value stays its own centroid and the estimator reduces to
     deterministic MIDPOINT interpolation over the sorted values — exactly
     replicable in ANSI SQL (note: midpoint interpolation, NOT
-    percentile_cont's q*(n-1) rule). 400k >> pi/2 * 10k (sf0.01); the
-    approximate operating point (max_centroids=100) keeps its accuracy
-    and merge-consistency coverage in test_sketches."""
+    percentile_cont's q*(n-1) rule). The capacity is SELF-SCALING:
+    ceil(pi/2 * n) + 1 from a count of the input (a fixed 400k constant
+    silently left the merge-free regime on the round-7 16x replica —
+    1.6M values need ~2.6M centroids), so the certification holds at any
+    test scale; the approximate production operating point
+    (max_centroids=100) keeps its accuracy and merge-consistency
+    coverage in test_sketches."""
+    import math
+
     from datamine_v2_0_spark.operators import sketches as sk
     from pyspark.sql import functions as F
 
     ev = _t(spark, sf_dir, "events").withColumn("d", F.to_date("ts"))
-    td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=400_000)
-    return sk.merge_tdigests(td, [], [0.5, 0.95, 0.99], max_centroids=400_000)
+    n = ev.filter(F.col("value").isNotNull()).count()
+    cap = int(math.pi / 2 * max(n, 1)) + 2
+    td = sk.grouped_tdigest(ev, ["d"], "value", max_centroids=cap)
+    return sk.merge_tdigests(td, [], [0.5, 0.95, 0.99], max_centroids=cap)
 
 SQL_AGG_TDIGEST = """
 WITH vals AS (

@@ -110,7 +110,7 @@ WITH vals AS (
   SELECT user_id,
          make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000 AS BIGINT))
            AS bucket,
-         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
+         floor(AVG(value) * 1e4 + 0.5) / 1e4 AS value
   FROM events GROUP BY 1, 2
 ), spans AS (
   SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM vals GROUP BY 1
@@ -231,7 +231,12 @@ def q_ts_ewma(spark, sf_dir):
     )
     hourly = df.groupBy(
         "event_type", bucket.alias("bucket")
-    ).agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"))
+        # 4 dp, not 6: the bucket SUM's float error grows with rows per
+        # bucket (n*eps*magnitude ~ 1e-6 at the 16x replica) and the two
+        # engines' summation orders then straddle a 1e-6 quantum — the
+        # round-7 16x sweep caught exactly that; at 1e-4 the margin is
+        # ~100x at 16x and the recurrence inputs stay bit-identical
+    ).agg((F.floor(F.avg("value") * 1e4 + F.lit(0.5)) / 1e4).alias("value"))
     return tsr.ewma_smooth(hourly, ["event_type"], "bucket", "value", alpha=0.3)
 
 SQL_TS_EWMA = """
@@ -239,7 +244,7 @@ WITH RECURSIVE b AS (
   SELECT event_type,
          make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT))
            AS bucket,
-         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
+         floor(AVG(value) * 1e4 + 0.5) / 1e4 AS value
   FROM events GROUP BY 1, 2
 ), s AS (
   SELECT event_type, bucket, value,
@@ -394,7 +399,12 @@ def q_ts_cusum(spark, sf_dir):
     )
     hourly = df.groupBy(
         "event_type", bucket.alias("bucket")
-    ).agg((F.floor(F.avg("value") * 1e6 + F.lit(0.5)) / 1e6).alias("value"))
+        # 4 dp, not 6: the bucket SUM's float error grows with rows per
+        # bucket (n*eps*magnitude ~ 1e-6 at the 16x replica) and the two
+        # engines' summation orders then straddle a 1e-6 quantum — the
+        # round-7 16x sweep caught exactly that; at 1e-4 the margin is
+        # ~100x at 16x and the recurrence inputs stay bit-identical
+    ).agg((F.floor(F.avg("value") * 1e4 + F.lit(0.5)) / 1e4).alias("value"))
     return tsr.cusum_detect(
         hourly, ["event_type"], "bucket", "value",
         target=50.0, slack=0.5, threshold=40.0,
@@ -405,7 +415,7 @@ WITH RECURSIVE b AS (
   SELECT event_type,
          make_timestamp(CAST(floor(epoch(ts)/3600)*3600*1000000 AS BIGINT))
            AS bucket,
-         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
+         floor(AVG(value) * 1e4 + 0.5) / 1e4 AS value
   FROM events GROUP BY 1, 2
 ), s AS (
   SELECT event_type, bucket, value,

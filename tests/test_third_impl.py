@@ -186,7 +186,7 @@ def test_ts_ewma_vs_pandas(spark, events_pdf):
     hourly = (
         pdf.groupby(["event_type", "bucket"])["value"].mean().reset_index()
     )
-    hourly["value"] = np.floor(hourly["value"] * 1e6 + 0.5) / 1e6
+    hourly["value"] = np.floor(hourly["value"] * 1e4 + 0.5) / 1e4
     n_checked = 0
     for et, grp in hourly.groupby("event_type"):
         g = grp.sort_values("bucket")
