@@ -41,11 +41,15 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #      FIRST-EVER driver rows — they had sat past slot 50 since round 1
 #      so an oracle-checkable query was never displaced; this round they
 #      lead (45 oracle + 5 rows-only for one round);
-#   2. the 3 queries whose semantics or lineage CHANGED this round —
-#      stat_ks (p_approx NULL when D is NULL, operator AND oracle),
-#      dedup_groups / dedup_canonical (shared-lineage groups memo) — a
-#      change without a fresh driver row is an uncertified change;
-#   3. the 42 remaining oracle-backed queries whose newest driver
+#   2. every query that CHANGED during round 7 — a change without a
+#      fresh driver row is an uncertified change: stat_ks (NULL
+#      p-value), dedup_groups/dedup_canonical (shared lineage), the 3
+#      NEW val_* validation-harness queries, the 5 joins whose plans
+#      changed when broadcast hints became opt-in, sql_views/join_bloom
+#      (exact-DECIMAL money sums, the 4x-replica catch), and
+#      agg_tdigest/ts_ewma/ts_cusum (the 16x-replica catches:
+#      self-scaling merge-free capacity, 4dp bucket-mean quantum);
+#   3. the 30 remaining oracle-backed queries whose newest driver
 #      evidence is round 3, in standing age order.
 # Everything fresher (r4/r5/r6-green) follows past slot 50 in evidence
 # age order (oldest first), so the round-8 window is simply the next 50.
@@ -90,6 +94,7 @@ QUERIES: dict[str, tuple] = {
     # 4dp hourly-mean quantum ahead of the EWMA recurrence
     "agg_tdigest": (q_agg_tdigest, SQL_AGG_TDIGEST),
     "ts_ewma": (q_ts_ewma, SQL_TS_EWMA),
+    "ts_cusum": (q_ts_cusum, SQL_TS_CUSUM),
     # --- oldest oracle-backed evidence (round 3): re-prove rung ---
     "agg_grouping_sets": (q_agg_grouping_sets, SQL_AGG_GROUPING_SETS),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),

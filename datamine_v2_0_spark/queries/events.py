@@ -110,7 +110,7 @@ WITH vals AS (
   SELECT user_id,
          make_timestamp(CAST(floor(epoch(ts)/86400)*86400*1000000 AS BIGINT))
            AS bucket,
-         floor(AVG(value) * 1e4 + 0.5) / 1e4 AS value
+         floor(AVG(value) * 1e6 + 0.5) / 1e6 AS value
   FROM events GROUP BY 1, 2
 ), spans AS (
   SELECT user_id, MIN(bucket) AS mn, MAX(bucket) AS mx FROM vals GROUP BY 1
@@ -399,11 +399,10 @@ def q_ts_cusum(spark, sf_dir):
     )
     hourly = df.groupBy(
         "event_type", bucket.alias("bucket")
-        # 4 dp, not 6: the bucket SUM's float error grows with rows per
-        # bucket (n*eps*magnitude ~ 1e-6 at the 16x replica) and the two
-        # engines' summation orders then straddle a 1e-6 quantum — the
-        # round-7 16x sweep caught exactly that; at 1e-4 the margin is
-        # ~100x at 16x and the recurrence inputs stay bit-identical
+        # same 4 dp quantum as ts_ewma (identical hourly-bucket-mean
+        # shape feeding a recurrence): preventive — the float error of a
+        # bucket SUM grows with rows per bucket and crossed the 1e-6
+        # quantum for ewma on the 16x replica
     ).agg((F.floor(F.avg("value") * 1e4 + F.lit(0.5)) / 1e4).alias("value"))
     return tsr.cusum_detect(
         hourly, ["event_type"], "bucket", "value",
