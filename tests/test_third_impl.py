@@ -229,3 +229,42 @@ def test_win_savgol_vs_numpy_polyfit(spark, events_pdf):
             )
             n_checked += 1
     assert n_checked > 100  # the sf0.001 fixture has plenty of interior rows
+
+
+def test_ts_cusum_vs_python_recurrence(spark, events_pdf):
+    """Hourly-resample + one-sided CUSUM recurrences vs a pure-Python
+    replay: s+ = max(0, s+ + (x - target - slack)),
+    s- = max(0, s- + (target - x - slack)) over the independently
+    computed quantized hourly means (target 50, slack 0.5,
+    threshold 40)."""
+    from datamine_v2_0_spark.contract import QUERIES
+
+    fn, _ = QUERIES["ts_cusum"]
+    got = {
+        (r["event_type"], str(r["bucket"])): (
+            r["cusum_up"], r["cusum_down"], r["alarm"]
+        )
+        for r in fn(spark, SF).collect()
+    }
+
+    pdf = events_pdf.copy()
+    pdf["bucket"] = pdf["ts"].dt.floor("h")
+    hourly = (
+        pdf.groupby(["event_type", "bucket"])["value"].mean().reset_index()
+    )
+    hourly["value"] = np.floor(hourly["value"] * 1e4 + 0.5) / 1e4
+    n_checked = 0
+    for et, grp in hourly.groupby("event_type"):
+        g = grp.sort_values("bucket")
+        up = dn = 0.0
+        for b, x in zip(g["bucket"], g["value"]):
+            up = max(0.0, up + (x - 50.0 - 0.5))
+            dn = max(0.0, dn + (50.0 - x - 0.5))
+            gu, gd, alarm = got[(et, str(b))]
+            assert abs(gu - round(up, 6)) <= 2e-6, (et, b, gu, up)
+            assert abs(gd - round(dn, 6)) <= 2e-6
+            assert alarm == (round(up, 6) > 40.0 or round(dn, 6) > 40.0), (
+                et, b, up, dn, alarm,
+            )
+            n_checked += 1
+    assert n_checked == len(got)
