@@ -121,3 +121,114 @@ def test_rrf_empty_input_raises(spark):
 
     with _pt.raises(ValueError):
         rt.rrf_fuse([])
+
+
+# --- duplicate collapse (round-8: the duplicate-heavy scale path) -------
+
+
+def _dup_corpus(spark, copies=3):
+    """Every base doc repeated `copies` times under distinct ids, plus one
+    unique doc — exercises groups the top-k boundary cuts through."""
+    base = [
+        (1, "apple banana apple"),
+        (2, "apple cherry"),
+        (3, "banana banana banana cherry"),
+    ]
+    rows = []
+    for c in range(copies):
+        rows += [(d + 100 * c, t) for d, t in base]
+    rows.append((999, "apple durian"))
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def _collect_sorted(df):
+    return sorted(
+        (r["query_id"], r["doc_id"], r["score"], r["rank"]) for r in df.collect()
+    )
+
+
+@pytest.mark.parametrize("k", [1, 2, 4, 50])
+def test_bm25_collapsed_matches_direct_on_duplicates(spark, k):
+    docs = _dup_corpus(spark)
+    # duplicated probes too: two qids share one text (collapse on both sides)
+    q = spark.createDataFrame(
+        [(0, "apple"), (1, "apple"), (2, "banana cherry")], ["qid", "qtext"]
+    )
+    kw = dict(k=k)
+    direct = rt.bm25_topk(
+        docs, q, "text", "doc_id", "qtext", "qid",
+        duplicate_collapse="never", **kw,
+    )
+    collapsed = rt.bm25_topk(
+        docs, q, "text", "doc_id", "qtext", "qid",
+        duplicate_collapse="always", **kw,
+    )
+    assert _collect_sorted(direct) == _collect_sorted(collapsed)
+
+
+def test_bm25_auto_picks_collapse_and_stays_exact(spark):
+    docs = _dup_corpus(spark, copies=4)
+    q = spark.createDataFrame([(0, "apple cherry")], ["qid", "qtext"])
+    auto = rt.bm25_topk(
+        docs, q, "text", "doc_id", "qtext", "qid", k=5,
+    )
+    never = rt.bm25_topk(
+        docs, q, "text", "doc_id", "qtext", "qid", k=5,
+        duplicate_collapse="never",
+    )
+    assert _collect_sorted(auto) == _collect_sorted(never)
+
+
+def test_bm25_collapse_boundary_inside_group(spark):
+    """k cuts inside a duplicate group: the prune must keep the whole
+    tying group and let doc_id order decide the final members."""
+    docs = spark.createDataFrame(
+        [(i, "apple pie") for i in range(10, 16)]  # one group of 6 twins
+        + [(1, "apple apple apple apple")],        # higher tf -> rank 1
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(0, "apple")], ["qid", "qtext"])
+    out = rt.bm25_topk(
+        docs, q, "text", "doc_id", "qtext", "qid", k=3,
+        duplicate_collapse="always",
+    )
+    rows = sorted(out.collect(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in rows] == [1, 10, 11]
+    assert [r["rank"] for r in rows] == [1, 2, 3]
+    # twins share one score
+    assert rows[1]["score"] == rows[2]["score"]
+
+
+def test_bm25_collapsed_normalization_dups_merge(spark):
+    """Case/whitespace variants normalize to one fingerprint and must
+    score identically to direct evaluation."""
+    docs = spark.createDataFrame(
+        [(1, "Apple  Banana"), (2, "apple banana"), (3, "cherry")],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(0, "apple")], ["qid", "qtext"])
+    a = rt.bm25_topk(docs, q, "text", "doc_id", "qtext", "qid",
+                     duplicate_collapse="always")
+    b = rt.bm25_topk(docs, q, "text", "doc_id", "qtext", "qid",
+                     duplicate_collapse="never")
+    assert _collect_sorted(a) == _collect_sorted(b)
+    assert {r[1] for r in _collect_sorted(a)} == {1, 2}
+
+
+def test_bm25_invalid_collapse_mode_raises(spark):
+    docs = _corpus(spark)
+    q = spark.createDataFrame([(0, "apple")], ["qid", "qtext"])
+    with pytest.raises(ValueError):
+        rt.bm25_topk(docs, q, "text", "doc_id", "qtext", "qid",
+                     duplicate_collapse="sometimes")
+
+
+def test_bm25_collapsed_plan_no_cartesian(spark):
+    q = spark.createDataFrame([(0, "apple")], ["qid", "qtext"])
+    df = rt.bm25_topk(
+        _dup_corpus(spark), q, "text", "doc_id", "qtext", "qid",
+        duplicate_collapse="always",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastNestedLoopJoin") <= 1
