@@ -144,6 +144,47 @@ def bucketed_topk(
     )
 
 
+def _lloyd_fit(X: np.ndarray, k: int, max_iter: int) -> np.ndarray:
+    """Seeded driver-side Lloyd iterations on a bounded sample.
+
+    Deterministic farthest-point init (start at row 0, greedily add the
+    sample point farthest from its nearest chosen center — no RNG, so
+    the cell layout is reproducible across runs and layouts), then plain
+    Lloyd updates with the standard empty-cluster rule (keep the old
+    centroid). Degenerate inputs need no special casing: an all-identical
+    sample yields duplicate centroids, ties assign to the lowest cell id,
+    and the nprobe=n_cells operating point stays exact regardless.
+
+    Replaces the round-7 full-corpus MLlib KMeans fit, whose fixed JVM
+    cost dominated the query at small scale (7.57 s at sf0.001 vs 2.77 s
+    at sf0.01 — inverse scaling). A coarse quantizer only needs cells
+    good enough to bucket the corpus; a few-thousand-row sample is the
+    classical IVF training recipe (faiss trains coarse quantizers on
+    bounded samples for the same reason)."""
+    C = np.empty((k, X.shape[1]), dtype=np.float64)
+    C[0] = X[0]
+    d2 = ((X - C[0]) ** 2).sum(axis=1)
+    for j in range(1, k):
+        C[j] = X[int(d2.argmax())]
+        d2 = np.minimum(d2, ((X - C[j]) ** 2).sum(axis=1))
+    for _ in range(max_iter):
+        dists = (
+            (X * X).sum(axis=1, keepdims=True)
+            - 2.0 * (X @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        assign = dists.argmin(axis=1)
+        newC = C.copy()
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                newC[j] = members.mean(axis=0)
+        if np.allclose(newC, C):
+            break
+        C = newC
+    return C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -157,8 +198,9 @@ def ivf_topk(
     round_to: int = 6,
     max_iter: int = 8,
     fit_fraction: float | None = None,
+    fit_sample_cap: int = 4096,
 ) -> DataFrame:
-    """IVF ANN with a LEARNED coarse quantizer: KMeans cells partition
+    """IVF ANN with a LEARNED coarse quantizer: k-means cells partition
     the corpus, each query probes its ``nprobe`` nearest centroids, and
     only same-cell candidates are scored — the canonical
     inverted-file layout (`bucketed_topk` is the same plan with a
@@ -169,17 +211,21 @@ def ivf_topk(
     ``nprobe = n_cells`` probes every cell, which is provably exact
     (the cells partition the corpus) while keeping the IVF plan shape;
     smaller nprobe trades recall for a ~nprobe/n_cells scan fraction.
-    KMeans is seeded — the cell assignment (and thus the result) is
-    deterministic for a fixed corpus.
+
+    The quantizer is fit DRIVER-SIDE on a deterministic hash-ordered
+    sample of at most ``fit_sample_cap`` vectors (a top-N over
+    xxhash64(id) — a bounded KB-scale collect, same budget discipline as
+    train_pq's codebook sample), with deterministic farthest-point init:
+    the cell assignment (and thus the result) is reproducible for a
+    fixed corpus, with no RNG and no full-corpus fit job.
+    ``fit_fraction`` optionally pre-thins the sample pool before the
+    cap (kept for API compatibility; the cap already bounds the fit).
 
     Vectors are L2-normalized before clustering and probing (spherical
     quantization): cosine ranking equals Euclidean ranking on the unit
     sphere, so cells align with cosine neighborhoods — without this,
     Euclidean cells on unnormalized data fragment each query's cosine
     neighborhood across many cells and recall collapses."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     # norm computed ONCE per row (not per element inside the transform
     # lambda — that was O(dim^2) per row) and floored to 1 for all-zero
     # vectors so normalization can't raise DIVIDE_BY_ZERO under ANSI
@@ -198,23 +244,15 @@ def ivf_topk(
         .select(
             "neighbor_id",
             "__cvec",
-            array_to_vector(
-                F.transform(
-                    F.col("__cvec").cast("array<double>"),
-                    lambda x: x / F.col("__norm"),
-                )
-            ).alias("__mlvec"),
+            F.transform(
+                F.col("__cvec").cast("array<double>"),
+                lambda x: x / F.col("__norm"),
+            ).alias("__nvec"),
         )
     )
-    # the quantizer only needs cells GOOD ENOUGH to bucket the corpus —
-    # it never affects results at the certified nprobe=n_cells point and
-    # only shifts the recall/scan trade-off marginally below it, so cap
-    # the Lloyd iterations (MLlib defaults to 20) and optionally fit on
-    # a seeded sample instead of every vector
-    # tiny corpus: KMeans.fit raises on zero rows AND on k > n — probe
-    # min(n, n_cells) with a bounded limit-count (never a full scan) and
-    # degrade gracefully (an empty/1-row ingest day is routine, not an
-    # error)
+    # tiny corpus: probe min(n, n_cells) with a bounded limit-count
+    # (never a full scan) and degrade gracefully (an empty/1-row ingest
+    # day is routine, not an error)
     n_bounded = va.limit(n_cells).count()
     if n_bounded == 0:
         qt = dict(queries.dtypes)[id_col]
@@ -222,48 +260,50 @@ def ivf_topk(
         return corpus.sparkSession.createDataFrame(
             [], f"query_id {qt}, neighbor_id {ct}, cos_sim double"
         )
-    def _single_cell():
-        # one cell holds everything, every query probes it — correct at
-        # any size (scoring always uses the real vectors); used when the
-        # corpus can't cluster: a singleton (MLlib requires k >= 2) or a
-        # degenerate all-identical corpus (MLlib's k-means|| init then
-        # yields fewer centers than k and its aggregator throws
-        # ArrayIndexOutOfBounds — observed on 50 identical vectors)
-        return (
-            va.select("neighbor_id", "__cvec", F.lit(0).alias("__cell")),
-            np.zeros((1, dim)),
-        )
-
     if n_bounded < 2:
-        cells, C = _single_cell()
+        # one cell holds everything, every query probes it — correct at
+        # any size (scoring always uses the real vectors)
+        cells = va.select("neighbor_id", "__cvec", F.lit(0).alias("__cell"))
+        C = np.zeros((1, dim))
     else:
         k_eff = min(n_cells, n_bounded)
-        km = KMeans(
-            k=k_eff,
-            seed=seed,
-            maxIter=max_iter,
-            featuresCol="__mlvec",
-            predictionCol="__cell",
-        )
-        fit_input = (
+        pool = (
             va.sample(fraction=fit_fraction, seed=seed)
             if fit_fraction is not None
             else va
         )
-        if (
-            fit_fraction is not None
-            and fit_input.limit(k_eff).count() < k_eff
-        ):
-            fit_input = va  # sampled below k rows: fit on the full frame
-        try:
-            model = km.fit(fit_input)
-        except Exception:
-            cells, C = _single_cell()
-        else:
-            cells = model.transform(va).select(
-                "neighbor_id", "__cvec", "__cell"
+        # deterministic spread sample: top-N over a seeded id hash is a
+        # TakeOrdered (bounded heap per partition, k rows to the driver),
+        # independent of file layout and row order
+        samp = (
+            pool.select("neighbor_id", "__nvec")
+            .orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+            .limit(fit_sample_cap)
+            .collect()
+        )
+        if len(samp) < k_eff:  # fit_fraction thinned below k: refill
+            samp = (
+                va.select("neighbor_id", "__nvec")
+                .orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
+                .limit(fit_sample_cap)
+                .collect()
             )
-            C = np.array([np.asarray(c) for c in model.clusterCenters()])
+        X = np.array([r["__nvec"] for r in samp], dtype=np.float64)
+        C = _lloyd_fit(X, min(k_eff, len(X)), max_iter)
+
+        @pandas_udf("int")
+        def _assign_cell(v: pd.Series) -> pd.Series:
+            M = np.array(v.tolist(), dtype=np.float64)  # (n, dim) normalized
+            d2 = (
+                (M * M).sum(axis=1, keepdims=True)
+                - 2.0 * (M @ C.T)
+                + (C * C).sum(axis=1)[None, :]
+            )
+            return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+        cells = va.select(
+            "neighbor_id", "__cvec", _assign_cell(F.col("__nvec")).alias("__cell")
+        )
     probe = min(nprobe, len(C))
 
     @pandas_udf("array<int>")

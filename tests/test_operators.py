@@ -1632,3 +1632,23 @@ def test_ann_recall_floors_published_curve(spark):
     }
     assert len(pq20 & exact) / len(exact) >= 0.85
     emb.unpersist()
+
+
+def test_lloyd_fit_deterministic_and_degenerate():
+    """Driver-side quantizer fit: same sample -> identical centroids
+    (no RNG anywhere), and an all-identical sample must not raise —
+    duplicate centroids are the documented degenerate outcome."""
+    import numpy as np
+
+    from datamine_v2_0_spark.operators.similarity import _lloyd_fit
+
+    rng = np.random.RandomState(7)
+    X = rng.standard_normal((256, 16))
+    X /= np.linalg.norm(X, axis=1, keepdims=True)
+    a = _lloyd_fit(X, 8, max_iter=8)
+    b = _lloyd_fit(X.copy(), 8, max_iter=8)
+    assert np.array_equal(a, b)
+    ident = np.ones((50, 16)) / 4.0
+    C = _lloyd_fit(ident, 8, max_iter=8)
+    assert C.shape == (8, 16)
+    assert np.allclose(C, C[0])  # all duplicates of the one point
