@@ -17,6 +17,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import shutil
 import sys
 import tempfile
@@ -128,34 +129,74 @@ def main() -> None:
             .parquet(f"{out_dir}/_diskprobe")
         )
         calib_disk = round(time.time() - t, 3)
+        # Python-worker probe: a fixed applyInPandas workload (Arrow
+        # transfer + numpy loop over 96 groups) timed the same way as
+        # the CPD stage, so cpd_sec has a same-run yardstick too — the
+        # round-7 verdict flagged a 5x probe-normalized CPD swing that
+        # the CPU/disk probes could not adjudicate (the CPD stage is
+        # bound by Python workers, not the JVM or the disk).
+        import numpy as _np
+        import pandas as _pd
 
-        t0 = time.time()
-        silver = silver_transform(
-            raw, ingested_at=F.to_timestamp(F.lit("2025-09-04 00:00:00"))
-        )
-        features = build_features(silver)
+        def _py_probe(pdf: "_pd.DataFrame") -> "_pd.DataFrame":
+            v = pdf["v"].to_numpy(dtype=float)
+            acc = 0.0
+            for _ in range(40):  # deliberately loop-bound, PELT-like
+                acc += float(_np.abs(_np.cumsum(v) - acc).sum()) % 1e9
+            return _pd.DataFrame({"g": [int(pdf["g"].iloc[0])], "acc": [acc]})
+
+        t = time.time()
         (
-            features.drop("current_position")
-            .write.mode("overwrite")
-            .partitionBy("device_date")
-            .parquet(f"{out_dir}/features")
+            spark.range(0, 2_400_000, 1, 32)
+            .selectExpr("id % 96 AS g", "CAST(id % 9973 AS DOUBLE) AS v")
+            .groupBy("g")
+            .applyInPandas(_py_probe, "g long, acc double")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
         )
-        t_features = time.time() - t0
+        calib_py = round(time.time() - t, 3)
 
-        t1 = time.time()
-        cand = cpd_pipeline(
-            spark.read.parquet(f"{out_dir}/features"),
-            "device_date",
-            "timestamp",
-            ["load_weight"],
-            "raw_event_hash_id",
-            duration="5 seconds",
-            penalty=2e7,
-            min_size=10,
-        )
-        n_cand = cand.count()
-        t_cpd = time.time() - t1
+        # LOAD PROTOCOL (round 8, per the round-7 verdict): min-of-N
+        # passes per stage (default 3) with all pass times disclosed —
+        # single-shot stage timings on this shared hypervisor swing
+        # several-fold on identical code.
+        n_passes = int(os.environ.get("SPARK_GRAFT_PIPELINE_PASSES", "3"))
+        feat_passes: list[float] = []
+        cpd_passes: list[float] = []
+        n_cand = None
+        for _ in range(n_passes):
+            t0 = time.time()
+            silver = silver_transform(
+                raw, ingested_at=F.to_timestamp(F.lit("2025-09-04 00:00:00"))
+            )
+            features = build_features(silver)
+            (
+                features.drop("current_position")
+                .write.mode("overwrite")
+                .partitionBy("device_date")
+                .parquet(f"{out_dir}/features")
+            )
+            feat_passes.append(round(time.time() - t0, 2))
 
+            t1 = time.time()
+            cand = cpd_pipeline(
+                spark.read.parquet(f"{out_dir}/features"),
+                "device_date",
+                "timestamp",
+                ["load_weight"],
+                "raw_event_hash_id",
+                duration="5 seconds",
+                penalty=2e7,
+                min_size=10,
+            )
+            this_cand = cand.count()
+            cpd_passes.append(round(time.time() - t1, 2))
+            assert n_cand is None or n_cand == this_cand, "unstable candidates"
+            n_cand = this_cand
+
+        t_features = min(feat_passes)
+        t_cpd = min(cpd_passes)
         n_rows = spark.read.parquet(f"{out_dir}/features").count()
     finally:
         shutil.rmtree(out_dir, ignore_errors=True)
@@ -175,13 +216,20 @@ def main() -> None:
                 "rows_per_sec": int(n_rows / total),
                 "calib_cpu_sec": calib_cpu,
                 "calib_disk_sec": calib_disk,
-                # host-speed-normalized ratios: total and the export-bound
-                # stage expressed in units of the same-run probes — these
-                # are what is comparable round-over-round, not seconds
+                "calib_py_sec": calib_py,
+                "timing": f"min of {n_passes} passes per stage",
+                "feat_passes": feat_passes,
+                "cpd_passes": cpd_passes,
+                "loadavg_1m": round(os.getloadavg()[0], 2),
+                # host-speed-normalized ratios: each stage expressed in
+                # units of the same-run probe that matches its bottleneck
+                # (export -> disk, CPD -> Python workers) — these are
+                # what is comparable round-over-round, not seconds
                 "total_per_cpu_probe": round(total / calib_cpu, 2),
                 "export_stage_per_disk_probe": round(
                     t_features / calib_disk, 2
                 ),
+                "cpd_stage_per_py_probe": round(t_cpd / calib_py, 2),
                 "reference_anchor": "silver 44-353s + features ~18-588s + cpd ~120s + export 185.8s; <2h total",
             }
         )
