@@ -57,10 +57,16 @@ def quantile_bins_exact(
     out: str,
     tiebreak: str,
     buckets: int = 32,
+    check_unique: bool = False,
 ) -> DataFrame:
     """pd.qcut parity: exact NTILE(nbins)-1 over the global
     (col, tiebreak) order. ``tiebreak`` must be a UNIQUE key — it makes
-    the ordering total, so the bin of every row is deterministic.
+    the ordering total, so the bin of every row is deterministic; a
+    NON-unique tiebreak does not fail, it silently yields layout-
+    dependent bins for the tied rows (the `_dist_prefix_sums`
+    distinct-key precondition). Pass ``check_unique=True`` to pay one
+    count/count_distinct aggregation that makes the violation loud —
+    meant for tests and first-run validation, not the hot path.
 
     Scale shape (round-7 rewrite): the old form was a global
     ``Window.orderBy`` NTILE, which funnels the ENTIRE relation through
@@ -80,6 +86,19 @@ def quantile_bins_exact(
     with base = floor(n/k), rem = n mod k."""
     from datamine_v2_0_spark.operators.stats import _dist_prefix_sums
 
+    if check_unique:
+        chk = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # struct-wrapped so NULLs in `col` still count as rows (bare
+            # multi-arg count_distinct drops any row with a NULL field)
+            F.count_distinct(F.struct(F.col(col), F.col(tiebreak))).alias("nd"),
+        ).first()
+        if chk["n"] != chk["nd"]:
+            raise ValueError(
+                f"quantile_bins_exact: tiebreak {tiebreak!r} is not unique "
+                f"({chk['n']} rows, {chk['nd']} distinct ({col}, {tiebreak}) "
+                "pairs) — bins would be layout-dependent for tied rows"
+            )
     rel = df.withColumn(
         "__ord", F.struct(F.col(col), F.col(tiebreak))
     ).withColumn("__one", F.lit(1).cast("long"))

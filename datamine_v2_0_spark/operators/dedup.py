@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
+from datamine_v2_0_spark.operators.ckpt import iter_checkpoint
+
 
 def normalize_text(col: Column) -> Column:
     """Canonical text form for dedup: lowercase, collapse whitespace, trim."""
@@ -597,6 +599,7 @@ def connected_components(
     max_iterations: int = 25,
     checkpoint: bool = True,
     steps_per_check: int = 2,
+    reliable: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
     returns (node, comp) where comp is the minimum node id reachable
@@ -610,18 +613,21 @@ def connected_components(
     changes (or at max_iterations). Rounds needed = component diameter;
     near-dup components are small dense clusters (diameter 1-3), so this
     settles in 2-4 rounds. Each round is ONE shuffle (join on node +
-    groupBy min); ``localCheckpoint`` truncates the per-round lineage so
-    plan size stays constant. For adversarial long-chain graphs prefer
+    groupBy min); per-round lineage truncation keeps plan size constant
+    — ``localCheckpoint`` by default (fast, but unreplicated executor
+    blocks: an executor loss mid-job fails the job loudly and needs a
+    re-run), or durable ``checkpoint`` with ``reliable=True`` (needs
+    ``setCheckpointDir``; survives executor loss — see operators/ckpt). For adversarial long-chain graphs prefer
     the alternating large-star/small-star formulation (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — same join
     machinery, O(log n) rounds."""
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
-    edges = (
+    edges = iter_checkpoint(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        reliable,
     )
     labels = (
         edges.select(F.col("src").alias("node"))
@@ -666,7 +672,7 @@ def connected_components(
             stepped = hop(stepped)
             steps_done += 1
         if checkpoint:
-            stepped = stepped.localCheckpoint(eager=True)
+            stepped = iter_checkpoint(stepped, reliable, eager=True)
         changed = stepped.filter(F.col("comp") < F.col("old_comp")).limit(1).count()
         labels = stepped.select("node", "comp")
         if changed == 0:
@@ -700,6 +706,7 @@ def connected_components_star(
     id_b: str = "id_b",
     max_rounds: int = 50,
     checkpoint: bool = True,
+    reliable: bool = False,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al., "Connected Components in MapReduce and Beyond"):
@@ -713,7 +720,9 @@ def connected_components_star(
     every edge points directly at its component minimum.
 
     Each round is two grouped shuffles + a distinct; edges are
-    localCheckpoint'd per round to keep plan depth constant.
+    checkpointed per round to keep plan depth constant
+    (``localCheckpoint`` by default; ``reliable=True`` for durable
+    checkpoints that survive executor loss — see operators/ckpt).
 
     Returns (node, comp) like :func:`connected_components`."""
     all_nodes = (
@@ -727,7 +736,7 @@ def connected_components_star(
         .distinct()
     )
     if checkpoint:
-        edges = edges.localCheckpoint(eager=False)
+        edges = iter_checkpoint(edges, reliable)
     for _ in range(max_rounds):
         # large-star: (v, m) for every neighbor v > center
         adj = _star_adjacency(edges)
@@ -747,7 +756,7 @@ def connected_components_star(
             .distinct()
         )
         if checkpoint:
-            small = small.localCheckpoint(eager=True)
+            small = iter_checkpoint(small, reliable, eager=True)
         # fixpoint: the edge SET is unchanged. Both frames are distinct
         # sets, so equal cardinality + one-sided inclusion ⇒ equality —
         # two cheap counts and at most one exceptAll join per round

@@ -24,6 +24,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+from datamine_v2_0_spark.operators.ckpt import iter_checkpoint
+
 
 def _q(c: Column, dp: int) -> Column:
     """Half-up floor quantization — the SAME grid expression the
@@ -50,6 +52,7 @@ def pagerank(
     quantize_dp: int = 9,
     round_to: int = 6,
     ckpt_every: int = 3,
+    reliable: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, rank).
 
@@ -63,23 +66,30 @@ def pagerank(
     (co-partitioned join on src), summed per destination, damped, and
     floor-quantized so the result is bit-reproducible across engines.
     The edge+degree table materializes once; iterations reuse it.
+
+    Lineage truncation uses ``localCheckpoint`` by default (fast, but
+    unreplicated executor blocks — an executor loss mid-job fails the
+    job loudly and needs a re-run); pass ``reliable=True`` for durable
+    ``checkpoint``-based truncation that survives executor loss
+    (requires ``setCheckpointDir``; see operators/ckpt).
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")
     # materialize the edge list once: nodes, degrees, AND the join table
     # all derive from it, and the caller's edge derivation may itself be
     # a join (e.g. the co-purchase self-join) that must not run 3x
-    e = edges.select(
-        F.col(src).alias("src"), F.col(dst).alias("dst")
-    ).localCheckpoint(eager=False)
-    nodes = (
+    e = iter_checkpoint(
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
+        reliable,
+    )
+    nodes = iter_checkpoint(
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        reliable,
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = e.join(deg, "src").localCheckpoint(eager=False)
+    ed = iter_checkpoint(e.join(deg, "src"), reliable)
 
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
     d = F.lit(float(damping))
@@ -111,5 +121,5 @@ def pagerank(
         # The last iteration never checkpoints (the caller's action
         # materializes it).
         if (i + 1) % ckpt_every == 0 and i + 1 < n_iter:
-            ranks = ranks.localCheckpoint(eager=False)
+            ranks = iter_checkpoint(ranks, reliable)
     return ranks.select("node", F.round("rank", round_to).alias("rank"))

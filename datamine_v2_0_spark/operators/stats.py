@@ -92,11 +92,17 @@ def _dist_prefix_sums(
     the bucket count by construction, never by the data.
 
     PRECONDITION: ``rel`` must have at most one row per distinct
-    ``order_col`` value (both call sites pass a ``groupBy(order_col)``
-    output). With duplicate keys the within-bucket ``rowsBetween``
-    cumulatives are nondeterministic inside ties and the exclusive
-    (``include_current=False``) prefix loses its '#values strictly
-    below' meaning — pre-aggregate duplicates before calling.
+    ``order_col`` value. With duplicate keys the within-bucket
+    ``rowsBetween`` cumulatives are nondeterministic inside ties and
+    the exclusive (``include_current=False``) prefix loses its
+    '#values strictly below' meaning — pre-aggregate duplicates before
+    calling. Call sites and how each satisfies it: the KS and
+    Mann-Whitney rank paths in this module pass ``groupBy(order_col)``
+    outputs (unique by construction); ``binning.quantile_bins_exact``
+    passes ROW-LEVEL data ordered by a ``(col, tiebreak)`` struct,
+    which is unique only if the caller's ``tiebreak`` column is truly
+    unique — that contract lives with (and is guarded in)
+    ``quantile_bins_exact``, see its ``check_unique`` flag.
 
     Emits ``__cum_<col>`` for every ``sum_cols`` entry (inclusive or
     exclusive of the current row per ``include_current``). Two lazy

@@ -200,7 +200,29 @@ HAVING CAST(COUNT(*) AS DOUBLE)
 # one exists for the same (session, sf_dir) — the documented one-pass
 # pattern (operators/dedup.canonical_ids). Deterministic inputs make
 # the reuse semantically invisible.
+#
+# Keyed by applicationId, NOT id(spark) (round-8 ADVICE): CPython can
+# reuse an object id after an old session is garbage-collected, which
+# would hand a persisted frame bound to a DEAD session to a new one.
+# applicationId is unique per SparkContext lifetime.
 _GROUPS_CACHE: dict = {}
+
+
+def _cache_key(spark, sf_dir):
+    return (spark.sparkContext.applicationId, sf_dir)
+
+
+def clear_groups_cache() -> None:
+    """Drop every memoized groups frame (unpersisting live ones). Layout
+    and determinism sweeps MUST call this between passes, or the second
+    pass would hash the first pass's cached frame and the check would be
+    vacuous."""
+    for df in _GROUPS_CACHE.values():
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # frame from an already-stopped session: nothing to free
+    _GROUPS_CACHE.clear()
 
 
 def _compute_groups(spark, sf_dir):
@@ -215,10 +237,11 @@ def q_dedup_groups(spark, sf_dir):
     closure over the same exact-Jaccard pair set. Every doc appears
     once; group_id = min doc_id of its component (own id if unpaired).
 
-    Side effect: persists the result under a (session, sf_dir) memo so
+    Side effect: persists the result under an (applicationId, sf_dir)
+    memo so
     a following q_dedup_canonical call derives the canonical corpus
     from it instead of re-running the whole pair-graph pipeline."""
-    key = (id(spark), sf_dir)
+    key = _cache_key(spark, sf_dir)
     old = _GROUPS_CACHE.pop(key, None)
     if old is not None:
         try:
@@ -273,7 +296,7 @@ def q_dedup_canonical(spark, sf_dir):
     exists for this (session, sf_dir) — the canonical set is a narrow
     filter over it (operators/dedup.canonical_ids), so running both
     queries costs one pair-graph build, not two."""
-    groups = _GROUPS_CACHE.get((id(spark), sf_dir))
+    groups = _GROUPS_CACHE.get(_cache_key(spark, sf_dir))
     if groups is None:
         groups = _compute_groups(spark, sf_dir)
     return dd.canonical_ids(groups, "doc_id")

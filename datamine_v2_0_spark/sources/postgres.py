@@ -185,39 +185,24 @@ def jdbc_execute(
         conn.close()
 
 
-def write_jdbc_staged_swap(
+def _write_stage_and_validate(
     df: DataFrame,
     url: str,
     table: str,
+    stage: str,
     expected_rows: int,
-    *,
-    stage_suffix: str = "__stage",
-    batchsize: int = 10000,
-    create_table_column_types: str | None = None,
-    dialect: str = "postgres",
-    **options,
+    batchsize: int,
+    create_table_column_types: str | None,
+    options: dict,
 ) -> None:
-    """Validated atomic publish: executor-parallel JDBC write into
-    ``{table}{stage_suffix}``, post-write count validation, then an
-    atomic stage → live rename in one driver transaction. Readers see
-    the old table until the swap commits — the Spark-side equivalent of
-    the reference's in-transaction COPY + validate + commit
-    (``05_load_candidates_to_db.py:163-195,284-326``), restructured
-    because Spark's distributed write cannot run inside one DB
-    transaction.
-
-    ``dialect='postgres'`` swaps with transactional DDL (DROP old +
-    RENAME stage in one txn). ``dialect='derby'`` (tests) lacks DROP
-    inside the same guarantees but RENAME TABLE works the same way.
-    """
-    stage = f"{table}{stage_suffix}"
+    """Executor-parallel JDBC write into ``stage`` + count validation.
+    The live ``table`` is untouched on any failure."""
     spark = df.sparkSession
     # drop any stale stage from a previous failed run, then write fresh
-    for sql in (f"DROP TABLE {stage}",):
-        try:
-            jdbc_execute(spark, url, [sql])
-        except Exception:
-            pass  # stage didn't exist
+    try:
+        jdbc_execute(spark, url, [f"DROP TABLE {stage}"])
+    except Exception:
+        pass  # stage didn't exist
     w = (
         df.write.format("jdbc")
         .option("url", url)
@@ -243,6 +228,103 @@ def write_jdbc_staged_swap(
             f"{expected_rows} in {stage}; live table {table} untouched"
         )
 
+
+def write_jdbc_truncate_insert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    expected_rows: int,
+    columns: Sequence[str],
+    *,
+    stage_suffix: str = "__stage",
+    batchsize: int = 10000,
+    create_table_column_types: str | None = None,
+    **options,
+) -> None:
+    """Validated publish that PRESERVES the live table's identity —
+    indexes, constraints, grants, triggers, and dependent views all
+    survive, unlike :func:`write_jdbc_staged_swap`'s rename.
+
+    Three phases: (1) executor-parallel JDBC write into
+    ``{table}{stage_suffix}`` (a failed distributed write never touches
+    the live table); (2) count validation against ``expected_rows``;
+    (3) one driver transaction: ``DELETE FROM live; INSERT INTO live
+    (cols) SELECT cols FROM stage; DROP stage`` — set-based and
+    server-side, so readers see the old rows until the commit, the
+    closest Spark-side equivalent of the reference loader's
+    in-transaction TRUNCATE + COPY
+    (``05_load_candidates_to_db.py:163-195,284-326``; DELETE rather
+    than TRUNCATE because TRUNCATE is not transactional in every
+    dialect — Derby included — while DELETE is everywhere).
+
+    ``columns`` pins the insert column list explicitly: the stage table
+    is created by Spark from ``df``'s schema, whose column ORDER need
+    not match a live table that carries defaults/serial columns. The
+    SELECT side quotes each name (Spark's JDBC writer creates the stage
+    with quoted, case-exact identifiers) while the INSERT target list
+    stays unquoted (the live table follows the database's folding
+    convention — lowercase in Postgres, uppercase in Derby).
+    """
+    stage = f"{table}{stage_suffix}"
+    spark = df.sparkSession
+    _write_stage_and_validate(
+        df, url, table, stage, expected_rows, batchsize,
+        create_table_column_types, options,
+    )
+    target_cols = ", ".join(columns)
+    stage_cols = ", ".join(f'"{c}"' for c in columns)
+    jdbc_execute(
+        spark,
+        url,
+        [
+            f"DELETE FROM {table}",
+            f"INSERT INTO {table} ({target_cols}) "
+            f"SELECT {stage_cols} FROM {stage}",
+            f"DROP TABLE {stage}",
+        ],
+    )
+
+
+def write_jdbc_staged_swap(
+    df: DataFrame,
+    url: str,
+    table: str,
+    expected_rows: int,
+    *,
+    stage_suffix: str = "__stage",
+    batchsize: int = 10000,
+    create_table_column_types: str | None = None,
+    dialect: str = "postgres",
+    **options,
+) -> None:
+    """Validated atomic publish: executor-parallel JDBC write into
+    ``{table}{stage_suffix}``, post-write count validation, then an
+    atomic stage → live rename in one driver transaction. Readers see
+    the old table until the swap commits — the Spark-side equivalent of
+    the reference's in-transaction COPY + validate + commit
+    (``05_load_candidates_to_db.py:163-195,284-326``), restructured
+    because Spark's distributed write cannot run inside one DB
+    transaction.
+
+    ``dialect='postgres'`` swaps with transactional DDL (DROP old +
+    RENAME stage in one txn). ``dialect='derby'`` (tests) lacks DROP
+    inside the same guarantees but RENAME TABLE works the same way.
+
+    CAVEAT — table identity is NOT preserved: the rename replaces the
+    live table object, silently discarding its indexes, constraints,
+    grants, and triggers, and the non-CASCADE DROP fails outright if a
+    view depends on the table. Use this only for plain,
+    index/dependency-free landing tables; for tables with indexes or
+    dependent views use :func:`write_jdbc_truncate_insert`, which keeps
+    the live table object (the reference loader's TRUNCATE + COPY shape,
+    ``05_load_candidates_to_db.py:163-195``).
+    """
+    stage = f"{table}{stage_suffix}"
+    spark = df.sparkSession
+    _write_stage_and_validate(
+        df, url, table, stage, expected_rows, batchsize,
+        create_table_column_types, options,
+    )
     if dialect == "postgres":
         swap = [
             f"DROP TABLE IF EXISTS {table}",

@@ -233,3 +233,37 @@ def test_compression_ratio_orders_text_types(spark):
     assert got[5]["compression_ratio"] is None
     assert got[2]["n_bytes"] == len(rows[1][1].encode())
     assert got[1]["n_compressed"] == 35  # deterministic zlib level 6
+
+
+def test_quantile_bins_exact_check_unique_guard(spark):
+    """A non-unique tiebreak silently yields layout-dependent bins
+    (the _dist_prefix_sums distinct-key precondition); check_unique
+    turns that into a loud failure, and a unique key passes."""
+    import pytest
+
+    from datamine_v2_0_spark.operators import binning as bn
+
+    dup = spark.createDataFrame(
+        [(1.0, 1), (1.0, 1), (2.0, 2)], ["x", "i"]
+    )
+    with pytest.raises(ValueError, match="not unique"):
+        bn.quantile_bins_exact(dup, "x", 2, "q", "i", check_unique=True)
+    ok = spark.createDataFrame([(1.0, 1), (1.0, 2), (2.0, 3)], ["x", "i"])
+    rows = bn.quantile_bins_exact(
+        ok, "x", 2, "q", "i", check_unique=True
+    ).collect()
+    assert len(rows) == 3
+
+
+def test_quantile_bins_exact_check_unique_allows_null_values(spark):
+    """NULLs in the value column must not trip the uniqueness guard
+    when the tiebreak itself is unique."""
+    from datamine_v2_0_spark.operators import binning as bn
+
+    df = spark.createDataFrame(
+        [(None, 1), (None, 2), (2.0, 3)], "x double, i int"
+    )
+    rows = bn.quantile_bins_exact(
+        df, "x", 2, "q", "i", check_unique=True
+    ).collect()
+    assert len(rows) == 3

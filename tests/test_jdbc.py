@@ -181,3 +181,61 @@ def test_staged_swap_publish_and_validation(spark, derby_url):
         spark.read.format("jdbc").option("url", derby_url)
         .option("dbtable", t).load().count() == 37
     ), "live table must survive a failed staged publish"
+
+
+def test_truncate_insert_preserves_table_identity(spark, derby_url):
+    """write_jdbc_truncate_insert publishes through the EXISTING live
+    table object — an index on it must survive the publish (the staged
+    swap's rename would discard it), a failed validation must leave the
+    live rows untouched, and a second publish fully replaces the rows."""
+    t = f"ti_{uuid.uuid4().hex[:8]}"
+    # live table created out-of-band (like a DBA-managed table), with an
+    # index — the identity the publish must preserve
+    pg.jdbc_execute(
+        spark, derby_url,
+        [f"CREATE TABLE {t} (id BIGINT)", f"CREATE INDEX {t}_idx ON {t} (id)"],
+    )
+    v1 = spark.range(0, 50).select(F.col("id"))
+    pg.write_jdbc_truncate_insert(
+        v1, derby_url, t, expected_rows=50, columns=["id"]
+    )
+    assert (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", t).load().count() == 50
+    )
+    # the index still exists in the catalog — proof the publish kept the
+    # table object (a rename-based swap would have dropped it)
+    def index_exists():
+        q = (
+            "(SELECT COUNT(*) AS n FROM SYS.SYSCONGLOMERATES "
+            f"WHERE CONGLOMERATENAME = '{t.upper()}_IDX') x"
+        )
+        return (
+            spark.read.format("jdbc").option("url", derby_url)
+            .option("dbtable", q).load().first()[0] == 1
+        )
+
+    assert index_exists()
+
+    # failed validation leaves live rows untouched
+    v2 = spark.range(0, 5).select(F.col("id"))
+    with pytest.raises(ValueError, match="staged write validation failed"):
+        pg.write_jdbc_truncate_insert(
+            v2, derby_url, t, expected_rows=6, columns=["id"]
+        )
+    assert (
+        spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", t).load().count() == 50
+    )
+
+    # successful re-publish replaces all rows, same table object
+    v3 = spark.range(100, 117).select(F.col("id"))
+    pg.write_jdbc_truncate_insert(
+        v3, derby_url, t, expected_rows=17, columns=["id"]
+    )
+    got = sorted(
+        r["ID"] if "ID" in r else r["id"]
+        for r in spark.read.format("jdbc").option("url", derby_url)
+        .option("dbtable", t).load().collect()
+    )
+    assert got == list(range(100, 117))

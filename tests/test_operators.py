@@ -536,16 +536,17 @@ def test_dedup_canonical_query_reuses_groups_cache(spark):
     sf = "/root/testdata/sf0.001"
     if not os.path.isdir(sf):
         pytest.skip("driver testdata absent")
-    qd._GROUPS_CACHE.clear()
+    key = qd._cache_key(spark, sf)
+    qd.clear_groups_cache()
     cold = {r["doc_id"] for r in qd.q_dedup_canonical(spark, sf).collect()}
-    assert (id(spark), sf) not in qd._GROUPS_CACHE
+    assert key not in qd._GROUPS_CACHE
     groups = qd.q_dedup_groups(spark, sf)
-    assert qd._GROUPS_CACHE[(id(spark), sf)] is groups
+    assert qd._GROUPS_CACHE[key] is groups
     warm = {r["doc_id"] for r in qd.q_dedup_canonical(spark, sf).collect()}
     assert warm == cold
     n_groups = groups.count()
     assert len(warm) <= n_groups
-    qd._GROUPS_CACHE.pop((id(spark), sf)).unpersist()
+    qd.clear_groups_cache()
 
 
 def test_lsh_topk_recall(spark):
@@ -1652,3 +1653,31 @@ def test_lloyd_fit_deterministic_and_degenerate():
     C = _lloyd_fit(ident, 8, max_iter=8)
     assert C.shape == (8, 16)
     assert np.allclose(C, C[0])  # all duplicates of the one point
+
+
+def test_iterative_ops_reliable_checkpoint_parity(spark, tmp_path):
+    """reliable=True (durable checkpoint) must produce identical results
+    to the default localCheckpoint path — it is a fault-tolerance
+    trade-off, never a semantic one."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.operators import graph as gr
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], "id_a long, id_b long"
+    )
+    base = sorted(map(tuple, dd.connected_components(pairs).collect()))
+    rel = sorted(map(tuple, dd.connected_components(pairs, reliable=True).collect()))
+    assert base == rel
+    star = sorted(
+        map(tuple, dd.connected_components_star(pairs, reliable=True).collect())
+    )
+    assert base == star
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (3, 4)], "src long, dst long"
+    )
+    pr_base = sorted(map(tuple, gr.pagerank(edges, n_iter=4).collect()))
+    pr_rel = sorted(
+        map(tuple, gr.pagerank(edges, n_iter=4, reliable=True).collect())
+    )
+    assert pr_base == pr_rel

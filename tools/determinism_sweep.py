@@ -49,12 +49,19 @@ def main() -> None:
         if only and name not in only:
             continue
         t0 = time.time()
+        # memoized frames would make the second layout pass hash the
+        # first pass's cached result — clear between passes so each
+        # layout genuinely recomputes (dedup_canonical's groups memo)
+        from datamine_v2_0_spark.queries.dedup import clear_groups_cache
+
         try:
             spark.conf.set("spark.sql.shuffle.partitions", "32")
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            clear_groups_cache()
             n_a, h_a = _run(spark, fn, sf_dir)
             spark.conf.set("spark.sql.shuffle.partitions", "7")
             spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+            clear_groups_cache()
             n_b, h_b = _run(spark, fn, sf_dir)
         except Exception as ex:  # noqa: BLE001
             failed.append((name, f"{type(ex).__name__}: {str(ex)[:120]}"))
