@@ -268,3 +268,61 @@ def test_ts_cusum_vs_python_recurrence(spark, events_pdf):
             )
             n_checked += 1
     assert n_checked == len(got)
+
+
+@pytest.mark.parametrize("sf_dir", [SF, "/root/testdata/sf0.01"])
+def test_graph_pagerank_vs_numpy_power_iteration(spark, sf_dir):
+    """graph_pagerank's 16x oracle is infeasible (DuckDB recursive-CTE
+    disk wall, COVERAGE.md) and its pytest ground truths are small
+    fixtures — this is the independent check on the real co-purchase
+    graph (both sf0.001 and the driver-gate sf0.01): a dense numpy
+    power iteration sharing NO code with the operator or the SQL
+    oracle, including the per-iteration half-up floor quantization
+    grid (floor(x*1e9 + 0.5)/1e9)."""
+    from datamine_v2_0_spark.contract import QUERIES
+
+    fn, _ = QUERIES["graph_pagerank"]
+    got = {r["node"]: r["rank"] for r in fn(spark, sf_dir).collect()}
+
+    li = duckdb.sql(
+        f"SELECT l_orderkey, l_partkey FROM '{sf_dir}/lineitem.parquet'"
+    ).df()
+    edges = set()
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                edges.add((a, b))
+                edges.add((b, a))
+    nodes = sorted({a for a, _ in edges})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for a, _ in edges:
+        deg[idx[a]] += 1
+    rank = np.full(n, 1.0 / n)
+    d = 0.85
+
+    def q(x):
+        return np.floor(x * 1e9 + 0.5) / 1e9
+
+    for _ in range(5):
+        contrib = np.zeros(n)
+        share = rank / deg
+        for a, b in edges:
+            contrib[idx[b]] += share[idx[a]]
+        rank = q((1.0 - d) / n + d * contrib)
+    # final display rounding must be half-up like Spark's F.round —
+    # Python's round() is banker's and diverges on exact .5 boundaries
+    want = {
+        node: math.floor(rank[i] * 1e6 + 0.5) / 1e6 for node, i in idx.items()
+    }
+
+    assert set(got) == set(want)
+    worst = max(abs(got[k] - want[k]) for k in want)
+    # summation-order float error inside one iteration is bounded well
+    # below the quantization step; after the grid snap the two
+    # implementations must agree to the printed 6dp
+    assert worst <= 1e-6, worst
+    exact = sum(1 for k in want if got[k] == pytest.approx(want[k], abs=5e-7))
+    assert exact == len(want)
