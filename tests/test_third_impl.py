@@ -326,3 +326,127 @@ def test_graph_pagerank_vs_numpy_power_iteration(spark, sf_dir):
     assert worst <= 1e-6, worst
     exact = sum(1 for k in want if got[k] == pytest.approx(want[k], abs=5e-7))
     assert exact == len(want)
+
+
+def _mini16_replica_rows(n_base=40):
+    """16x id-offset duplicate replica of a small real-document sample —
+    the make_scaled.py composition (every doc gains 15 identical twins)
+    at a size where a pure-Python inverted index is exact ground truth."""
+    base = duckdb.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' "
+        f"ORDER BY doc_id LIMIT {n_base}"
+    ).df()
+    off = 1_000_000_000
+    return [
+        (int(r["doc_id"]) + c * off, r["text"])
+        for c in range(16)
+        for _, r in base.iterrows()
+    ]
+
+
+def _py_shingles(text, n=3):
+    import re as _re
+
+    w = _re.sub(r"\s+", " ", text.lower()).strip().split(" ")
+    if len(w) < n:
+        return set()
+    return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+
+def _py_inverted_pairs(docs, df_cap=None):
+    """Pure-Python inverted index: (pair -> shared count), capped sizes,
+    and true sizes. Shares no code with the operator or its oracle."""
+    from collections import defaultdict
+
+    sh = {i: _py_shingles(t) for i, t in docs}
+    sh = {i: s for i, s in sh.items() if s}
+    dfreq = defaultdict(int)
+    for s in sh.values():
+        for g in s:
+            dfreq[g] += 1
+    kept = {
+        i: (s if df_cap is None else {g for g in s if dfreq[g] <= df_cap})
+        for i, s in sh.items()
+    }
+    post = defaultdict(list)
+    for i, s in kept.items():
+        for g in s:
+            post[g].append(i)
+    inter = defaultdict(int)
+    for ids in post.values():
+        ids.sort()
+        for x in range(len(ids)):
+            for y in range(x + 1, len(ids)):
+                inter[(ids[x], ids[y])] += 1
+    true_sz = {i: len(s) for i, s in sh.items()}
+    capped_sz = {i: len(s) for i, s in kept.items()}
+    return inter, capped_sz, true_sz
+
+
+@pytest.mark.parametrize("df_cap", [None, 24])
+def test_dedup_jaccard_inverted_16x_vs_python(spark, df_cap):
+    """The highest-alpha scaling query (0.68) at 16x duplication, where
+    its DuckDB oracle takes hours: full-result parity against an
+    independent pure-Python inverted index, uncapped AND with a df cap
+    chosen to BITE only at 16x (cap 24: any shingle in >=2 base docs has
+    replica df >=32 and is pruned; base-unique shingles, df 16, survive
+    — exactly the scale-onset regime the cap path must stay exact in)."""
+    from datamine_v2_0_spark.operators import dedup as dd
+
+    docs = _mini16_replica_rows()
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.jaccard_pairs_inverted(
+            sdf, "text", "doc_id", threshold=0.2, max_shingle_freq=df_cap
+        ).collect()
+    }
+    inter, capped_sz, _ = _py_inverted_pairs(docs, df_cap)
+    want = {}
+    for (a, b), i in inter.items():
+        j = i / (capped_sz[a] + capped_sz[b] - i)
+        if j >= 0.2:
+            want[(a, b)] = math.floor(j * 1e6 + 0.5) / 1e6
+    assert set(got) == set(want)
+    assert got and all(
+        got[k] == pytest.approx(want[k], abs=1e-9) for k in want
+    )
+    # the duplicate twins must pair at exactly 1.0 — C(16,2) per base
+    # doc; under the cap a base doc whose every shingle is shared loses
+    # its whole (capped) universe and drops out, so the bound relaxes
+    ones = sum(1 for v in want.values() if v == 1.0)
+    assert ones >= (40 if df_cap is None else 36) * 120
+
+
+@pytest.mark.parametrize("df_cap", [None, 24])
+def test_dedup_containment_16x_vs_python(spark, df_cap):
+    """Second-highest-alpha query (0.61) at 16x duplication: containment
+    numerators use the capped universe but denominators the TRUE sizes
+    (the documented lower-bound semantics) — a mixed contract that a
+    mirrored operator+oracle bug could get consistently wrong, hence the
+    independent ground truth."""
+    from datamine_v2_0_spark.operators import dedup as dd
+
+    docs = _mini16_replica_rows()
+    sdf = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
+        for r in dd.containment_pairs_inverted(
+            sdf, "text", "doc_id", threshold=0.3, max_shingle_freq=df_cap
+        ).collect()
+    }
+    inter, _, true_sz = _py_inverted_pairs(docs, df_cap)
+    want = {}
+    for (a, b), i in inter.items():
+        ca, cb = i / true_sz[a], i / true_sz[b]
+        if ca >= 0.3 or cb >= 0.3:
+            want[(a, b)] = (
+                math.floor(ca * 1e6 + 0.5) / 1e6,
+                math.floor(cb * 1e6 + 0.5) / 1e6,
+            )
+    assert set(got) == set(want)
+    assert got and all(
+        got[k][0] == pytest.approx(want[k][0], abs=1e-9)
+        and got[k][1] == pytest.approx(want[k][1], abs=1e-9)
+        for k in want
+    )
