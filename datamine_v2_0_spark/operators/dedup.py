@@ -315,6 +315,50 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def _estimate_duplication(df: DataFrame, text_col: str, ratio: float) -> bool:
+    """One narrow scan deciding the collapse switch: raw-byte xxhash64
+    (no normalization pass) is enough for a docs-per-distinct-text ratio
+    estimate — crawl duplicates are byte-identical."""
+    probe = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("nd"),
+    ).first()
+    return probe["n"] >= ratio * max(probe["nd"], 1)
+
+
+# docs-per-distinct-text ratio above which the posting-join family
+# switches to representative collapse (shared with bm25_topk)
+COLLAPSE_RATIO = 1.25
+
+
+def _resolve_collapse(df, text_col, duplicate_collapse: str) -> bool:
+    if duplicate_collapse not in ("auto", "always", "never"):
+        raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
+    if duplicate_collapse == "auto":
+        return _estimate_duplication(df, text_col, COLLAPSE_RATIO)
+    return duplicate_collapse == "always"
+
+
+def _rep_groups(df: DataFrame, text_col: str, id_col: str):
+    """(fpmap, groups, members) for representative collapse: fpmap =
+    narrow (id, sha256-of-normalized-text), groups = one row per
+    distinct text (rep = min member id, cnt = multiplicity), members =
+    (rep, member id). Text itself never shuffles — the fingerprint map
+    is two thin columns, checkpointed because groups and the pair
+    fan-out both consume it."""
+    fpmap = (
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("__fp"))
+        .localCheckpoint(eager=False)
+    )
+    groups = fpmap.groupBy("__fp").agg(
+        F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__cnt")
+    )
+    members = fpmap.join(groups, "__fp").select(
+        "__rep", F.col(id_col).alias("__m")
+    )
+    return fpmap, groups, members
+
+
 def jaccard_pairs_inverted(
     df: DataFrame,
     text_col: str,
@@ -323,6 +367,7 @@ def jaccard_pairs_inverted(
     threshold: float = 0.2,
     max_shingle_freq: int | None = None,
     round_to: int = 6,
+    duplicate_collapse: str = "auto",
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted-index join: explode
     distinct shingles, equi-join on the shingle, count shared shingles
@@ -337,8 +382,24 @@ def jaccard_pairs_inverted(
     CAPPED shingle universe — sizes and intersections consistently
     exclude the dropped shingles, so the score is the similarity of the
     docs' informative content (mixing capped intersections with uncapped
-    sizes would bias every affected pair downward)."""
+    sizes would bias every affected pair downward).
+
+    ``duplicate_collapse`` (result-exact on every input, like
+    bm25_topk's): on duplicate-heavy corpora the posting join was the
+    repo's highest scaling exponent (α 0.68 — every duplicate multiplies
+    every posting list, so join work grows ~quadratically in the
+    duplication factor). The collapsed path shingles and joins one
+    REPRESENTATIVE per distinct normalized text (multiplicity-weighted
+    document frequency for the cap), then fans representative pairs
+    back out to member pairs — the join is sized by distinct content,
+    and only the (inherently output-sized) member fan-out scales with
+    duplication. ``"auto"`` probes the ratio with one narrow scan."""
     df = _spread(df)
+    if _resolve_collapse(df, text_col, duplicate_collapse):
+        return _jaccard_pairs_collapsed(
+            df, text_col, id_col, shingle_n, threshold,
+            max_shingle_freq, round_to,
+        )
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
     ).filter(F.size("__g") > 0)
@@ -386,6 +447,90 @@ def jaccard_pairs_inverted(
     )
 
 
+def _jaccard_pairs_collapsed(
+    df, text_col, id_col, shingle_n, threshold, max_shingle_freq, round_to
+) -> DataFrame:
+    """Representative-collapsed exact Jaccard (see jaccard_pairs_inverted).
+
+    Result-exact: members of an exact-duplicate group share a shingle
+    set, so every member pair of a qualifying representative pair gets
+    the representative pair's score, within-group pairs score exactly
+    1.0 over the capped universe (emitted only when that universe is
+    non-empty — matching the direct path, where shingle-less docs never
+    join), and the df cap counts documents with multiplicity."""
+    fpmap, groups, members = _rep_groups(df, text_col, id_col)
+    # shingle ONLY representatives: one (id, text)-shuffle join replaces
+    # per-duplicate shingling (the collapsed path runs on duplicate-heavy
+    # input by construction, so rep shingling is the cheap side)
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col), "__cnt"), id_col
+    )
+    sh = reps.select(
+        F.col(id_col), "__cnt",
+        word_shingles(F.col(text_col), shingle_n).alias("__g"),
+    ).filter(F.size("__g") > 0)
+    if max_shingle_freq is None:
+        ex = sh.select(
+            F.col(id_col), F.size("__g").alias("__sz"),
+            F.explode("__g").alias("__s"),
+        )
+        eligible = sh.select(F.col(id_col).alias("__rep"))
+    else:
+        ex0 = sh.select(F.col(id_col), "__cnt", F.explode("__g").alias("__s"))
+        # document frequency counts DOCUMENTS, so weight by multiplicity
+        rare = ex0.groupBy("__s").agg(F.sum("__cnt").alias("__df")).filter(
+            F.col("__df") <= max_shingle_freq
+        )
+        ex = ex0.join(rare.select("__s"), "__s")
+        sizes = ex.groupBy(id_col).agg(F.count(F.lit(1)).alias("__sz"))
+        ex = ex.drop("__cnt").join(sizes, id_col)
+        eligible = sizes.filter(F.col("__sz") > 0).select(
+            F.col(id_col).alias("__rep")
+        )
+    ex = ex.localCheckpoint(eager=False)
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s")
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.first("__sza").alias("__sza"),
+            F.first("__szb").alias("__szb"),
+        )
+    )
+    j = F.col("__i") / (F.col("__sza") + F.col("__szb") - F.col("__i"))
+    rep_pairs = (
+        inter.withColumn("jaccard", F.round(j, round_to))
+        .filter(j >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    # fan representative pairs out to member pairs, re-normalizing the
+    # (id_a < id_b) order across interleaved member ids
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb"))
+    cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(
+        F.least("__ma", "__mb").alias("id_a"),
+        F.greatest("__ma", "__mb").alias("id_b"),
+        "jaccard",
+    )
+    if threshold > 1.0:
+        return cross
+    # within-group pairs: identical docs, Jaccard exactly 1.0 over a
+    # non-empty capped universe
+    m1 = members.join(eligible, "__rep").select(
+        "__rep", F.col("__m").alias("id_a")
+    )
+    m2 = members.select("__rep", F.col("__m").alias("id_b"))
+    within = (
+        m1.join(m2, "__rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def containment_pairs_inverted(
     df: DataFrame,
     text_col: str,
@@ -394,6 +539,7 @@ def containment_pairs_inverted(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     round_to: int = 6,
+    duplicate_collapse: str = "auto",
 ) -> DataFrame:
     """Asymmetric n-gram containment pairs via the same inverted-index
     join as :func:`jaccard_pairs_inverted`:
@@ -414,8 +560,18 @@ def containment_pairs_inverted(
     by common shingles (unlike Jaccard, where capped-universe semantics
     are consistent on both numerator and denominator). The pruned
     intersection makes capped containment a lower bound on the true
-    score."""
+    score.
+
+    ``duplicate_collapse``: same adaptive representative collapse (and
+    the same result-exactness argument) as jaccard_pairs_inverted —
+    this operator carried the repo's second-highest scaling exponent
+    (α 0.61) on duplicate-heavy growth before the collapse."""
     df = _spread(df)
+    if _resolve_collapse(df, text_col, duplicate_collapse):
+        return _containment_pairs_collapsed(
+            df, text_col, id_col, shingle_n, threshold,
+            max_shingle_freq, round_to,
+        )
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
     ).filter(F.size("__g") > 0)
@@ -462,6 +618,102 @@ def containment_pairs_inverted(
             F.round(cb, round_to).alias("cont_b_in_a"),
         )
     )
+
+
+def _containment_pairs_collapsed(
+    df, text_col, id_col, shingle_n, threshold, max_shingle_freq, round_to
+) -> DataFrame:
+    """Representative-collapsed containment (see containment_pairs_inverted).
+
+    Exactness mirrors the Jaccard collapse, with containment's mixed
+    contract carried through: intersections over the (multiplicity-
+    weighted) capped universe, denominators the TRUE pre-cap sizes.
+    Within-group (identical-doc) pairs score capped_size / true_size in
+    both directions, emitted only when the capped universe is non-empty
+    (a doc whose every shingle is pruned has no postings in the direct
+    path either) and the score clears the threshold. The fan-out swaps
+    the direction columns when member-id order inverts the
+    representative order — containment is asymmetric."""
+    fpmap, groups, members = _rep_groups(df, text_col, id_col)
+    reps = df.join(
+        groups.select(F.col("__rep").alias(id_col), "__cnt"), id_col
+    )
+    sh = reps.select(
+        F.col(id_col), "__cnt",
+        word_shingles(F.col(text_col), shingle_n).alias("__g"),
+    ).filter(F.size("__g") > 0)
+    if max_shingle_freq is None:
+        ex = sh.select(
+            F.col(id_col), F.size("__g").alias("__sz"),
+            F.explode("__g").alias("__s"),
+        )
+        # identical docs: intersection == true size in both directions
+        within_rep = sh.select(
+            F.col(id_col).alias("__rep"), F.lit(1.0).alias("__wscore")
+        )
+    else:
+        ex0 = sh.select(
+            F.col(id_col), "__cnt", F.size("__g").alias("__tsz"),
+            F.explode("__g").alias("__s"),
+        )
+        rare = ex0.groupBy("__s").agg(F.sum("__cnt").alias("__df")).filter(
+            F.col("__df") <= max_shingle_freq
+        )
+        kept = ex0.join(rare.select("__s"), "__s")
+        csz = kept.groupBy(id_col).agg(
+            F.count(F.lit(1)).alias("__csz"), F.first("__tsz").alias("__tsz")
+        )
+        # postings carry the TRUE size as denominator; the intersection
+        # count comes from the capped postings themselves
+        ex = kept.select(F.col(id_col), F.col("__tsz").alias("__sz"), "__s")
+        within_rep = csz.filter(F.col("__csz") > 0).select(
+            F.col(id_col).alias("__rep"),
+            (F.col("__csz").cast("double") / F.col("__tsz")).alias("__wscore"),
+        )
+    ex = ex.localCheckpoint(eager=False)
+    a = ex.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s")
+    b = ex.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s")
+    inter = (
+        a.join(b, "__s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__i"),
+            F.first("__sza").alias("__sza"),
+            F.first("__szb").alias("__szb"),
+        )
+    )
+    ca = F.col("__i") / F.col("__sza")
+    cb = F.col("__i") / F.col("__szb")
+    rep_pairs = inter.filter((ca >= threshold) | (cb >= threshold)).select(
+        "id_a", "id_b",
+        F.round(ca, round_to).alias("__ca"),
+        F.round(cb, round_to).alias("__cb"),
+    )
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb"))
+    fwd = F.col("__ma") <= F.col("__mb")
+    cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(
+        F.least("__ma", "__mb").alias("id_a"),
+        F.greatest("__ma", "__mb").alias("id_b"),
+        F.when(fwd, F.col("__ca")).otherwise(F.col("__cb")).alias("cont_a_in_b"),
+        F.when(fwd, F.col("__cb")).otherwise(F.col("__ca")).alias("cont_b_in_a"),
+    )
+    w = F.round(F.col("__wscore"), round_to)
+    m1 = members.join(within_rep, "__rep").filter(
+        F.col("__wscore") >= threshold
+    ).select("__rep", F.col("__m").alias("id_a"), w.alias("__ws"))
+    m2 = members.select("__rep", F.col("__m").alias("id_b"))
+    within = (
+        m1.join(m2, "__rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b",
+            F.col("__ws").alias("cont_a_in_b"),
+            F.col("__ws").alias("cont_b_in_a"),
+        )
+    )
+    return cross.unionByName(within)
 
 
 def _bucket_cosine_verify(threshold: float):

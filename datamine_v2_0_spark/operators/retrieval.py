@@ -70,13 +70,6 @@ def _bm25_score(k1: float, b: float):
     )
 
 
-# auto mode collapses when the corpus holds at least this many docs per
-# distinct text (estimated by one approx_count_distinct scan); below it
-# the direct path's single materialized index is cheaper than the
-# collapse machinery (fingerprint map + rep semi-join + fan-out joins)
-_COLLAPSE_RATIO = 1.25
-
-
 def bm25_topk(
     docs: DataFrame,
     queries: DataFrame,
@@ -114,18 +107,11 @@ def bm25_topk(
     part of the beyond-reference LLM-data surface (SURVEY.md §2 extension),
     built per Robertson et al., "Okapi at TREC-3" (1994).
     """
-    if duplicate_collapse not in ("auto", "always", "never"):
-        raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
-    if duplicate_collapse == "auto":
-        # one narrow scan; raw-byte xxhash64 (no normalization pass) is
-        # enough for a ratio estimate — crawl duplicates are byte-identical
-        probe = docs.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.approx_count_distinct(F.xxhash64(F.col(text_col))).alias("nd"),
-        ).first()
-        collapse = probe["n"] >= _COLLAPSE_RATIO * max(probe["nd"], 1)
-    else:
-        collapse = duplicate_collapse == "always"
+    # shared probe/threshold with the posting-join dedup family
+    # (operators/dedup.COLLAPSE_RATIO): one narrow xxhash64 scan decides
+    from datamine_v2_0_spark.operators.dedup import _resolve_collapse
+
+    collapse = _resolve_collapse(docs, text_col, duplicate_collapse)
     impl = _bm25_collapsed if collapse else _bm25_direct
     return impl(
         docs, queries, text_col, id_col, query_text_col, query_id_col,

@@ -384,7 +384,8 @@ def _py_inverted_pairs(docs, df_cap=None):
 
 
 @pytest.mark.parametrize("df_cap", [None, 24])
-def test_dedup_jaccard_inverted_16x_vs_python(spark, df_cap):
+@pytest.mark.parametrize("collapse", ["always", "never"])
+def test_dedup_jaccard_inverted_16x_vs_python(spark, df_cap, collapse):
     """The highest-alpha scaling query (0.68) at 16x duplication, where
     its DuckDB oracle takes hours: full-result parity against an
     independent pure-Python inverted index, uncapped AND with a df cap
@@ -398,7 +399,8 @@ def test_dedup_jaccard_inverted_16x_vs_python(spark, df_cap):
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
         for r in dd.jaccard_pairs_inverted(
-            sdf, "text", "doc_id", threshold=0.2, max_shingle_freq=df_cap
+            sdf, "text", "doc_id", threshold=0.2, max_shingle_freq=df_cap,
+            duplicate_collapse=collapse,
         ).collect()
     }
     inter, capped_sz, _ = _py_inverted_pairs(docs, df_cap)
@@ -419,7 +421,8 @@ def test_dedup_jaccard_inverted_16x_vs_python(spark, df_cap):
 
 
 @pytest.mark.parametrize("df_cap", [None, 24])
-def test_dedup_containment_16x_vs_python(spark, df_cap):
+@pytest.mark.parametrize("collapse", ["always", "never"])
+def test_dedup_containment_16x_vs_python(spark, df_cap, collapse):
     """Second-highest-alpha query (0.61) at 16x duplication: containment
     numerators use the capped universe but denominators the TRUE sizes
     (the documented lower-bound semantics) — a mixed contract that a
@@ -432,7 +435,8 @@ def test_dedup_containment_16x_vs_python(spark, df_cap):
     got = {
         (r["id_a"], r["id_b"]): (r["cont_a_in_b"], r["cont_b_in_a"])
         for r in dd.containment_pairs_inverted(
-            sdf, "text", "doc_id", threshold=0.3, max_shingle_freq=df_cap
+            sdf, "text", "doc_id", threshold=0.3, max_shingle_freq=df_cap,
+            duplicate_collapse=collapse,
         ).collect()
     }
     inter, _, true_sz = _py_inverted_pairs(docs, df_cap)
