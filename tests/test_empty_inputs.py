@@ -135,3 +135,60 @@ def test_ivf_topk_all_identical_vectors(spark):
     rows = ivf_topk(corpus, q, "vec", "doc_id", dim=64, n_cells=8, k=3).collect()
     assert len(rows) == 6  # 2 queries x top-3
     assert all(r["cos_sim"] == 1.0 for r in rows)
+
+
+def test_collapsed_posting_ops_degenerate_inputs(spark):
+    """The round-8 collapsed paths (bm25 / jaccard / containment) must
+    survive empty and single-row corpora in every collapse mode — the
+    empty-ingest-day contract the whole registry holds."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.operators import retrieval as rt
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame([(1, "alpha beta gamma delta")],
+                                "doc_id long, text string")
+    q_empty = spark.createDataFrame([], "qid long, qtext string")
+    q_one = spark.createDataFrame([(0, "alpha beta")], "qid long, qtext string")
+
+    for mode in ("auto", "always", "never"):
+        for corpus, queries in ((empty, q_one), (one, q_empty), (one, q_one)):
+            assert rt.bm25_topk(
+                corpus, queries, "text", "doc_id", "qtext", "qid",
+                k=3, duplicate_collapse=mode,
+            ).count() >= 0
+        for corpus in (empty, one):
+            assert dd.jaccard_pairs_inverted(
+                corpus, "text", "doc_id", duplicate_collapse=mode
+            ).count() == 0
+            assert dd.containment_pairs_inverted(
+                corpus, "text", "doc_id", duplicate_collapse=mode
+            ).count() == 0
+            assert dd.jaccard_pairs_inverted(
+                corpus, "text", "doc_id", max_shingle_freq=2,
+                duplicate_collapse=mode,
+            ).count() == 0
+
+
+def test_collapsed_posting_ops_all_identical_corpus(spark):
+    """All-identical corpus: one representative group holds everything.
+    Jaccard must emit every pair at exactly 1.0; bm25 must rank all
+    twins of the probe's match set deterministically."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.operators import retrieval as rt
+
+    docs = spark.createDataFrame(
+        [(i, "same exact words repeated here") for i in range(10)],
+        "doc_id long, text string",
+    )
+    pairs = dd.jaccard_pairs_inverted(
+        docs, "text", "doc_id", duplicate_collapse="always"
+    ).collect()
+    assert len(pairs) == 45  # C(10,2)
+    assert all(r["jaccard"] == 1.0 for r in pairs)
+    q = spark.createDataFrame([(0, "same words")], "qid long, qtext string")
+    rows = rt.bm25_topk(
+        docs, q, "text", "doc_id", "qtext", "qid", k=4,
+        duplicate_collapse="always",
+    ).collect()
+    assert sorted(r["doc_id"] for r in rows) == [0, 1, 2, 3]  # id tiebreak
+    assert len({r["score"] for r in rows}) == 1
