@@ -21,6 +21,16 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Shared threshold for the iterative operators (connected components,
+# PageRank): above this many edges, the relation an iteration re-reads
+# is hash-partitioned on its join key once and persist-ed (a cached
+# InMemoryRelation keeps its output partitioning under AQE, so the
+# per-iteration join stops re-shuffling it); below it, the pinned
+# partition count defeats AQE's small-shuffle coalescing and costs more
+# in task overhead than the avoided shuffle (measured +2.5 s on the
+# sf0.1 co-purchase PageRank).
+PIN_PARTITIONING_MIN_EDGES = 5_000_000
+
 
 def iter_checkpoint(
     df: DataFrame, reliable: bool = False, eager: bool = False

@@ -22,7 +22,10 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from datamine_v2_0_spark.operators.ckpt import iter_checkpoint
+from datamine_v2_0_spark.operators.ckpt import (
+    PIN_PARTITIONING_MIN_EDGES,
+    iter_checkpoint,
+)
 
 
 def normalize_text(col: Column) -> Column:
@@ -844,6 +847,38 @@ def embedding_neardup_pairs(
     )
 
 
+def _cc_hop(edges: DataFrame, lab: DataFrame) -> DataFrame:
+    """One min-label propagation hop: every node adopts the minimum of
+    its own label and its 1-hop neighborhood's labels.
+
+    ``edges`` is the symmetrized edge set, hash-partitioned on ``dst``
+    and persisted by :func:`connected_components` — the join on ``dst``
+    reads the cache co-partitioned, so only the label table shuffles.
+    Batching several hops between convergence checks keeps the eager
+    checkpoint + changed-count (fixed-overhead JOBS per cycle) amortized
+    — an extra in-lineage hop is just one more join+groupBy in the same
+    job, and a block that changes nothing still proves convergence."""
+    nbr_min = (
+        edges.join(
+            lab.select(
+                F.col("node").alias("dst"), F.col("comp").alias("dcomp")
+            ),
+            "dst",
+        )
+        .groupBy("src")
+        .agg(F.min("dcomp").alias("nbr_min"))
+    )
+    return lab.join(
+        nbr_min, lab["node"] == nbr_min["src"], "left"
+    ).select(
+        lab["node"],
+        F.least(
+            lab["comp"], F.coalesce(F.col("nbr_min"), lab["comp"])
+        ).alias("comp"),
+        *([F.col("old_comp")] if "old_comp" in lab.columns else []),
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -864,55 +899,59 @@ def connected_components(
     minimum travels one hop per round and the loop stops when no label
     changes (or at max_iterations). Rounds needed = component diameter;
     near-dup components are small dense clusters (diameter 1-3), so this
-    settles in 2-4 rounds. Each round is ONE shuffle (join on node +
-    groupBy min); per-round lineage truncation keeps plan size constant
-    — ``localCheckpoint`` by default (fast, but unreplicated executor
-    blocks: an executor loss mid-job fails the job loudly and needs a
-    re-run), or durable ``checkpoint`` with ``reliable=True`` (needs
-    ``setCheckpointDir``; survives executor loss — see operators/ckpt). For adversarial long-chain graphs prefer
+    settles in 2-4 rounds.
+
+    The symmetrized edge set — the LARGEST relation here, touched by
+    every hop's join on ``dst`` — is ``persist``-ed, and past
+    ``PIN_PARTITIONING_MIN_EDGES`` additionally hash-partitioned on
+    ``dst`` first: a cached ``InMemoryRelation`` is the one construct
+    whose output partitioning survives reuse under AQE
+    (``localCheckpoint``'s LogicalRDD reports UnknownPartitioning when
+    the captured plan is an un-finalized AdaptiveSparkPlan, so a
+    checkpointed edge table would re-shuffle EVERY hop — measured, not
+    hypothetical). Above the threshold every hop therefore shuffles only
+    the label table; below it the pinned partition count would defeat
+    AQE's small-shuffle coalescing, so small pair graphs skip the pin.
+    With ``reliable=True`` the edge derivation is first cut to a durable
+    checkpoint so an executor loss recomputes the cache from the
+    checkpoint rather than replaying the (possibly expensive)
+    candidate-pair job. Per-round lineage truncation of the LABEL table
+    keeps plan size constant — ``localCheckpoint`` by default (fast, but
+    unreplicated executor blocks: an executor loss mid-job fails the job
+    loudly and needs a re-run), or durable ``checkpoint`` with
+    ``reliable=True`` (needs ``setCheckpointDir``; survives executor
+    loss — see operators/ckpt). For adversarial long-chain graphs prefer
     the alternating large-star/small-star formulation (Kiveris et al.,
     "Connected Components in MapReduce and Beyond") — same join
     machinery, O(log n) rounds."""
     if max_iterations < 1:
         raise ValueError("max_iterations must be >= 1")
-    edges = iter_checkpoint(
+    edges_raw = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .distinct(),
-        reliable,
+        .distinct()
     )
+    if reliable:
+        edges_raw = iter_checkpoint(edges_raw, reliable)
+    spark = pairs.sparkSession
+    edges = edges_raw.persist()
+    # Pin the edge partitioning only past the same threshold pagerank
+    # uses: below it the fixed partition count defeats AQE's
+    # small-shuffle coalescing (near-dup pair graphs at test scale are
+    # thousands of edges); above it, re-shuffling the largest relation
+    # every hop dominates. The count also materializes the cache, which
+    # the first hop needs anyway.
+    if edges.count() >= PIN_PARTITIONING_MIN_EDGES:
+        n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        pinned = edges_raw.repartition(n_shuffle, "dst").persist()
+        pinned.count()
+        edges.unpersist(blocking=False)
+        edges = pinned
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("comp", F.col("node"))
     )
-    # Batch ``steps_per_check`` propagation hops between convergence
-    # checks: the eager checkpoint + changed-count are fixed-overhead
-    # JOBS per cycle, while an extra in-lineage hop is just one more
-    # join+groupBy in the same job — for the typical diameter-2-4
-    # near-dup graph this halves the job count without changing the
-    # fixpoint (a block that changes nothing proves convergence).
-    def hop(lab: DataFrame) -> DataFrame:
-        nbr_min = (
-            edges.join(
-                lab.select(
-                    F.col("node").alias("dst"), F.col("comp").alias("dcomp")
-                ),
-                "dst",
-            )
-            .groupBy("src")
-            .agg(F.min("dcomp").alias("nbr_min"))
-        )
-        return lab.join(
-            nbr_min, lab["node"] == nbr_min["src"], "left"
-        ).select(
-            lab["node"],
-            F.least(
-                lab["comp"], F.coalesce(F.col("nbr_min"), lab["comp"])
-            ).alias("comp"),
-            *([F.col("old_comp")] if "old_comp" in lab.columns else []),
-        )
-
     changed = 0
     steps_done = 0
     while steps_done < max_iterations:
@@ -921,7 +960,7 @@ def connected_components(
             "node", "comp", F.col("comp").alias("old_comp")
         )
         for _ in range(block):
-            stepped = hop(stepped)
+            stepped = _cc_hop(edges, stepped)
             steps_done += 1
         if checkpoint:
             stepped = iter_checkpoint(stepped, reliable, eager=True)
@@ -929,6 +968,13 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if changed == 0:
             break
+    if checkpoint:
+        # every completed block cut the label lineage at an eager
+        # checkpoint, so the returned frame no longer references the
+        # edge cache — release the executor memory now (lazily; without
+        # per-block checkpoints the labels still read through the cache
+        # and it must stay)
+        edges.unpersist(blocking=False)
     if changed != 0:
         # silently-wrong groups would make a keep-one-per-group dedup
         # retain duplicates; refuse instead

@@ -7,10 +7,15 @@ operator, so this is part of the beyond-reference LLM-data surface.
 PageRank follows the public formulation (Page et al. 1999; damping d,
 rank' = (1-d)/n + d * Σ_in rank/out_degree).
 
-Plan shape at scale: the edge table shuffles ONCE onto its join key and
-is reused every iteration (lazy localCheckpoint); each iteration is one
-co-partitioned join + one aggregate — the standard distributed power
-method. Iteration count is a parameter (fixed small k), not a
+Plan shape at scale: past ``PIN_PARTITIONING_MIN_EDGES`` the edge table
+shuffles ONCE onto its join key and is reused every iteration
+(hash-repartitioned then persist-ed — the cached InMemoryRelation keeps
+its output partitioning under AQE, which a checkpointed LogicalRDD does
+not), so each iteration is one co-partitioned join + one aggregate — the
+standard distributed power method. Below the threshold the pinned
+partition count would defeat AQE's small-shuffle coalescing, so small
+graphs keep the checkpoint-per-relation form and let AQE size the
+per-iteration shuffles. Iteration count is a parameter (fixed small k), not a
 convergence loop, so the driver never blocks on a data-dependent number
 of jobs and the oracle can replay the exact same k steps.
 
@@ -24,7 +29,10 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from datamine_v2_0_spark.operators.ckpt import iter_checkpoint
+from datamine_v2_0_spark.operators.ckpt import (
+    PIN_PARTITIONING_MIN_EDGES,
+    iter_checkpoint,
+)
 
 
 def _q(c: Column, dp: int) -> Column:
@@ -53,6 +61,7 @@ def pagerank(
     round_to: int = 6,
     ckpt_every: int = 3,
     reliable: bool = False,
+    pin_partitioning: bool | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, rank).
 
@@ -82,14 +91,35 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
         reliable,
     )
-    nodes = iter_checkpoint(
+    # At scale, the two relations every iteration re-reads are
+    # hash-partitioned on their join keys ONCE and persist-ed: a cached
+    # InMemoryRelation is the one construct whose output partitioning
+    # survives reuse under AQE (a checkpointed LogicalRDD reports
+    # UnknownPartitioning when the captured plan is an un-finalized
+    # AdaptiveSparkPlan, which would re-shuffle the edge table every
+    # iteration). Per iteration only the rank table and the contribution
+    # aggregate then shuffle; the caches recompute from the checkpointed
+    # `e` on executor loss. Pinning fixes the partition count, which
+    # defeats AQE's small-shuffle coalescing — a net loss on small
+    # graphs — so by default it engages only past
+    # PIN_PARTITIONING_MIN_EDGES (auto mode pays one count() on the
+    # already-truncated edge table to decide).
+    if pin_partitioning is None:
+        pin_partitioning = e.count() >= PIN_PARTITIONING_MIN_EDGES
+    nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
-        .distinct(),
-        reliable,
+        .distinct()
     )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    ed = iter_checkpoint(e.join(deg, "src"), reliable)
+    ed = e.join(deg, "src")
+    if pin_partitioning:
+        n_shuffle = int(e.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        nodes = nodes.repartition(n_shuffle, "node").persist()
+        ed = ed.repartition(n_shuffle, "src").persist()
+    else:
+        nodes = iter_checkpoint(nodes, reliable)
+        ed = iter_checkpoint(ed, reliable)
 
     n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
     d = F.lit(float(damping))

@@ -122,6 +122,74 @@ def test_group_resolution_plans_stay_equi_join(spark):
     )
 
 
+def test_cc_hop_reuses_partitioned_edge_cache(spark):
+    """The connected-components hop joins the (largest) edge relation on
+    ``dst`` every round; the edge set is hash-partitioned on ``dst`` once
+    and persisted, so each hop shuffles ONLY the label table. A
+    checkpointed edge table would re-shuffle per hop: localCheckpoint's
+    LogicalRDD reports UnknownPartitioning under AQE."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.plans.inspect import (
+        count_live_exchanges,
+        executed_plan,
+    )
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 200, 2)], "id_a long, id_b long"
+    )
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .repartition(n, "dst")
+        .persist()
+    )
+    try:
+        edges.count()
+        lab = (
+            edges.select(F.col("src").alias("node"))
+            .distinct()
+            .withColumn("comp", F.col("node"))
+        )
+        hop = dd._cc_hop(edges, lab)
+        plan = executed_plan(hop)
+        assert "InMemoryTableScan" in plan, plan
+        # live shuffles: labels->dst, groupBy->src, labels->node. The
+        # edge side reads the cache co-partitioned (a 4th exchange here
+        # means the cache partitioning was lost).
+        assert count_live_exchanges(hop) <= 3, plan
+    finally:
+        edges.unpersist()
+
+
+def test_pagerank_iterations_reuse_partitioned_caches(spark):
+    """Each PageRank iteration re-reads the edge+degree table (join on
+    src) and the node table (join on node); both are hash-partitioned on
+    their join keys and persisted, so per-iteration live shuffles are
+    the rank table and the contribution aggregate only."""
+    from datamine_v2_0_spark.operators.graph import pagerank
+    from datamine_v2_0_spark.plans.inspect import (
+        count_live_exchanges,
+        executed_plan,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7) % 50) for i in range(200)], "src long, dst long"
+    )
+    # pin_partitioning auto-engages past PIN_PARTITIONING_MIN_EDGES;
+    # force it here to pin the at-scale plan shape on a small fixture
+    pr = pagerank(edges, n_iter=3, ckpt_every=10, pin_partitioning=True)
+    plan = executed_plan(pr)
+    assert "InMemoryTableScan" in plan, plan
+    # 3 in-lineage iterations: ~3 live exchanges each (rank join + the
+    # contribution aggregate) + the final rank projection. Re-shuffling
+    # the cached edge+degree or node tables adds 2 per iteration and
+    # trips this bound.
+    assert count_live_exchanges(pr) <= 10, plan
+
+
 def test_corpus_curation_plans(spark):
     """The r3 curation operators' scale contracts: decontamination joins
     the eval gram set broadcast (train grams never shuffle), unit removal

@@ -28,6 +28,7 @@ Usage: python tools/plan_audit.py [sf_dir]
 
 from __future__ import annotations
 
+import re
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -117,6 +118,60 @@ def _tree_depth(line: str) -> int:
 
 _PASSTHROUGH = ("AQEShuffleRead", "ShuffleQueryStage", "InputAdapter",
                 "WholeStageCodegen", "CollectMetrics")
+
+
+def dedupe_cached_subtrees(plan: str) -> str:
+    """Fold every persisted-relation BUILD subtree into the text ONCE.
+
+    A plan that reads a persisted relation embeds the relation's build
+    plan (with its exchanges) under each InMemoryRelation node, but that
+    subtree executes once at cache materialization — counting it per
+    reuse over-reports the live cost of operators that deliberately
+    pre-partition + persist a reused relation (connected components,
+    PageRank past the pinning threshold). Keeps one copy of each
+    DISTINCT cached subtree so an anti-pattern inside a cache build is
+    still counted (once, as it runs)."""
+    live: list[str] = []
+    cached: list[str] = []
+    cur: list[str] | None = None
+    cur_depth = -1
+    for line in plan.splitlines():
+        d = _tree_depth(line)
+        if cur is not None:
+            if d > cur_depth:
+                cur.append(line)
+                continue
+            cached.append("\n".join(cur))
+            cur = None
+        if "InMemoryRelation" in line:
+            cur = [line]
+            cur_depth = d
+            continue
+        live.append(line)
+    if cur is not None:
+        cached.append("\n".join(cur))
+
+    def _final_only(subtree: str) -> str:
+        # a MATERIALIZED cache embeds its AdaptiveSparkPlan as
+        # "== Final Plan == ... == Initial Plan == ..."; only the final
+        # plan executed — drop the initial section before counting.
+        # Normalize indentation: the same cache embedded at different
+        # tree depths must dedupe to one copy.
+        lines = []
+        for ln in subtree.splitlines():
+            if "== Initial Plan ==" in ln:
+                break
+            lines.append(ln.lstrip(" :+-|"))
+        return "\n".join(lines)
+
+    # two references to the SAME cache print re-aliased expr-ids
+    # (g#1L vs g#70L) and fresh plan_ids — strip both from the key
+    uniq: dict[str, str] = {}
+    for c in cached:
+        body = _final_only(c)
+        key = re.sub(r"#\d+|plan_id=\d+", "", body)
+        uniq.setdefault(key, body)
+    return "\n".join(live + sorted(uniq.values()))
 
 
 def count_single_task_windows(plan: str) -> int:
@@ -306,10 +361,31 @@ def _selftest() -> None:
     p_oku = ok_u._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" not in p_oku, p_oku
     spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # --- cached-subtree dedup: a persisted relation reused twice embeds
+    # its build plan (with the build exchange) under each reuse; the
+    # deduped text must count that exchange once ---
+    cached = df.repartition(8, "g").persist()
+    cached.count()
+    try:
+        reuse = cached.union(cached)
+        p_reuse = reuse._jdf.queryExecution().executedPlan().toString()
+        raw_n = p_reuse.count("Exchange hashpartitioning")
+        dedup_n = dedupe_cached_subtrees(p_reuse).count(
+            "Exchange hashpartitioning"
+        )
+        # each embed shows the build exchange in BOTH the final and the
+        # initial AQE plan sections -> 2 embeds x 2 sections raw
+        assert raw_n == 4, f"fixture expects 2 embeds x 2 AQE sections, got {raw_n}\n{p_reuse}"
+        assert dedup_n == 1, f"deduped text must keep the build exchange once, got {dedup_n}"
+    finally:
+        cached.unpersist()
+
     print("selftest OK: window probe fires on global-window fixture, "
           "silent on partitioned window and global aggregate; broadcast "
           "probe fires on raw-corpus broadcast, silent on aggregated and "
-          "dim-table broadcasts")
+          "dim-table broadcasts; cached-subtree dedup counts a reused "
+          "cache build once")
 
 
 def main() -> None:
@@ -383,6 +459,8 @@ def main() -> None:
             p2 = p  # fall back to the sized plan (over-counts, never under)
         finally:
             spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        p = dedupe_cached_subtrees(p)
+        p2 = dedupe_cached_subtrees(p2)
         stats = {
             "exch": p.count("Exchange hashpartitioning")
             + p.count("Exchange rangepartitioning"),
@@ -425,7 +503,9 @@ def main() -> None:
         "boundaries, parquet scans, and the number of localCheckpoint-severed\n"
         "subplans folded back into the audit (counts are the UNION of the\n"
         "final plan and every pre-checkpoint subplan — iterative queries are\n"
-        "no longer a blind spot). BNLJ entries are audited 1-row stat\n"
+        "no longer a blind spot; persisted-relation BUILD subtrees are\n"
+        "counted ONCE, as they execute, not once per cache reuse).\n"
+        "BNLJ entries are audited 1-row stat\n"
         "fold-ins or bounded category-grid completions (see BNLJ_OK); the\n"
         "cartesian column is all zeros — the exact-ANN baseline's\n"
         "documented cross join plans as a BNLJ, so no CartesianProduct\n"
