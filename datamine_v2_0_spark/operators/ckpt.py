@@ -21,15 +21,20 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
-# Shared threshold for the iterative operators (connected components,
-# PageRank): above this many edges, the relation an iteration re-reads
-# is hash-partitioned on its join key once and persist-ed (a cached
+# The iterative operators (connected components, PageRank) also expose
+# ``pin_partitioning=True``: the relation an iteration re-reads is
+# hash-partitioned on its join key once and persist-ed (a cached
 # InMemoryRelation keeps its output partitioning under AQE, so the
-# per-iteration join stops re-shuffling it); below it, the pinned
-# partition count defeats AQE's small-shuffle coalescing and costs more
-# in task overhead than the avoided shuffle (measured +2.5 s on the
-# sf0.1 co-purchase PageRank).
-PIN_PARTITIONING_MIN_EDGES = 5_000_000
+# per-iteration join stops re-shuffling it). Deliberately OPT-IN, not
+# size-triggered: the avoided exchange only pays where it crosses a
+# network. Single-node measurements refuted an edge-count threshold —
+# at 8M edges on local[32] the pinned PageRank ran ~2x SLOWER (local
+# shuffle writes hit the page cache while the columnar cache scan and
+# the fixed partition count AQE can no longer coalesce cost real time),
+# and pinned CC was a wash at 6M pairs. On a multi-rack cluster the
+# unpinned plan re-ships the full edge table all-to-all every
+# iteration; pinning replaces that with a node-local cache read — the
+# standard GraphX/Pregel edge-placement strategy.
 
 
 def iter_checkpoint(

@@ -22,10 +22,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 
-from datamine_v2_0_spark.operators.ckpt import (
-    PIN_PARTITIONING_MIN_EDGES,
-    iter_checkpoint,
-)
+from datamine_v2_0_spark.operators.ckpt import iter_checkpoint
 
 
 def normalize_text(col: Column) -> Column:
@@ -887,6 +884,7 @@ def connected_components(
     checkpoint: bool = True,
     steps_per_check: int = 2,
     reliable: bool = False,
+    pin_partitioning: bool = False,
 ) -> DataFrame:
     """Resolve near-duplicate candidate PAIRS into duplicate GROUPS:
     returns (node, comp) where comp is the minimum node id reachable
@@ -902,19 +900,21 @@ def connected_components(
     settles in 2-4 rounds.
 
     The symmetrized edge set — the LARGEST relation here, touched by
-    every hop's join on ``dst`` — is ``persist``-ed, and past
-    ``PIN_PARTITIONING_MIN_EDGES`` additionally hash-partitioned on
-    ``dst`` first: a cached ``InMemoryRelation`` is the one construct
-    whose output partitioning survives reuse under AQE
-    (``localCheckpoint``'s LogicalRDD reports UnknownPartitioning when
-    the captured plan is an un-finalized AdaptiveSparkPlan, so a
-    checkpointed edge table would re-shuffle EVERY hop — measured, not
-    hypothetical). Above the threshold every hop therefore shuffles only
-    the label table; below it the pinned partition count would defeat
-    AQE's small-shuffle coalescing, so small pair graphs skip the pin.
-    With ``reliable=True`` the edge derivation is first cut to a durable
-    checkpoint so an executor loss recomputes the cache from the
-    checkpoint rather than replaying the (possibly expensive)
+    every hop's join on ``dst`` — is ``persist``-ed, and with
+    ``pin_partitioning=True`` additionally hash-partitioned on ``dst``
+    first: a cached ``InMemoryRelation`` is the one construct whose
+    output partitioning survives reuse under AQE (``localCheckpoint``'s
+    LogicalRDD reports UnknownPartitioning when the captured plan is an
+    un-finalized AdaptiveSparkPlan, so a checkpointed edge table would
+    re-shuffle EVERY hop — measured, not hypothetical). Pinned, every
+    hop shuffles only the label table — the win where that exchange is
+    an all-to-all NETWORK pass, i.e. a multi-node cluster. OPT-IN
+    because on a single node it measured a wash at 6M pairs (min-of-4
+    interleaved: 21.7 s pinned vs 25.1 s unpinned, inside noise) and the
+    fixed partition count defeats AQE's small-shuffle coalescing on
+    small graphs. With ``reliable=True`` the edge derivation is first
+    cut to a durable checkpoint so an executor loss recomputes the cache
+    from the checkpoint rather than replaying the (possibly expensive)
     candidate-pair job. Per-round lineage truncation of the LABEL table
     keeps plan size constant — ``localCheckpoint`` by default (fast, but
     unreplicated executor blocks: an executor loss mid-job fails the job
@@ -934,19 +934,15 @@ def connected_components(
     if reliable:
         edges_raw = iter_checkpoint(edges_raw, reliable)
     spark = pairs.sparkSession
-    edges = edges_raw.persist()
-    # Pin the edge partitioning only past the same threshold pagerank
-    # uses: below it the fixed partition count defeats AQE's
-    # small-shuffle coalescing (near-dup pair graphs at test scale are
-    # thousands of edges); above it, re-shuffling the largest relation
-    # every hop dominates. The count also materializes the cache, which
-    # the first hop needs anyway.
-    if edges.count() >= PIN_PARTITIONING_MIN_EDGES:
+    if pin_partitioning:
+        # avoid re-shipping the edge set through an exchange every hop
+        # — an all-to-all network pass on a cluster; OPT-IN because on a
+        # single node local shuffle is page-cache cheap and the pinned
+        # cache scan measured no better (see class docstring)
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        pinned = edges_raw.repartition(n_shuffle, "dst").persist()
-        pinned.count()
-        edges.unpersist(blocking=False)
-        edges = pinned
+        edges = edges_raw.repartition(n_shuffle, "dst").persist()
+    else:
+        edges = edges_raw.persist()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()

@@ -7,15 +7,17 @@ operator, so this is part of the beyond-reference LLM-data surface.
 PageRank follows the public formulation (Page et al. 1999; damping d,
 rank' = (1-d)/n + d * Σ_in rank/out_degree).
 
-Plan shape at scale: past ``PIN_PARTITIONING_MIN_EDGES`` the edge table
+Plan shape at scale: with ``pin_partitioning=True`` the edge table
 shuffles ONCE onto its join key and is reused every iteration
 (hash-repartitioned then persist-ed — the cached InMemoryRelation keeps
 its output partitioning under AQE, which a checkpointed LogicalRDD does
 not), so each iteration is one co-partitioned join + one aggregate — the
-standard distributed power method. Below the threshold the pinned
-partition count would defeat AQE's small-shuffle coalescing, so small
-graphs keep the checkpoint-per-relation form and let AQE size the
-per-iteration shuffles. Iteration count is a parameter (fixed small k), not a
+standard distributed power method. Pinning is OPT-IN for network-bound
+clusters: it avoids an all-to-all exchange of the edge table per
+iteration, but on a single node the cache-scan path measured ~2x slower
+at 8M edges (local shuffle hits the page cache, and the fixed partition
+count defeats AQE's small-shuffle coalescing), so the default keeps the
+checkpoint-per-relation form. Iteration count is a parameter (fixed small k), not a
 convergence loop, so the driver never blocks on a data-dependent number
 of jobs and the oracle can replay the exact same k steps.
 
@@ -29,10 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-from datamine_v2_0_spark.operators.ckpt import (
-    PIN_PARTITIONING_MIN_EDGES,
-    iter_checkpoint,
-)
+from datamine_v2_0_spark.operators.ckpt import iter_checkpoint
 
 
 def _q(c: Column, dp: int) -> Column:
@@ -61,7 +60,7 @@ def pagerank(
     round_to: int = 6,
     ckpt_every: int = 3,
     reliable: bool = False,
-    pin_partitioning: bool | None = None,
+    pin_partitioning: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list: (node, rank).
 
@@ -91,21 +90,25 @@ def pagerank(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")),
         reliable,
     )
-    # At scale, the two relations every iteration re-reads are
-    # hash-partitioned on their join keys ONCE and persist-ed: a cached
-    # InMemoryRelation is the one construct whose output partitioning
-    # survives reuse under AQE (a checkpointed LogicalRDD reports
-    # UnknownPartitioning when the captured plan is an un-finalized
-    # AdaptiveSparkPlan, which would re-shuffle the edge table every
-    # iteration). Per iteration only the rank table and the contribution
-    # aggregate then shuffle; the caches recompute from the checkpointed
-    # `e` on executor loss. Pinning fixes the partition count, which
-    # defeats AQE's small-shuffle coalescing — a net loss on small
-    # graphs — so by default it engages only past
-    # PIN_PARTITIONING_MIN_EDGES (auto mode pays one count() on the
-    # already-truncated edge table to decide).
-    if pin_partitioning is None:
-        pin_partitioning = e.count() >= PIN_PARTITIONING_MIN_EDGES
+    # With pin_partitioning, the two relations every iteration re-reads
+    # are hash-partitioned on their join keys ONCE and persist-ed: a
+    # cached InMemoryRelation is the one construct whose output
+    # partitioning survives reuse under AQE (a checkpointed LogicalRDD
+    # reports UnknownPartitioning when the captured plan is an
+    # un-finalized AdaptiveSparkPlan, which re-shuffles the edge table
+    # every iteration). Per iteration only the rank table and the
+    # contribution aggregate then shuffle; the caches recompute from the
+    # checkpointed `e` on executor loss. OPT-IN because the win exists
+    # only where the avoided exchange crosses a network: on single-node
+    # local[32] the pinned path measured ~2x SLOWER at 8M edges (min-of-4
+    # interleaved: 37.8 s pinned / 34.1 s pinned+sorted vs 17.1 s
+    # unpinned — the columnar cache scan plus the fixed partition count
+    # that AQE can no longer coalesce cost more than local shuffle
+    # writes, which hit the page cache, not a wire). On a multi-rack
+    # cluster the unpinned plan re-ships the full edge table through an
+    # all-to-all exchange every iteration; pinning replaces that with a
+    # node-local cache read — the standard GraphX/Pregel edge-placement
+    # strategy.
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

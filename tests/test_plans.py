@@ -164,6 +164,25 @@ def test_cc_hop_reuses_partitioned_edge_cache(spark):
         edges.unpersist()
 
 
+def test_cc_pinned_path_matches_default(spark):
+    """The opt-in pinned edge layout must be a pure physical choice —
+    identical (node, comp) labeling to the default path."""
+    from datamine_v2_0_spark.operators import dedup as dd
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (7, 7), (20, 21), (21, 22), (22, 23)],
+        "id_a long, id_b long",
+    )
+    base = sorted(
+        tuple(r) for r in dd.connected_components(pairs).collect()
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in dd.connected_components(pairs, pin_partitioning=True).collect()
+    )
+    assert base == pinned, (base, pinned)
+
+
 def test_pagerank_iterations_reuse_partitioned_caches(spark):
     """Each PageRank iteration re-reads the edge+degree table (join on
     src) and the node table (join on node); both are hash-partitioned on
@@ -178,8 +197,8 @@ def test_pagerank_iterations_reuse_partitioned_caches(spark):
     edges = spark.createDataFrame(
         [(i, (i * 7) % 50) for i in range(200)], "src long, dst long"
     )
-    # pin_partitioning auto-engages past PIN_PARTITIONING_MIN_EDGES;
-    # force it here to pin the at-scale plan shape on a small fixture
+    # pin_partitioning is opt-in (a network-bound-cluster optimization);
+    # enable it here to pin the at-scale plan shape on a small fixture
     pr = pagerank(edges, n_iter=3, ckpt_every=10, pin_partitioning=True)
     plan = executed_plan(pr)
     assert "InMemoryTableScan" in plan, plan
