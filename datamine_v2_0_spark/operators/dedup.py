@@ -900,22 +900,26 @@ def connected_components(
     settles in 2-4 rounds.
 
     The symmetrized edge set — the LARGEST relation here, touched by
-    every hop's join on ``dst`` — is ``persist``-ed, and with
-    ``pin_partitioning=True`` additionally hash-partitioned on ``dst``
-    first: a cached ``InMemoryRelation`` is the one construct whose
-    output partitioning survives reuse under AQE (``localCheckpoint``'s
-    LogicalRDD reports UnknownPartitioning when the captured plan is an
-    un-finalized AdaptiveSparkPlan, so a checkpointed edge table would
-    re-shuffle EVERY hop — measured, not hypothetical). Pinned, every
-    hop shuffles only the label table — the win where that exchange is
+    every hop's join on ``dst`` — is computed once and served from
+    executor blocks: ``localCheckpoint`` by default (the checkpointed
+    LogicalRDD is a constant-size plan leaf; a plain ``persist`` keeps
+    the whole pair-graph subtree in the logical plan and re-pays its
+    analysis/AQE cost on every convergence-check job — measured +~1.4 s
+    per run at sf0.1). With ``pin_partitioning=True`` it is instead
+    hash-partitioned on ``dst`` and ``persist``-ed: a cached
+    ``InMemoryRelation`` is the one construct whose output partitioning
+    survives reuse under AQE (a checkpointed LogicalRDD reports
+    UnknownPartitioning when the captured plan is an un-finalized
+    AdaptiveSparkPlan, so it re-shuffles every hop). Pinned, every hop
+    shuffles only the label table — the win where that exchange is
     an all-to-all NETWORK pass, i.e. a multi-node cluster. OPT-IN
     because on a single node it measured a wash at 6M pairs (min-of-4
     interleaved: 21.7 s pinned vs 25.1 s unpinned, inside noise) and the
     fixed partition count defeats AQE's small-shuffle coalescing on
     small graphs. With ``reliable=True`` the edge derivation is first
-    cut to a durable checkpoint so an executor loss recomputes the cache
-    from the checkpoint rather than replaying the (possibly expensive)
-    candidate-pair job. Per-round lineage truncation of the LABEL table
+    cut to a durable checkpoint so an executor loss recomputes the
+    blocks from the checkpoint rather than replaying the (possibly
+    expensive) candidate-pair job. Per-round lineage truncation of the LABEL table
     keeps plan size constant — ``localCheckpoint`` by default (fast, but
     unreplicated executor blocks: an executor loss mid-job fails the job
     loudly and needs a re-run), or durable ``checkpoint`` with
@@ -934,15 +938,25 @@ def connected_components(
     if reliable:
         edges_raw = iter_checkpoint(edges_raw, reliable)
     spark = pairs.sparkSession
+    cached = None
     if pin_partitioning:
         # avoid re-shipping the edge set through an exchange every hop
         # — an all-to-all network pass on a cluster; OPT-IN because on a
         # single node local shuffle is page-cache cheap and the pinned
         # cache scan measured no better (see class docstring)
         n_shuffle = int(spark.conf.get("spark.sql.shuffle.partitions"))
-        edges = edges_raw.repartition(n_shuffle, "dst").persist()
+        edges = cached = edges_raw.repartition(n_shuffle, "dst").persist()
+    elif reliable:
+        # already durably checkpointed: hops re-read checkpoint blocks
+        edges = edges_raw
     else:
-        edges = edges_raw.persist()
+        # localCheckpoint, NOT persist: both compute once and serve the
+        # hops from executor blocks, but a persisted frame keeps its
+        # full logical subtree, so every convergence-check job pays the
+        # pair-graph subplan through analysis/AQE again — measured
+        # +~1.4 s per CC run at sf0.1 (interleaved min-of-4 A/B),
+        # while the checkpointed LogicalRDD is a constant-size leaf
+        edges = edges_raw.localCheckpoint(eager=False)
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
@@ -964,13 +978,13 @@ def connected_components(
         labels = stepped.select("node", "comp")
         if changed == 0:
             break
-    if checkpoint:
+    if checkpoint and cached is not None:
         # every completed block cut the label lineage at an eager
         # checkpoint, so the returned frame no longer references the
         # edge cache — release the executor memory now (lazily; without
         # per-block checkpoints the labels still read through the cache
         # and it must stay)
-        edges.unpersist(blocking=False)
+        cached.unpersist(blocking=False)
     if changed != 0:
         # silently-wrong groups would make a keep-one-per-group dedup
         # retain duplicates; refuse instead
