@@ -2,7 +2,7 @@
 # deterministically failing test because the suite was never run at the
 # commit. Nothing gets snapshotted without `make preflight` green.
 
-.PHONY: test verify audit empty-sweep determinism bench pipeline-bench preflight
+.PHONY: test verify audit empty-sweep skew-sweep determinism bench pipeline-bench preflight
 
 test:
 	python -m pytest tests/ -q
@@ -20,6 +20,10 @@ empty-sweep:
 	python tools/empty_sweep.py /root/testdata/sf0.001 text
 	python tools/empty_sweep.py /root/testdata/sf0.001 dupes
 	python tools/empty_sweep.py /root/testdata/sf0.001 extremes
+
+skew-sweep:
+	python tools/make_skewed.py /root/testdata/sf0.01 /tmp/skewdata
+	python tools/verify_local.py /tmp/skewdata
 
 determinism:
 	python tools/determinism_sweep.py

@@ -330,16 +330,36 @@ SELECT bin, n_ref, n_cur,
 FROM g, tot t
 """
 
+# Whale-basket guard for the co-purchase edge derivation: the self-join
+# on l_orderkey emits |basket|^2 rows per order, so ONE whale order
+# (the skewed-replica sweep plants a 17,903-line mega order — 320M
+# intermediate rows from a 60k-row table) dominates the whole job at
+# any scale. Baskets past the cap are excluded outright — the standard
+# co-occurrence treatment (a 17k-item basket carries ~zero pairwise
+# signal; capping contributions instead would keep a quadratic term).
+# Uniform baskets are single digits, so results on non-pathological
+# data are unchanged. Applied identically in the SQL oracle.
+MAX_BASKET = 1000
+
+
 def q_graph_pagerank(spark, sf_dir):
     """PageRank quality weighting over the part co-purchase graph
     (parts sharing an order, symmetrized, distinct): 5 fixed power-
     method iterations, each ONE co-partitioned join + aggregate over a
     once-materialized edge+degree table. Per-iteration quantization
     makes the floats engine-reproducible; oracle = the same 5 steps
-    unrolled as chained CTEs."""
+    unrolled as chained CTEs. Whale baskets are excluded before the
+    quadratic self-join (MAX_BASKET above)."""
     from datamine_v2_0_spark.operators import graph as gr
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    ok = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("__bs"))
+        .filter(F.col("__bs") <= MAX_BASKET)
+        .select("l_orderkey")
+    )
+    li = li.join(ok, "l_orderkey")
     a = li.alias("a")
     b = li.alias("b")
     edges = (
@@ -354,10 +374,14 @@ def q_graph_pagerank(spark, sf_dir):
 
 
 def _pagerank_sql(iters: int = 5) -> str:
-    head = """
-WITH e AS (
+    head = f"""
+WITH ok AS (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING COUNT(*) <= {MAX_BASKET}
+), li AS (
+  SELECT l.l_orderkey, l.l_partkey FROM lineitem l JOIN ok USING (l_orderkey)
+), e AS (
   SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
-  FROM lineitem a JOIN lineitem b
+  FROM li a JOIN li b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
 ), nodes AS (
   SELECT DISTINCT node FROM (
