@@ -204,6 +204,7 @@ def candidate_signal_context(
     cand_id: str,
     before_seconds: float,
     after_seconds: float,
+    value_scale: int | None = None,
 ) -> DataFrame:
     """Per-candidate numeric context — the distilled form of the archived
     validator's plot (``05_validate_candidates_visually.py:176-249``):
@@ -217,7 +218,21 @@ def candidate_signal_context(
     RANGE-frame window passes per key compute the exclusive before/after
     stats — no join, no per-candidate loop, partition-parallel by key.
     Signal rows at exactly the candidate timestamp are excluded on both
-    sides (value-based RANGE frames), keeping the split unambiguous."""
+    sides (value-based RANGE frames), keeping the split unambiguous.
+
+    ``value_scale``: when the signal values are exact multiples of
+    1/scale (e.g. 100 for 2-decimal readings), pass the scale and the
+    mean/std are computed from EXACT integer window sums (Σc, Σc², n
+    with c = value·scale): every float op then runs on identical exact
+    operands in any engine, so results are bit-reproducible regardless
+    of per-frame row count. Without it, window AVG accumulation order
+    makes the last ulp engine-dependent, and the float error of a frame
+    SUM grows with rows per frame — a hot key (one user holding half
+    the events, planted by the skewed-replica sweep) pushes ~350-row
+    frames across the 6 dp rounding boundary (the observed tie:
+    44.7734375, an exact binary half). Values that are NOT exact
+    multiples of 1/scale are quantized to the grid first (both engines
+    identically), so the contract degrades gracefully."""
     b_us = int(before_seconds * 1_000_000)
     a_us = int(after_seconds * 1_000_000)
     # marker NULL columns take the candidate frame's own types, so any
@@ -225,17 +240,23 @@ def candidate_signal_context(
     # union cleanly
     cid_t = candidates.schema[cand_id].dataType
     cts_t = candidates.schema[ts].dataType
+    scaled = value_scale is not None
+    val = (
+        F.round(F.col(value).cast("double") * value_scale).cast("long")
+        if scaled
+        else F.col(value).cast("double")
+    )
     sig = signal.select(
         *[F.col(k) for k in keys],
         F.unix_micros(F.col(ts)).alias("__t"),
-        F.col(value).cast("double").alias("__v"),
+        val.alias("__v"),
         F.lit(None).cast(cid_t).alias("__cid"),
         F.lit(None).cast(cts_t).alias("__cts"),
     )
     cand = candidates.select(
         *[F.col(k) for k in keys],
         F.unix_micros(F.col(ts)).alias("__t"),
-        F.lit(None).cast("double").alias("__v"),
+        F.lit(None).cast("long" if scaled else "double").alias("__v"),
         F.col(cand_id).alias("__cid"),
         F.col(ts).alias("__cts"),
     )
@@ -243,26 +264,70 @@ def candidate_signal_context(
     order = Window.partitionBy(*keys).orderBy("__t")
     wb = order.rangeBetween(-b_us, -1)
     wa = order.rangeBetween(1, a_us)
-    out = u.select(
-        "__cid",
-        "__cts",
-        *keys,
-        F.avg("__v").over(wb).alias("__mb"),
-        F.stddev_samp("__v").over(wb).alias("__sb"),
-        F.count("__v").over(wb).alias("n_before"),
-        F.avg("__v").over(wa).alias("__ma"),
-        F.stddev_samp("__v").over(wa).alias("__sa"),
-        F.count("__v").over(wa).alias("n_after"),
-    ).filter(F.col("__cid").isNotNull())
+    if scaled:
+        sc = float(value_scale)
+
+        def _stats(w, side):
+            return [
+                F.sum("__v").over(w).alias(f"__s1{side}"),
+                F.sum(F.col("__v") * F.col("__v")).over(w).alias(f"__s2{side}"),
+                F.count("__v").over(w).alias(f"n_{side}"),
+            ]
+
+        out = u.select(
+            "__cid", "__cts", *keys,
+            *_stats(wb, "before"), *_stats(wa, "after"),
+        ).filter(F.col("__cid").isNotNull())
+
+        def _mean(side):
+            return F.col(f"__s1{side}").cast("double") / (
+                F.col(f"n_{side}").cast("double") * F.lit(sc)
+            )
+
+        def _std(side):
+            # n·Σc² − (Σc)² over n(n−1), all in double ON EXACT INTEGER
+            # inputs: both engines evaluate the identical expression
+            # tree on identical operands. Clamped at 0 — an all-equal
+            # frame can cancel to a tiny negative in float.
+            nd = F.col(f"n_{side}").cast("double")
+            var = (
+                nd * F.col(f"__s2{side}").cast("double")
+                - F.col(f"__s1{side}").cast("double")
+                * F.col(f"__s1{side}").cast("double")
+            ) / (nd * (nd - F.lit(1.0)))
+            return F.when(
+                F.col(f"n_{side}") > 1,
+                F.sqrt(F.greatest(var, F.lit(0.0))) / F.lit(sc),
+            )
+
+        out = out.select(
+            "__cid", "__cts", *keys,
+            _mean("before").alias("__mb"), _std("before").alias("__sb"),
+            "n_before",
+            _mean("after").alias("__ma"), _std("after").alias("__sa"),
+            "n_after",
+        )
+    else:
+        out = u.select(
+            "__cid",
+            "__cts",
+            *keys,
+            F.avg("__v").over(wb).alias("__mb"),
+            F.stddev_samp("__v").over(wb).alias("__sb"),
+            F.count("__v").over(wb).alias("n_before"),
+            F.avg("__v").over(wa).alias("__ma"),
+            F.stddev_samp("__v").over(wa).alias("__sa"),
+            F.count("__v").over(wa).alias("n_after"),
+        ).filter(F.col("__cid").isNotNull())
     shift = F.col("__ma") - F.col("__mb")
     pooled = F.sqrt(
         (F.col("__sb") * F.col("__sb") + F.col("__sa") * F.col("__sa"))
         / F.lit(2.0)
     )
-    # 6 dp, not 4: means of 2-decimal inputs over <=20-row frames have
-    # at most ~5 true decimals, so no result sits on a 6 dp rounding
-    # boundary — at 4 dp, sums/8 land EXACTLY on x.xxxx5 and the two
-    # engines' accumulation orders round to different sides
+    # 6 dp works at any frame size under value_scale (exact sums); the
+    # float path keeps the original contract: means of 2-decimal inputs
+    # over <=20-row frames have at most ~5 true decimals, so no result
+    # sits on a 6 dp rounding boundary
     return out.select(
         F.col("__cid").alias(cand_id),
         F.col("__cts").alias(ts),

@@ -608,15 +608,21 @@ def q_val_signal_context(spark, sf_dir):
 
     ev = _t(spark, sf_dir, "events")
     cands = ev.filter(F.col("event_type") == "error")
+    # value_scale=100: events.value is a 2-decimal reading, so the
+    # window stats come from exact integer sums and stay bit-identical
+    # cross-engine at ANY per-user frame size (the skewed-replica sweep
+    # planted a user holding half the events and the plain window AVG
+    # diverged at the 6 dp boundary)
     out = vl.candidate_signal_context(
         ev, cands, ["user_id"], "ts", "value", "event_id",
-        172800.0, 172800.0,
+        172800.0, 172800.0, value_scale=100,
     )
     return out.withColumn("ts", F.col("ts").cast("string"))
 
 SQL_VAL_SIGNAL_CONTEXT = """
 WITH u AS (
-  SELECT user_id, epoch_us(ts) AS t, value AS v,
+  SELECT user_id, epoch_us(ts) AS t,
+         CAST(ROUND(value * 100.0) AS BIGINT) AS c,
          CAST(NULL AS BIGINT) AS cid, CAST(NULL AS TIMESTAMP) AS cts
   FROM events
   UNION ALL
@@ -624,16 +630,35 @@ WITH u AS (
   FROM events WHERE event_type = 'error'
 ), s AS (
   SELECT cid, cts, user_id,
-         AVG(v) OVER wb AS mb, STDDEV_SAMP(v) OVER wb AS sb,
-         COUNT(v) OVER wb AS n_before,
-         AVG(v) OVER wa AS ma, STDDEV_SAMP(v) OVER wa AS sa,
-         COUNT(v) OVER wa AS n_after
+         SUM(c) OVER wb AS s1b, SUM(c * c) OVER wb AS s2b,
+         COUNT(c) OVER wb AS n_before,
+         SUM(c) OVER wa AS s1a, SUM(c * c) OVER wa AS s2a,
+         COUNT(c) OVER wa AS n_after
   FROM u
   WINDOW
     wb AS (PARTITION BY user_id ORDER BY t
            RANGE BETWEEN 172800000000 PRECEDING AND 1 PRECEDING),
     wa AS (PARTITION BY user_id ORDER BY t
            RANGE BETWEEN 1 FOLLOWING AND 172800000000 FOLLOWING)
+), m AS (
+  SELECT cid, cts, user_id, n_before, n_after,
+         CAST(s1b AS DOUBLE) / (CAST(n_before AS DOUBLE) * 100.0) AS mb,
+         CASE WHEN n_before > 1 THEN
+           SQRT(GREATEST(
+             (CAST(n_before AS DOUBLE) * CAST(s2b AS DOUBLE)
+              - CAST(s1b AS DOUBLE) * CAST(s1b AS DOUBLE))
+             / (CAST(n_before AS DOUBLE) * (CAST(n_before AS DOUBLE) - 1.0)),
+             0.0)) / 100.0
+         END AS sb,
+         CAST(s1a AS DOUBLE) / (CAST(n_after AS DOUBLE) * 100.0) AS ma,
+         CASE WHEN n_after > 1 THEN
+           SQRT(GREATEST(
+             (CAST(n_after AS DOUBLE) * CAST(s2a AS DOUBLE)
+              - CAST(s1a AS DOUBLE) * CAST(s1a AS DOUBLE))
+             / (CAST(n_after AS DOUBLE) * (CAST(n_after AS DOUBLE) - 1.0)),
+             0.0)) / 100.0
+         END AS sa
+  FROM s
 )
 SELECT cid AS event_id, CAST(cts AS VARCHAR) AS ts, user_id,
        ROUND(mb, 6) AS mean_before, ROUND(sb, 6) AS std_before, n_before,
@@ -642,5 +667,5 @@ SELECT cid AS event_id, CAST(cts AS VARCHAR) AS ts, user_id,
        CASE WHEN SQRT((sb * sb + sa * sa) / 2.0) > 0
             THEN ROUND(ABS(ma - mb) / SQRT((sb * sb + sa * sa) / 2.0), 6)
        END AS snr
-FROM s WHERE cid IS NOT NULL
+FROM m WHERE cid IS NOT NULL
 """
