@@ -315,6 +315,93 @@ def ngram_jaccard_pairs(
     return out.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.2,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    round_to: int = 6,
+    duplicate_collapse: str = "auto",
+) -> DataFrame:
+    """Banded MinHash-LSH candidates → exact n-gram Jaccard verify, with
+    the posting family's adaptive representative collapse (see
+    :func:`jaccard_pairs_inverted` — same ``duplicate_collapse``
+    contract, result-exact on every input).
+
+    Why the composed operator exists: on a duplicate-heavy corpus every
+    member of an exact-duplicate group lands in the same band buckets
+    (signatures are functions of the normalized text), so the candidate
+    set contains all |group|² member pairs AND each pays a full
+    shingle-set intersection in the verify — the skewed-replica bench
+    measured 13× time under a 1.66 docs-per-distinct corpus. Collapsed,
+    LSH + verify run on one representative per distinct text, verified
+    rep pairs fan out to member pairs (signatures and Jaccard scores
+    are text-determined, so member candidacy ⟺ rep candidacy and the
+    scores carry over), and within-group pairs are emitted in closed
+    form at Jaccard 1.0 — only for groups whose text shingles at all,
+    matching the direct path, where a signature-less doc never pairs.
+    Only the (inherently output-sized) fan-out scales with duplication.
+    """
+    df = _spread(df)
+    if _resolve_collapse(df, text_col, duplicate_collapse):
+        return _minhash_near_dup_collapsed(
+            df, text_col, id_col, threshold, num_hashes, bands,
+            shingle_n, round_to,
+        )
+    cands = minhash_lsh_candidates(
+        df, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    out = ngram_jaccard_pairs(
+        cands, df, text_col, id_col, shingle_n, threshold
+    )
+    return out.select(
+        "id_a", "id_b", F.round("jaccard", round_to).alias("jaccard")
+    )
+
+
+def _minhash_near_dup_collapsed(
+    df, text_col, id_col, threshold, num_hashes, bands, shingle_n, round_to
+) -> DataFrame:
+    """Representative-collapsed LSH near-dup (see minhash_near_dup_pairs)."""
+    fpmap, groups, members = _rep_groups(df, text_col, id_col)
+    reps = df.join(groups.select(F.col("__rep").alias(id_col)), id_col)
+    cands = minhash_lsh_candidates(
+        reps, text_col, id_col, num_hashes, bands, shingle_n
+    )
+    rep_pairs = ngram_jaccard_pairs(
+        cands, reps, text_col, id_col, shingle_n, threshold
+    ).select("id_a", "id_b", F.round("jaccard", round_to).alias("jaccard"))
+    ma = members.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb"))
+    cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(
+        F.least("__ma", "__mb").alias("id_a"),
+        F.greatest("__ma", "__mb").alias("id_b"),
+        "jaccard",
+    )
+    if threshold > 1.0:
+        return cross
+    # within-group pairs: identical texts, exact Jaccard 1.0 — emitted
+    # only when the group's text produces >=1 shingle (the direct path's
+    # all-null-signature filter drops shingle-less docs from banding)
+    elig = reps.select(
+        F.col(id_col).alias("__rep"),
+        word_shingles(F.col(text_col), shingle_n).alias("__g"),
+    ).filter(F.size("__g") > 0).select("__rep")
+    m1 = members.join(elig, "__rep").select(
+        "__rep", F.col("__m").alias("id_a")
+    )
+    m2 = members.select("__rep", F.col("__m").alias("id_b"))
+    within = (
+        m1.join(m2, "__rep")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(1.0).alias("jaccard"))
+    )
+    return cross.unionByName(within)
+
+
 def _estimate_duplication(df: DataFrame, text_col: str, ratio: float) -> bool:
     """One narrow scan deciding the collapse switch: raw-byte xxhash64
     (no normalization pass) is enough for a docs-per-distinct-text ratio

@@ -68,8 +68,9 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     corpus is cleanly bimodal: noise pairs <= 0.07, planted near-dups
     >= 0.9, and the seed-free signature kernel is deterministic)."""
     df = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
-    out = dd.ngram_jaccard_pairs(cands, df, "text", "doc_id", threshold=0.2)
+    out = dd.minhash_near_dup_pairs(
+        df, "text", "doc_id", threshold=0.2, num_hashes=32, bands=8
+    )
     return out.select("id_a", "id_b")
 
 SQL_DEDUP_MINHASH_LSH = r"""
@@ -97,9 +98,9 @@ def q_dedup_jaccard(spark, sf_dir):
     (inverted index) SQL, so the hash match also certifies candidate
     recall = 1.0 at this threshold on this corpus."""
     df = _t(spark, sf_dir, "documents")
-    cands = dd.minhash_lsh_candidates(df, "text", "doc_id", num_hashes=32, bands=8)
-    out = dd.ngram_jaccard_pairs(cands, df, "text", "doc_id", threshold=0.2)
-    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    return dd.minhash_near_dup_pairs(
+        df, "text", "doc_id", threshold=0.2, num_hashes=32, bands=8
+    )
 
 # the portable (md5-60-bit) SimHash signature pipeline, shared by the
 # signatures and pairs oracles: word bigrams of normalized text -> 60-bit

@@ -113,6 +113,35 @@ def test_minhash_lsh_finds_near_dups(spark):
     assert (1, 3) not in pairs and (2, 3) not in pairs
 
 
+def test_minhash_near_dup_collapsed_matches_direct(spark):
+    # the composed LSH->verify operator's representative collapse must be
+    # result-exact on a duplicate-heavy corpus, including shingle-less
+    # duplicate groups (which the direct path's null-signature filter
+    # drops from banding — the collapse must not resurrect them)
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    rows = [Row(doc_id=i, text=base) for i in range(8)]
+    rows += [Row(doc_id=8 + i, text=base + f" suffix {i % 2}") for i in range(4)]
+    rows += [Row(doc_id=12 + i, text="hi") for i in range(3)]
+    rows += [
+        Row(doc_id=15 + i,
+            text=f"unrelated cooking text {i * 7} with pasta {i * 13} sauce here today")
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    out = {}
+    for mode in ("never", "always", "auto"):
+        out[mode] = sorted(
+            map(tuple, dd.minhash_near_dup_pairs(
+                df, "text", "doc_id", threshold=0.2,
+                num_hashes=32, bands=8, duplicate_collapse=mode,
+            ).collect())
+        )
+    assert out["never"] == out["always"] == out["auto"]
+    ids_in_pairs = {i for p in out["never"] for i in p[:2]}
+    assert not ids_in_pairs & {12, 13, 14}  # shingle-less dups never pair
+    assert {i for i in range(8)} <= ids_in_pairs  # identical group pairs
+
+
 def test_minhash_short_docs_never_pair(spark):
     # docs too short to shingle must not bucket together via their
     # all-null signatures
