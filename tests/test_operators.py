@@ -848,6 +848,39 @@ def test_dedup_against_near_drops_cross_dups_only(spark):
     assert got == [11, 13]
 
 
+def test_dedup_against_collapsed_matches_direct(spark):
+    # representative collapse must be survival-exact on duplicate-heavy
+    # corpora: duplicated matching texts all drop, duplicated
+    # non-matching texts all survive, unshingleable docs always survive
+    base = "the quick brown fox jumps over the lazy dog near the river bank"
+    new_rows = [Row(doc_id=2 * i, text=base) for i in range(10)]
+    new_rows += [
+        Row(doc_id=2 * i, text=f"fresh unique {i * 7} words {i * 13} entirely here")
+        for i in range(10, 18)
+    ]
+    new_rows.append(Row(doc_id=90, text="hi"))
+    ref_rows = [Row(doc_id=2 * i + 1, text=base) for i in range(4)]
+    ref_rows += [
+        Row(doc_id=2 * i + 1, text=f"ref unique {i * 11} other {i * 3} content")
+        for i in range(4, 10)
+    ]
+    ref_rows.append(Row(doc_id=91, text="hi"))
+    new, ref = spark.createDataFrame(new_rows), spark.createDataFrame(ref_rows)
+    res = {}
+    for mode in ("never", "always", "auto"):
+        res[mode] = sorted(
+            r["doc_id"]
+            for r in dd.dedup_against(
+                new, ref, "text", "doc_id", method="near",
+                threshold=0.2, num_hashes=32, bands=8,
+                duplicate_collapse=mode,
+            ).collect()
+        )
+    assert res["never"] == res["always"] == res["auto"]
+    assert all(2 * i not in res["never"] for i in range(10))  # viral dropped
+    assert 90 in res["never"]  # unshingleable new survives
+
+
 def test_dedup_against_near_ignores_in_corpus_dups(spark):
     """Two identical NEW docs must both survive when neither matches ref:
     only cross-side pairs are candidates."""
