@@ -241,8 +241,12 @@ def candidate_signal_context(
     cid_t = candidates.schema[cand_id].dataType
     cts_t = candidates.schema[ts].dataType
     scaled = value_scale is not None
+    # try_cast, not cast: NaN/Inf payloads (which violate the exact-
+    # multiple contract and would poison a float mean anyway) must null
+    # out instead of raising CAST_OVERFLOW under ANSI — TRY_CAST in the
+    # oracle nulls them identically
     val = (
-        F.round(F.col(value).cast("double") * value_scale).cast("long")
+        F.round(F.col(value).cast("double") * value_scale).try_cast("long")
         if scaled
         else F.col(value).cast("double")
     )

@@ -622,7 +622,7 @@ def q_val_signal_context(spark, sf_dir):
 SQL_VAL_SIGNAL_CONTEXT = """
 WITH u AS (
   SELECT user_id, epoch_us(ts) AS t,
-         CAST(ROUND(value * 100.0) AS BIGINT) AS c,
+         TRY_CAST(ROUND(value * 100.0) AS BIGINT) AS c,
          CAST(NULL AS BIGINT) AS cid, CAST(NULL AS TIMESTAMP) AS cts
   FROM events
   UNION ALL
