@@ -49,8 +49,18 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  graph_pagerank adaptive partition pinning,
 #                  dedup_jaccard_inverted by age + dedup_containment
 #                  swapped in for the duplicate-collapse extension,
-#                  displacing win_rolling_corr, the window's freshest
-#                  unchanged entry), then the 10 round-3 queries the
+#                  and the six queries the skew-sweep session changed —
+#                  val_signal_context (exact integer window sums),
+#                  join_overlap (binned), join_interval_priority
+#                  (range_bin_join), dedup_minhash_lsh + dedup_jaccard
+#                  (rep-collapsed LSH pipeline), dedup_against
+#                  (per-side collapse) — displacing the seven
+#                  freshest-evidence unchanged entries
+#                  (win_rolling_corr r6; scd_type2 / dedup_semantic /
+#                  filt_sample_exact_k / agg_heavy_hitters with r7
+#                  out-of-window replica evidence; join_upsert r5;
+#                  scalar_hash_id r4 + golden/property suites)),
+#                  then the 10 round-3 queries the
 #                  duplicate-key bug spilled out of the round-7 window, the
 #                  3 round-3-tail queries the val_* additions displaced,
 #                  and the oldest-evidence rung in standing age order.
@@ -220,6 +230,12 @@ WINDOW_R8: list[str] = [
     "text_rrf",
     "sim_ivf_topk",
     "dedup_canonical",
+    "val_signal_context",
+    "join_overlap",
+    "join_interval_priority",
+    "dedup_minhash_lsh",
+    "dedup_jaccard",
+    "dedup_against",
     "text_decontaminate",
     "text_lm_score",
     "text_ngrams",
@@ -244,27 +260,21 @@ WINDOW_R8: list[str] = [
     "agg_fraction",
     "agg_freq_topk",
     "agg_having",
-    "agg_heavy_hitters",
     "agg_hourly_profile",
     "agg_integrity",
     "agg_ordered_array",
     "agg_pivot",
     "dedup_exact",
     "dedup_jaccard_inverted",
-    "dedup_semantic",
     "filt_between_isin",
     "filt_clamp",
     "filt_project_range",
-    "filt_sample_exact_k",
     "filt_sample_mod",
     "graph_pagerank",
     "join_anti",
     "join_semi",
-    "join_upsert",
-    "scalar_hash_id",
     "scalar_position",
     "scalar_silver",
-    "scd_type2",
     "dedup_groups",
 ]
 
@@ -300,7 +310,6 @@ _TAIL_R8: list[str] = [
     "agg_winsorize",
     "dedup_embedding",
     "dedup_exact_keep",
-    "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_substring",
     "dedup_substring_strip",
@@ -326,6 +335,12 @@ _TAIL_R8: list[str] = [
     "win_hampel",
     "win_minmax_flags",
     "win_range_frame",
+    "join_upsert",
+    "scalar_hash_id",
+    "agg_heavy_hitters",
+    "dedup_semantic",
+    "filt_sample_exact_k",
+    "scd_type2",
     "win_rolling_corr",
     "cpd_candidates",
     "agg_approx",
@@ -335,12 +350,10 @@ _TAIL_R8: list[str] = [
     "stat_ks",
     "val_label_windows",
     "val_candidate_clustering",
-    "val_signal_context",
     "join_asof",
     "join_asof_backward",
     "join_equi_revenue",
     "join_interval",
-    "join_overlap",
     "sql_views",
     "join_bloom",
     "agg_tdigest",
@@ -349,8 +362,6 @@ _TAIL_R8: list[str] = [
     "agg_grouping_sets",
     "agg_hopping",
     "agg_rollup",
-    "dedup_against",
-    "dedup_jaccard",
     "dedup_lines",
     "dedup_simhash_pairs",
     "evt_cohort",
@@ -360,7 +371,6 @@ _TAIL_R8: list[str] = [
     "filt_shuffle_shards",
     "filt_token_budget",
     "join_asof_merge",
-    "join_interval_priority",
     "join_range_bin",
     "mm_features",
     "mm_frames",
