@@ -207,6 +207,52 @@ def test_candidate_signal_context_exact(spark):
     assert r2["snr"] is None
 
 
+def test_candidate_signal_context_scaled_matches_float(spark):
+    """The exact-integer-sum path (value_scale) is mirrored in the SQL
+    oracle, so a mirrored formula bug would hash-match; this parity test
+    checks it against the INDEPENDENT float implementation on a random
+    2-decimal fixture — means, stds, counts, shift and snr must agree to
+    well under the 6 dp output quantum (the fixture avoids rounding-tie
+    values by construction: 120 random draws, any tie would need an
+    exact x.xxxxxx5 half)."""
+    import random
+    from datetime import datetime, timedelta, timezone
+
+    from datamine_v2_0_spark.operators.validation import (
+        candidate_signal_context,
+    )
+
+    rng = random.Random(17)
+    t0 = datetime(2025, 3, 1, tzinfo=timezone.utc)
+    sig_rows = [
+        ("k%d" % (i % 2), t0 + timedelta(seconds=i * 37), round(rng.uniform(0, 99), 2))
+        for i in range(120)
+    ]
+    signal = spark.createDataFrame(sig_rows, "k string, ts timestamp, v double")
+    cand = spark.createDataFrame(
+        [(r[0], r[1], i) for i, r in enumerate(sig_rows) if i % 11 == 0],
+        "k string, ts timestamp, cid long",
+    )
+    out = {}
+    for scale in (None, 100):
+        rows = candidate_signal_context(
+            signal, cand, ["k"], "ts", "v", "cid", 300.0, 300.0,
+            value_scale=scale,
+        ).collect()
+        out[scale] = {r["cid"]: r for r in rows}
+    assert set(out[None]) == set(out[100]) and len(out[None]) == 11
+    for cid, a in out[None].items():
+        b = out[100][cid]
+        assert (a["n_before"], a["n_after"]) == (b["n_before"], b["n_after"])
+        for col in ("mean_before", "std_before", "mean_after", "std_after",
+                    "mean_shift", "snr"):
+            x, y = a[col], b[col]
+            if x is None or y is None:
+                assert x == y, (cid, col)
+            else:
+                assert abs(x - y) <= 2e-6, (cid, col, x, y)
+
+
 def test_candidate_signal_context_string_id_ntz(spark):
     """The marker columns adopt the candidate frame's own types: string
     candidate ids union cleanly (no hard-coded long cast)."""
