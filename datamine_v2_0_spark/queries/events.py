@@ -330,15 +330,11 @@ SELECT bin, n_ref, n_cur,
 FROM g, tot t
 """
 
-# Whale-basket guard for the co-purchase edge derivation: the self-join
-# on l_orderkey emits |basket|^2 rows per order, so ONE whale order
-# (the skewed-replica sweep plants a 17,903-line mega order — 320M
-# intermediate rows from a 60k-row table) dominates the whole job at
-# any scale. Baskets past the cap are excluded outright — the standard
-# co-occurrence treatment (a 17k-item basket carries ~zero pairwise
-# signal; capping contributions instead would keep a quadratic term).
-# Uniform baskets are single digits, so results on non-pathological
-# data are unchanged. Applied identically in the SQL oracle.
+# Whale-basket guard for the co-purchase edge derivation — the query
+# uses the public operator's default; the SQL oracle applies the same
+# cap so both engines exclude the same baskets. The guard's semantics
+# (exclusion, tunability, max_basket=None opt-out) live on
+# operators/graph.co_purchase_edges.
 MAX_BASKET = 1000
 
 
@@ -349,26 +345,13 @@ def q_graph_pagerank(spark, sf_dir):
     once-materialized edge+degree table. Per-iteration quantization
     makes the floats engine-reproducible; oracle = the same 5 steps
     unrolled as chained CTEs. Whale baskets are excluded before the
-    quadratic self-join (MAX_BASKET above)."""
+    quadratic self-join (co_purchase_edges' max_basket guard,
+    MAX_BASKET here = the operator default, mirrored in the oracle)."""
     from datamine_v2_0_spark.operators import graph as gr
 
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    ok = (
-        li.groupBy("l_orderkey")
-        .agg(F.count(F.lit(1)).alias("__bs"))
-        .filter(F.col("__bs") <= MAX_BASKET)
-        .select("l_orderkey")
-    )
-    li = li.join(ok, "l_orderkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(b, "l_orderkey")
-        .filter(F.col("a.l_partkey") != F.col("b.l_partkey"))
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
-        .distinct()
+    edges = gr.co_purchase_edges(
+        li, "l_orderkey", "l_partkey", max_basket=MAX_BASKET
     )
     return gr.pagerank(edges, n_iter=5, damping=0.85)
 

@@ -62,3 +62,41 @@ def test_pagerank_rejects_zero_iters(spark):
     e = _edges(spark, [(0, 1)])
     with pytest.raises(ValueError):
         gr.pagerank(e, n_iter=0)
+
+
+def _baskets(spark, groups):
+    """groups: {group_id: [items]} -> (group, item) rows."""
+    rows = [(g, i) for g, items in groups.items() for i in items]
+    return spark.createDataFrame(rows, ["g", "item"])
+
+
+def test_co_purchase_edges_basic(spark):
+    df = _baskets(spark, {1: [10, 20, 30], 2: [20, 40]})
+    got = {
+        (r["src"], r["dst"])
+        for r in gr.co_purchase_edges(df, "g", "item").collect()
+    }
+    want = {(10, 20), (20, 10), (10, 30), (30, 10), (20, 30), (30, 20),
+            (20, 40), (40, 20)}
+    assert got == want
+
+
+def test_co_purchase_edges_max_basket_boundary(spark):
+    # basket 1 has exactly max_basket items (kept), basket 2 has
+    # max_basket+1 (excluded outright — contributes NO edges)
+    df = _baskets(spark, {1: [1, 2, 3], 2: [4, 5, 6, 7]})
+    got = {
+        (r["src"], r["dst"])
+        for r in gr.co_purchase_edges(df, "g", "item", max_basket=3).collect()
+    }
+    assert got == {(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)}
+    # items of the excluded basket appear in NO edge
+    assert not any(4 in e or 5 in e or 6 in e or 7 in e for e in got)
+
+
+def test_co_purchase_edges_max_basket_none_disables(spark):
+    df = _baskets(spark, {1: list(range(10))})
+    n = gr.co_purchase_edges(df, "g", "item", max_basket=None).count()
+    assert n == 10 * 9  # full symmetric pair set, no guard
+    n_capped = gr.co_purchase_edges(df, "g", "item", max_basket=9).count()
+    assert n_capped == 0

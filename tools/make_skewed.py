@@ -40,7 +40,7 @@ def main() -> None:
     src = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/skewdata"
 
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     from datamine_v2_0_spark.session import get_spark
 
@@ -56,11 +56,21 @@ def main() -> None:
 
     def hot(df, id_col, pct_mod_10, targets):
         """Reassign the rows with id % 10 < pct_mod_10 to the hot value
-        of every column in ``targets`` (a {col: hot_value_df_agg} map)."""
-        sel = F.col(id_col) % 10 < pct_mod_10
+        of every column in ``targets`` (a {col: hot_value_df_agg} map).
+
+        The selection is MATERIALIZED into a column before any target
+        mutates: Spark columns are lazy expressions, so when id_col is
+        itself a target (lineitem selects on l_partkey and reassigns
+        it before l_suppkey), a bare predicate would re-evaluate
+        against the already-mutated column and silently skip later
+        targets whenever the hot value's residue falls outside the
+        slice."""
+        df = df.withColumn("__sel", F.col(id_col) % 10 < pct_mod_10)
         for col, hot_val in targets.items():
-            df = df.withColumn(col, F.when(sel, hot_val).otherwise(F.col(col)))
-        return df
+            df = df.withColumn(
+                col, F.when(F.col("__sel"), hot_val).otherwise(F.col(col))
+            )
+        return df.drop("__sel")
 
     orders = spark.read.parquet(f"{src}/orders.parquet")
     hot_cust = orders.agg(F.min("o_custkey")).first()[0]
@@ -76,12 +86,39 @@ def main() -> None:
         li, "l_partkey", 4,
         {"l_partkey": F.lit(hot_part), "l_suppkey": F.lit(hot_supp)},
     )
-    # mega order on an independent slice; l_linenumber keeps rows distinct
-    li = li.withColumn(
-        "l_orderkey",
-        F.when(F.col("l_orderkey") % 10 >= 7, F.lit(hot_ord)).otherwise(
-            F.col("l_orderkey")
-        ),
+    # mega order on an independent slice. NOTE: (l_orderkey,
+    # l_linenumber) is NOT unique even in the SOURCE testdata (sf0.01
+    # has ~11.8k colliding composites), so no query may assume it; the
+    # mega order is renumbered 1..N anyway so its 17k rows don't all
+    # collapse onto linenumbers 1-7 — a tie-degeneracy the skew tool
+    # has no business adding on top of the key skew it exists to plant.
+    # Partitioning the renumber window by the post-merge key keeps it
+    # cheap everywhere except the one (intended) mega partition; the
+    # (pre-merge orderkey, linenumber, partkey, suppkey) order makes
+    # the numbering deterministic up to source-level composite ties.
+    li = (
+        li.withColumn("__orig", F.col("l_orderkey"))
+        .withColumn(
+            "l_orderkey",
+            F.when(F.col("__orig") % 10 >= 7, F.lit(hot_ord)).otherwise(
+                F.col("__orig")
+            ),
+        )
+        .withColumn(
+            "l_linenumber",
+            F.when(
+                F.col("l_orderkey") == hot_ord,
+                F.row_number().over(
+                    Window.partitionBy("l_orderkey").orderBy(
+                        "__orig", "l_linenumber", "l_partkey", "l_suppkey",
+                        "l_extendedprice", "l_quantity",
+                    )
+                ),
+            )
+            .otherwise(F.col("l_linenumber"))
+            .cast("int"),
+        )
+        .drop("__orig")
     )
     li.write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
 
@@ -107,12 +144,19 @@ def main() -> None:
 
     emb = spark.read.parquet(f"{src}/embeddings.parquet")
     first_vec = emb.orderBy("vec_id").select("embedding").first()[0]
+    # cast the literal hot vector back to the SOURCE element type:
+    # F.lit(float) builds array<double>, and letting when/otherwise
+    # coerce the column would make the skewed replica's parquet schema
+    # (and every float-vs-double arithmetic path) diverge from the
+    # uniform replica it claims to mirror
+    hot_vec = F.array(*[F.lit(float(x)) for x in first_vec]).cast(
+        emb.schema["embedding"].dataType
+    )
     emb.withColumn(
         "embedding",
-        F.when(
-            F.col("vec_id") % 10 < 4,
-            F.array(*[F.lit(float(x)) for x in first_vec]),
-        ).otherwise(F.col("embedding")),
+        F.when(F.col("vec_id") % 10 < 4, hot_vec).otherwise(
+            F.col("embedding")
+        ),
     ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
 
     cust = spark.read.parquet(f"{src}/customer.parquet")
