@@ -327,9 +327,17 @@ def minhash_near_dup_pairs(
     duplicate_collapse: str = "auto",
 ) -> DataFrame:
     """Banded MinHash-LSH candidates → exact n-gram Jaccard verify, with
-    the posting family's adaptive representative collapse (see
+    the adaptive representative collapse (see
     :func:`jaccard_pairs_inverted` — same ``duplicate_collapse``
-    contract, result-exact on every input).
+    contract, result-exact on every input). Unlike the posting-join
+    family, ``auto`` here collapses on the MAX-GROUP statistic
+    (``PAIR_COLLAPSE_CMAX``), not the duplication ratio or total
+    blowup: LSH banding is linear in n and in-bucket verify
+    parallelizes across groups, so even 16x uniform duplication
+    measured 1.7x faster direct — but one mega group's |g|² candidate
+    pairs land in a single band bucket (one task, serial), which is
+    where the 40%-viral corpus measured 5x collapse-wins
+    (SCALING.md, tools/collapse_band.py).
 
     Why the composed operator exists: on a duplicate-heavy corpus every
     member of an exact-duplicate group lands in the same band buckets
@@ -346,7 +354,7 @@ def minhash_near_dup_pairs(
     Only the (inherently output-sized) fan-out scales with duplication.
     """
     df = _spread(df)
-    if _resolve_collapse(df, text_col, duplicate_collapse):
+    if _resolve_pair_collapse(df, text_col, duplicate_collapse):
         return _minhash_near_dup_collapsed(
             df, text_col, id_col, threshold, num_hashes, bands,
             shingle_n, round_to,
@@ -413,17 +421,195 @@ def _estimate_duplication(df: DataFrame, text_col: str, ratio: float) -> bool:
     return probe["n"] >= ratio * max(probe["nd"], 1)
 
 
-# docs-per-distinct-text ratio above which the posting-join family
-# switches to representative collapse (shared with bm25_topk)
+def _dup_blowup(df: DataFrame, text_col: str) -> float:
+    """Exact candidate-pair blowup factor: Σ|group|² / n over raw-byte
+    xxhash64 duplicate groups — the expected duplicate-group size seen
+    by a random document, i.e. the factor by which exact duplication
+    multiplies per-pair candidate/verify work in a bucketed pipeline.
+
+    The docs-per-distinct RATIO cannot drive the pair-family collapse
+    switch because it is blind to group-size CONCENTRATION: a 4x
+    uniform-duplicate corpus (ratio 4.0, blowup 4 — tiny groups, the
+    direct path's per-pair work stays trivial) measured 2.1x FASTER
+    direct, while the skewed corpus (ratio 1.66, blowup 80 — one viral
+    group holding 40% of docs) measured 5x faster collapsed, and a
+    corpus with 1% of a billion docs on one viral text (ratio 1.01,
+    blowup 10^5) NEEDS the collapse while never moving the ratio.
+    Blowup orders all of these correctly; ratio orders them backwards.
+
+    One narrow shuffle of 8-byte keys (map-side combine bounds the
+    shuffle by per-partition distincts). The decision path uses the
+    sampled estimator below; this exact form is the calibration /
+    tooling reference."""
+    return _dup_stats(df, text_col)[1]
+
+
+def _dup_stats(df: DataFrame, text_col: str) -> tuple[int, float, int]:
+    """Exact (n, blowup, cmax) over raw-byte xxhash64 duplicate groups:
+    blowup = Σ|group|²/n (total candidate-work multiplier), cmax = the
+    largest group (the single-task hotspot — all of one group's
+    candidate pairs land in ONE bucket of a bucketed pipeline, so cmax²
+    bounds the serial work no amount of executors parallelizes away).
+
+    One narrow shuffle of (8-byte key, count) pairs with map-side
+    combine — ~16 bytes/doc, vs the ≥ full-text shuffle the operator
+    being planned will itself run; the probe is noise next to the cost
+    of picking the wrong plan."""
+    g = df.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    r = g.agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        F.sum("__c").alias("__n"),
+        F.max("__c").alias("__mx"),
+    ).first()
+    n = r["__n"] or 0
+    return n, (r["__ss"] / n) if n else 0.0, r["__mx"] or 0
+
+
+def _dup_blowup_sampled(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    target_m: int | None = None,
+) -> float:
+    """Unbiased blowup estimate from a DETERMINISTIC member-level
+    sample: rows with pmod(xxhash64(id), K) == 0, K sized so ~target_m
+    rows survive. With per-member inclusion at rate s = 1/K,
+    E[c_s(c_s-1)] = s²·c(c-1) per group, so
+
+        blowup ≈ 1 + Σ_sample c_s(c_s-1) / (s²·n).
+
+    Detection math (why the default target_m = max(2·10⁵, 20·√n) is
+    enough at ANY corpus size): the signal is same-group sample
+    collisions, E ≈ s²·n·(blowup-1)/2 = target_m²·(blowup-1)/(2n).
+    With target_m = 20·√n that is 200·(blowup-1) collisions regardless
+    of n — the detection floor is a CONSTANT blowup ≈ 1.25, safely
+    under every family threshold, while the sample stays ≤ ~2M rows
+    even at 10¹⁰ docs (0.02%). Groups that drive a large blowup
+    contribute proportionally more collisions themselves, so
+    concentration is exactly what samples most reliably.
+
+    Id-hash selection keeps the probe layout- and seed-free (same
+    decision on every run/replica), and samples MEMBERS independently —
+    sampling whole text-groups would make the one-mega-group corpus an
+    all-or-nothing coin flip. Cost: one column scan + a shuffle of only
+    the sampled rows; small corpora (n ≤ 4·target_m) use the exact
+    probe outright."""
+    n = df.count()
+    if n == 0:
+        return 0.0
+    if target_m is None:
+        target_m = max(200_000, int(20 * n ** 0.5))
+    if n <= 4 * target_m:
+        return _dup_blowup(df, text_col)
+    k = max(2, round(n / target_m))
+    sample = df.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(k)) == 0)
+    g = sample.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    r = g.agg(
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__cc")
+    ).first()
+    cc = r["__cc"] or 0
+    s = 1.0 / k
+    return 1.0 + cc / (s * s * n)
+
+
+# Historical docs-per-distinct-text ratio threshold, retained for the
+# ratio probe's tooling uses. Round 9 retired RATIO as a switch
+# statistic entirely: it is blind to group-size concentration in both
+# directions (a 4x uniform corpus has ratio 4 but cheap direct plans; a
+# 1%-viral corpus has ratio 1.01 and a quadratic direct blow-up), and
+# the stress band (tools/collapse_band.py, SCALING.md) measured it
+# mispicking on every uniform band at or below 2x.
 COLLAPSE_RATIO = 1.25
 
+# ``auto`` collapse thresholds, calibrated by tools/collapse_band.py
+# on sf0.1 across uniform (u1.5-u16) and one-viral-group (h5-h40)
+# duplication shapes (SCALING.md stress-band table). Duplication hurts
+# the direct plans through two INDEPENDENT mechanisms, so the switch
+# needs two statistics from the exact probe (_dup_stats):
+#
+#   trimmed blowup = (Σ|g|² - cmax²)/n — the work multiplier from
+#   duplication SPREAD ACROSS the corpus (every duplicated text
+#   lengthens its posting lists / multiplies its bucket pairs, and the
+#   work parallelizes, so it prices TOTAL extra work). The single
+#   largest group is excluded: its cost is localized (only its own
+#   text's lists/buckets grow) and is priced separately by cmax.
+#
+#   cmax — the largest duplicate group: its |g|² candidate pairs land
+#   on one join key / one band bucket, i.e. a serial hotspot no
+#   executor count absorbs.
+#
+# posting-join self-join (jaccard/containment inverted index): direct
+# work grows ~trimmed² (every duplicate lengthens lists on BOTH join
+# sides) — measured direct-wins 2-3x at trimmed 2, tie at 4, collapse-
+# wins 4.7x/29x at 8/16. A lone mega group measured CHEAP direct at
+# cmax 1000 (its pairs spread over its ~50 shingle keys), so the
+# hotspot ceiling sits high.
+POSTING_COLLAPSE_BLOWUP = 4.5
+# bm25 (doc-side × query-side posting join): the spread multiplier is
+# the PRODUCT of doc-side trimmed blowup and query-side FULL blowup
+# (any duplicated probe re-pays every matched list — a query-side mega
+# group is a global multiplier, not a localized hotspot) — measured at
+# constant probes: tie at doc-blowup 4, collapse-wins 1.7x at 8.
+BM25_COLLAPSE_BLOWUP = 6.0
+# pair family (minhash LSH, dedup_against): spread duplication measured
+# direct-wins at EVERY uniform band through blowup 16 (in-bucket verify
+# is vectorized and parallelizes across groups; the collapse fan-out
+# joins cost more than it saves), so the pair family has NO spread
+# threshold — only the mega-group hotspot flips it: one group's pairs
+# expand inside ONE band bucket = one task.
+#
+# Hotspot ceilings: single-node measurements put the pair crossover
+# near cmax 2000 at ~50-word docs (direct minhash h20→h40 grows
+# quadratically, collapsed stays flat); the posting hotspot crossover
+# is above every measured band. The defaults are set BELOW the
+# single-node crossover because the hotspot is SERIAL: on a 1000-
+# executor cluster the collapse overhead stays proportional while the
+# hotspot stays absolute wall-clock, so the break-even cmax shrinks as
+# the cluster grows.
+PAIR_COLLAPSE_CMAX = 1000
+POSTING_COLLAPSE_CMAX = 10_000
 
-def _resolve_collapse(df, text_col, duplicate_collapse: str) -> bool:
+
+def _resolve_posting_collapse(
+    df,
+    text_col,
+    duplicate_collapse: str,
+) -> bool:
+    """``auto`` plan pick for the posting-join family: trimmed blowup
+    against the measured spread crossover, cmax against the hotspot
+    ceiling. No docs-per-distinct ratio gate — ratio stays near 1 on
+    exactly the concentrated compositions where the hotspot matters."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
-    if duplicate_collapse == "auto":
-        return _estimate_duplication(df, text_col, COLLAPSE_RATIO)
-    return duplicate_collapse == "always"
+    if duplicate_collapse != "auto":
+        return duplicate_collapse == "always"
+    n, blowup, cmax = _dup_stats(df, text_col)
+    if n == 0:
+        return False
+    trimmed = blowup - cmax * cmax / n
+    return trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= POSTING_COLLAPSE_CMAX
+
+
+def _resolve_pair_collapse(
+    df,
+    text_col,
+    duplicate_collapse: str,
+    cmax_threshold: int = PAIR_COLLAPSE_CMAX,
+) -> bool:
+    """``auto`` plan pick for the pair family (minhash LSH /
+    dedup_against): collapse iff the largest exact-duplicate group
+    reaches the serial-hotspot crossover (see PAIR_COLLAPSE_CMAX). The
+    probe is exact — a sampled cmax has a detection floor that grows
+    with n, while the hotspot cost is absolute in cmax."""
+    if duplicate_collapse not in ("auto", "always", "never"):
+        raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
+    if duplicate_collapse != "auto":
+        return duplicate_collapse == "always"
+    return _dup_stats(df, text_col)[2] >= cmax_threshold
 
 
 def _rep_groups(df: DataFrame, text_col: str, id_col: str):
@@ -480,9 +666,12 @@ def jaccard_pairs_inverted(
     document frequency for the cap), then fans representative pairs
     back out to member pairs — the join is sized by distinct content,
     and only the (inherently output-sized) member fan-out scales with
-    duplication. ``"auto"`` probes the ratio with one narrow scan."""
+    duplication. ``"auto"`` probes trimmed blowup + cmax against the
+    posting family's measured crossovers (POSTING_COLLAPSE_BLOWUP /
+    POSTING_COLLAPSE_CMAX — the self-join grows ~trimmed², so the
+    spread threshold sits low)."""
     df = _spread(df)
-    if _resolve_collapse(df, text_col, duplicate_collapse):
+    if _resolve_posting_collapse(df, text_col, duplicate_collapse):
         return _jaccard_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
             max_shingle_freq, round_to,
@@ -654,7 +843,7 @@ def containment_pairs_inverted(
     this operator carried the repo's second-highest scaling exponent
     (α 0.61) on duplicate-heavy growth before the collapse."""
     df = _spread(df)
-    if _resolve_collapse(df, text_col, duplicate_collapse):
+    if _resolve_posting_collapse(df, text_col, duplicate_collapse):
         return _containment_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
             max_shingle_freq, round_to,
@@ -1607,7 +1796,11 @@ def dedup_against(
     bucket product and a shingle verify per member pair for an ANY-match
     answer the first pair already settles (the skewed-replica bench
     measured 3.8× uniform time). Result-exact on every input; ``"auto"``
-    probes both corpora's pooled duplication ratio with one narrow scan.
+    uses the pair family's max-group probe on the pooled corpora (see
+    ``PAIR_COLLAPSE_CMAX``): banding is linear in corpus size and
+    in-bucket work parallelizes across groups, so only one group's
+    serial hotspot, not uniform duplication, pays for the collapse
+    machinery.
 
     ``method='exact'``: content-hash left-anti join — one shuffle on the
     hash, ref side reduced to distinct hashes first.
@@ -1631,7 +1824,7 @@ def dedup_against(
         )
     if method != "near":
         raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
-    if _resolve_collapse(
+    if _resolve_pair_collapse(
         new_df.select(F.col(text_col)).unionAll(ref_df.select(F.col(text_col))),
         text_col,
         duplicate_collapse,

@@ -97,21 +97,44 @@ def bm25_topk(
     heavy corpora, the round-7 weak mark: direct scoring measured n^~1.15
     there because posting lists AND probe count grow together);
     ``"never"`` scores every document directly (cheapest when content is
-    unique); ``"auto"`` (default) probes the duplication ratio with one
-    count/approx_count_distinct scan and collapses at ≥1.25 docs per
-    distinct text. Both paths produce identical results on every input —
-    the switch is a physical-plan choice, the exactness does not depend
-    on which side of the threshold a corpus lands.
+    unique); ``"auto"`` (default) decides from the PRODUCT of the
+    doc-side TRIMMED blowup and the query-side FULL blowup (exact probe
+    — see dedup._dup_stats and the threshold block above
+    dedup.POSTING_COLLAPSE_BLOWUP): the direct path's matched posting
+    join is sized by doc-side multiplicity × query-side multiplicity (a
+    duplicated doc lengthens every matched posting list, a duplicated
+    probe re-pays each list), so neither side's statistic alone prices
+    the plan — the round-8 4x replica (both sides 4x, product 16)
+    measured collapse 2.3x faster while a constant-probe corpus at the
+    same doc blowup 4 measures a tie (tools/collapse_band.py,
+    SCALING.md). The doc side trims its largest group (a lone viral
+    text lengthens only its own lists — a localized cost priced by the
+    cmax ceiling); the query side must NOT trim (a duplicated probe
+    multiplies every matched row — always a global multiplier). Both
+    paths produce identical results on every input — the switch is a
+    physical-plan choice, the exactness does not depend on which side
+    of the threshold a corpus lands.
 
     Reference parity: the reference has no retrieval operator — this is
     part of the beyond-reference LLM-data surface (SURVEY.md §2 extension),
     built per Robertson et al., "Okapi at TREC-3" (1994).
     """
-    # shared probe/threshold with the posting-join dedup family
-    # (operators/dedup.COLLAPSE_RATIO): one narrow xxhash64 scan decides
-    from datamine_v2_0_spark.operators.dedup import _resolve_collapse
+    from datamine_v2_0_spark.operators.dedup import (
+        BM25_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX, _dup_stats,
+    )
 
-    collapse = _resolve_collapse(docs, text_col, duplicate_collapse)
+    if duplicate_collapse == "auto":
+        n_d, blow_d, cmax_d = _dup_stats(docs, text_col)
+        _, blow_q, _ = _dup_stats(queries, query_text_col)
+        trimmed_d = (blow_d - cmax_d * cmax_d / n_d) if n_d else 0.0
+        collapse = (
+            trimmed_d * blow_q >= BM25_COLLAPSE_BLOWUP
+            or cmax_d >= POSTING_COLLAPSE_CMAX
+        )
+    elif duplicate_collapse in ("always", "never"):
+        collapse = duplicate_collapse == "always"
+    else:
+        raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     impl = _bm25_collapsed if collapse else _bm25_direct
     return impl(
         docs, queries, text_col, id_col, query_text_col, query_id_col,

@@ -1781,3 +1781,77 @@ def test_iterative_ops_reliable_checkpoint_parity(spark, tmp_path):
         map(tuple, gr.pagerank(edges, n_iter=4, reliable=True).collect())
     )
     assert pr_base == pr_rel
+
+
+def _dup_corpus(spark, group_sizes):
+    """Corpus with exact-duplicate groups of the given sizes; texts are
+    long enough to shingle."""
+    rows, i = [], 0
+    for g, size in enumerate(group_sizes):
+        txt = f"group {g} body with several distinct words alpha beta gamma {g * 17}"
+        for _ in range(size):
+            rows.append(Row(doc_id=i, text=txt))
+            i += 1
+    return spark.createDataFrame(rows)
+
+
+def test_dup_blowup_exact(spark):
+    # Σ|g|²/n: groups [4,1,1,1,1] over n=8 -> (16+4)/8 = 2.5
+    df = _dup_corpus(spark, [4, 1, 1, 1, 1])
+    assert dd._dup_blowup(df, "text") == pytest.approx(2.5)
+    # unique corpus -> 1.0
+    uniq = _dup_corpus(spark, [1] * 6)
+    assert dd._dup_blowup(uniq, "text") == pytest.approx(1.0)
+
+
+def test_dup_blowup_sampled_small_corpus_is_exact(spark):
+    # below 4*target_m the sampled probe delegates to the exact one
+    df = _dup_corpus(spark, [3, 3, 1, 1])
+    assert dd._dup_blowup_sampled(df, "text", "doc_id") == pytest.approx(
+        dd._dup_blowup(df, "text")
+    )
+
+
+def test_dup_blowup_sampled_detects_concentration(spark):
+    # 2000 docs, one viral group of 400 (blowup ~80.6): force the
+    # sampling path with a small target_m and require the estimate to
+    # land the posting-family decision on the right side of its
+    # crossover
+    df = _dup_corpus(spark, [400] + [1] * 1600)
+    est = dd._dup_blowup_sampled(df, "text", "doc_id", target_m=300)
+    assert est >= dd.POSTING_COLLAPSE_BLOWUP
+    # near-unique corpus: estimate stays far below the threshold
+    uniq = _dup_corpus(spark, [2] * 1000)
+    est_u = dd._dup_blowup_sampled(uniq, "text", "doc_id", target_m=300)
+    assert est_u < dd.POSTING_COLLAPSE_BLOWUP
+
+
+def test_dup_stats_exact(spark):
+    n, blowup, cmax = dd._dup_stats(_dup_corpus(spark, [4, 1, 1, 1, 1]), "text")
+    assert (n, cmax) == (8, 4)
+    assert blowup == pytest.approx(2.5)
+
+
+def test_pair_collapse_auto_decision(spark):
+    # mega-group corpus (one group past the serial-hotspot crossover):
+    # auto must collapse even though docs-per-distinct ratio is small
+    hot = _dup_corpus(spark, [dd.PAIR_COLLAPSE_CMAX] + [1] * 300)
+    assert dd._resolve_pair_collapse(hot, "text", "auto")
+    # uniform 4x duplication (ratio 4.0, blowup 4, cmax 4): the pair
+    # family must stay direct — in-bucket verify parallelizes across
+    # small groups; the collapse fan-out joins would cost more
+    uni = _dup_corpus(spark, [4] * 50)
+    assert not dd._resolve_pair_collapse(uni, "text", "auto")
+    # posting family: a uniform 8x corpus must collapse (direct
+    # self-join measured 4.7x slower there); uniform 2x stays direct
+    # (measured 2-3x faster direct)
+    uni8 = _dup_corpus(spark, [8] * 50)
+    assert dd._resolve_posting_collapse(uni8, "text", "auto")
+    assert not dd._resolve_posting_collapse(
+        _dup_corpus(spark, [2] * 50), "text", "auto"
+    )
+    # posting TRIMMED rule: one mega group with unique remainder has
+    # huge raw blowup but ~zero trimmed blowup -> direct (its pairs
+    # spread over its own shingle keys; measured 2x faster direct)
+    hot_only = _dup_corpus(spark, [100] + [1] * 200)
+    assert not dd._resolve_posting_collapse(hot_only, "text", "auto")
