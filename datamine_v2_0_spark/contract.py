@@ -40,32 +40,22 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #
 #   _ALL        -- every query exactly once, alphabetical; the only place
 #                  an entry is defined.
-#   WINDOW_R8   -- the 50 names the driver certifies THIS round (it checks
+#   WINDOW_R9   -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the queries whose implementation changes in round 8
-#                  (text_bm25 duplicate-heavy posting fix + text_rrf which
-#                  composes it, sim_ivf_topk seeded-Lloyd centroid fit,
-#                  dedup_canonical cache-keying fix, dedup_groups +
-#                  graph_pagerank adaptive partition pinning,
-#                  dedup_jaccard_inverted by age + dedup_containment
-#                  swapped in for the duplicate-collapse extension,
-#                  and the six queries the skew-sweep session changed —
-#                  val_signal_context (exact integer window sums),
-#                  join_overlap (binned), join_interval_priority
-#                  (range_bin_join), dedup_minhash_lsh + dedup_jaccard
-#                  (rep-collapsed LSH pipeline), dedup_against
-#                  (per-side collapse) — displacing the seven
-#                  freshest-evidence unchanged entries
-#                  (win_rolling_corr r6; scd_type2 / dedup_semantic /
-#                  filt_sample_exact_k / agg_heavy_hitters with r7
-#                  out-of-window replica evidence; join_upsert r5;
-#                  scalar_hash_id r4 + golden/property suites)),
-#                  then the 10 round-3 queries the
-#                  duplicate-key bug spilled out of the round-7 window, the
-#                  3 round-3-tail queries the val_* additions displaced,
-#                  and the oldest-evidence rung in standing age order.
-#   _TAIL_R8    -- the remaining 103, oldest driver evidence first, so the
-#                  round-9 window is simply the next 50.
+#                  the 10 queries whose implementation changed in round
+#                  9 lead (the duplicate-collapse switch rework touched
+#                  dedup_minhash_lsh / dedup_jaccard / dedup_against /
+#                  dedup_jaccard_inverted / dedup_containment /
+#                  text_bm25 / text_rrf and, through the jaccard pair
+#                  graph they consume, dedup_groups / dedup_canonical;
+#                  graph_pagerank moved to the parameterized
+#                  co_purchase_edges operator), followed by _TAIL_R8's
+#                  first 40 — the oldest-evidence rung, exactly as the
+#                  round-8 rotation planned.
+#   _TAIL_R9    -- the remaining 103, oldest driver evidence first
+#                  (_TAIL_R8's leftover 63, then round 8's 40 unchanged
+#                  window entries, freshest last), so the round-10
+#                  window is simply the next 50.
 #
 # Rotating the window next round = editing the two name lists; the
 # assertions below keep the partition exact.
@@ -225,60 +215,17 @@ _ALL: dict[str, tuple] = {
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
 }
 
-WINDOW_R8: list[str] = [
-    "text_bm25",
-    "text_rrf",
-    "sim_ivf_topk",
-    "dedup_canonical",
-    "val_signal_context",
-    "join_overlap",
-    "join_interval_priority",
+WINDOW_R9: list[str] = [
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
-    "text_decontaminate",
-    "text_lm_score",
-    "text_ngrams",
-    "text_packed_nextfit",
-    "text_quality",
-    "text_quality_gate",
-    "text_repetition",
-    "text_tfidf",
-    "ts_gapfill",
-    "win_blocks",
-    "win_rank_family",
-    "dedup_containment",
-    "win_sessionize",
-    "agg_grouped_stats",
-    "agg_percentiles",
-    "agg_tumbling",
-    "win_lag_delta",
-    "win_rolling",
-    "agg_conditional",
-    "agg_date_distribution",
-    "agg_distinct",
-    "agg_fraction",
-    "agg_freq_topk",
-    "agg_having",
-    "agg_hourly_profile",
-    "agg_integrity",
-    "agg_ordered_array",
-    "agg_pivot",
-    "dedup_exact",
     "dedup_jaccard_inverted",
-    "filt_between_isin",
-    "filt_clamp",
-    "filt_project_range",
-    "filt_sample_mod",
-    "graph_pagerank",
-    "join_anti",
-    "join_semi",
-    "scalar_position",
-    "scalar_silver",
+    "dedup_containment",
+    "text_bm25",
+    "text_rrf",
     "dedup_groups",
-]
-
-_TAIL_R8: list[str] = [
+    "dedup_canonical",
+    "graph_pagerank",
     "set_except",
     "set_intersect",
     "set_union",
@@ -319,6 +266,9 @@ _TAIL_R8: list[str] = [
     "filt_weighted_mix",
     "geo_radius_join",
     "join_fuzzy",
+]
+
+_TAIL_R9: list[str] = [
     "join_lookup",
     "join_salted",
     "pipeline_features",
@@ -382,14 +332,54 @@ _TAIL_R8: list[str] = [
     "sim_lsh_topk",
     "sim_pq_topk",
     "text_chunks",
+    "sim_ivf_topk",
+    "val_signal_context",
+    "join_overlap",
+    "join_interval_priority",
+    "text_decontaminate",
+    "text_lm_score",
+    "text_ngrams",
+    "text_packed_nextfit",
+    "text_quality",
+    "text_quality_gate",
+    "text_repetition",
+    "text_tfidf",
+    "ts_gapfill",
+    "win_blocks",
+    "win_rank_family",
+    "win_sessionize",
+    "agg_grouped_stats",
+    "agg_percentiles",
+    "agg_tumbling",
+    "win_lag_delta",
+    "win_rolling",
+    "agg_conditional",
+    "agg_date_distribution",
+    "agg_distinct",
+    "agg_fraction",
+    "agg_freq_topk",
+    "agg_having",
+    "agg_hourly_profile",
+    "agg_integrity",
+    "agg_ordered_array",
+    "agg_pivot",
+    "dedup_exact",
+    "filt_between_isin",
+    "filt_clamp",
+    "filt_project_range",
+    "filt_sample_mod",
+    "join_anti",
+    "join_semi",
+    "scalar_position",
+    "scalar_silver",
 ]
 
-assert len(WINDOW_R8) == 50, len(WINDOW_R8)
-assert len(WINDOW_R8) == len(set(WINDOW_R8))
-assert len(_TAIL_R8) == len(set(_TAIL_R8))
-assert not set(WINDOW_R8) & set(_TAIL_R8)
-assert set(WINDOW_R8) | set(_TAIL_R8) == set(_ALL), (
-    set(WINDOW_R8) ^ set(_TAIL_R8) ^ set(_ALL)
+assert len(WINDOW_R9) == 50, len(WINDOW_R9)
+assert len(WINDOW_R9) == len(set(WINDOW_R9))
+assert len(_TAIL_R9) == len(set(_TAIL_R9))
+assert not set(WINDOW_R9) & set(_TAIL_R9)
+assert set(WINDOW_R9) | set(_TAIL_R9) == set(_ALL), (
+    set(WINDOW_R9) ^ set(_TAIL_R9) ^ set(_ALL)
 )
 
-QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R8 + _TAIL_R8}
+QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R9 + _TAIL_R9}
