@@ -574,6 +574,8 @@ PAIR_COLLAPSE_CMAX = 1000
 POSTING_COLLAPSE_CMAX = 10_000
 
 
+
+
 def _resolve_posting_collapse(
     df,
     text_col,

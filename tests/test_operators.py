@@ -1855,3 +1855,5 @@ def test_pair_collapse_auto_decision(spark):
     # spread over its own shingle keys; measured 2x faster direct)
     hot_only = _dup_corpus(spark, [100] + [1] * 200)
     assert not dd._resolve_posting_collapse(hot_only, "text", "auto")
+
+
