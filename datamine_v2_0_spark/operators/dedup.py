@@ -331,7 +331,7 @@ def minhash_near_dup_pairs(
     :func:`jaccard_pairs_inverted` — same ``duplicate_collapse``
     contract, result-exact on every input). Unlike the posting-join
     family, ``auto`` here collapses on the MAX-GROUP statistic
-    (``PAIR_COLLAPSE_CMAX``), not the duplication ratio or total
+    (``PAIR_COLLAPSE_BETA`` break-even), not the ratio or total
     blowup: LSH banding is linear in n and in-bucket verify
     parallelizes across groups, so even 16x uniform duplication
     measured 1.7x faster direct — but one mega group's |g|² candidate
@@ -562,15 +562,31 @@ BM25_COLLAPSE_BLOWUP = 6.0
 # threshold — only the mega-group hotspot flips it: one group's pairs
 # expand inside ONE band bucket = one task.
 #
-# Hotspot ceilings: single-node measurements put the pair crossover
-# near cmax 2000 at ~50-word docs (direct minhash h20→h40 grows
-# quadratically, collapsed stays flat); the posting hotspot crossover
-# is above every measured band. The defaults are set BELOW the
-# single-node crossover because the hotspot is SERIAL: on a 1000-
-# executor cluster the collapse overhead stays proportional while the
-# hotspot stays absolute wall-clock, so the break-even cmax shrinks as
-# the cluster grows.
-PAIR_COLLAPSE_CMAX = 1000
+# Hotspot ceilings. The pair-family crossover is NOT a constant cmax:
+# the break-even is serial hotspot work (∝ cmax², one band bucket =
+# one task) against the per-core share of the collapse overhead
+# (∝ n / parallelism P), i.e. collapse iff
+#
+#     cmax ≥ sqrt(PAIR_COLLAPSE_BETA · n / P).
+#
+# PAIR_COLLAPSE_BETA is calibrated from the measured single-node
+# crossover — the h20/h40 bracket (direct wins at cmax 1000, loses
+# 1.8x at 2000 → crossover ≈ 1500 at n = 5000 docs, P = 32 cores):
+# 1500² · 32 / 5000 = 14,400. The same formula reproduces every other
+# measured cell: sf0.01 skew (n=500, P=32 → threshold 474; measured
+# direct-wins at cmax 200 ✓) and all uniform bands (cmax ≤ 16 ≪
+# threshold ✓). On a 1000-executor cluster P grows, the threshold
+# falls as sqrt(1/P), and a mega group that would stall one task while
+# thousands idle collapses much earlier — exactly the scale behavior a
+# fixed constant cannot express. PAIR_COLLAPSE_CMAX_MIN floors the
+# formula so trivial corpora never collapse on noise-level cmax.
+PAIR_COLLAPSE_BETA = 14_400
+PAIR_COLLAPSE_CMAX_MIN = 64
+# posting hotspot: a mega group's posting pairs spread over its own
+# ~doc-length distinct shingle keys, so the serial fraction is far
+# smaller — direct still won at cmax 2000 on every posting band; the
+# ceiling is an extrapolated guard, constant by the same argument
+# divided by the per-doc shingle spread.
 POSTING_COLLAPSE_CMAX = 10_000
 
 
@@ -596,22 +612,38 @@ def _resolve_posting_collapse(
     return trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= POSTING_COLLAPSE_CMAX
 
 
+def _pair_cmax_threshold(n: int, parallelism: int) -> float:
+    """Scale-aware pair-family hotspot crossover (see the
+    PAIR_COLLAPSE_BETA block): sqrt(beta · n / P), floored."""
+    p = max(parallelism, 1)
+    return max(
+        PAIR_COLLAPSE_CMAX_MIN, (PAIR_COLLAPSE_BETA * n / p) ** 0.5
+    )
+
+
 def _resolve_pair_collapse(
     df,
     text_col,
     duplicate_collapse: str,
-    cmax_threshold: int = PAIR_COLLAPSE_CMAX,
+    cmax_threshold: float | None = None,
 ) -> bool:
     """``auto`` plan pick for the pair family (minhash LSH /
     dedup_against): collapse iff the largest exact-duplicate group
-    reaches the serial-hotspot crossover (see PAIR_COLLAPSE_CMAX). The
-    probe is exact — a sampled cmax has a detection floor that grows
-    with n, while the hotspot cost is absolute in cmax."""
+    reaches the serial-hotspot crossover — by default the scale-aware
+    sqrt(beta·n/P) break-even (see PAIR_COLLAPSE_BETA), overridable
+    with an explicit ``cmax_threshold``. The probe is exact — a
+    sampled cmax has a detection floor that grows with n, while the
+    hotspot cost is absolute in cmax."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
         return duplicate_collapse == "always"
-    return _dup_stats(df, text_col)[2] >= cmax_threshold
+    n, _, cmax = _dup_stats(df, text_col)
+    if cmax_threshold is None:
+        cmax_threshold = _pair_cmax_threshold(
+            n, df.sparkSession.sparkContext.defaultParallelism
+        )
+    return cmax >= cmax_threshold
 
 
 def _rep_groups(df: DataFrame, text_col: str, id_col: str):
@@ -1799,7 +1831,7 @@ def dedup_against(
     answer the first pair already settles (the skewed-replica bench
     measured 3.8× uniform time). Result-exact on every input; ``"auto"``
     uses the pair family's max-group probe on the pooled corpora (see
-    ``PAIR_COLLAPSE_CMAX``): banding is linear in corpus size and
+    ``PAIR_COLLAPSE_BETA``): banding is linear in corpus size and
     in-bucket work parallelizes across groups, so only one group's
     serial hotspot, not uniform duplication, pays for the collapse
     machinery.

@@ -1833,10 +1833,23 @@ def test_dup_stats_exact(spark):
 
 
 def test_pair_collapse_auto_decision(spark):
-    # mega-group corpus (one group past the serial-hotspot crossover):
-    # auto must collapse even though docs-per-distinct ratio is small
-    hot = _dup_corpus(spark, [dd.PAIR_COLLAPSE_CMAX] + [1] * 300)
-    assert dd._resolve_pair_collapse(hot, "text", "auto")
+    # the scale-aware crossover: calibrated anchor (n=5000, P=32 ->
+    # ~1500, the measured h20/h40 bracket midpoint), falls as sqrt(1/P)
+    # when the cluster grows, floored for trivial corpora
+    assert dd._pair_cmax_threshold(5000, 32) == pytest.approx(1500, rel=0.01)
+    assert dd._pair_cmax_threshold(5000, 128) == pytest.approx(750, rel=0.01)
+    assert dd._pair_cmax_threshold(5, 32) == dd.PAIR_COLLAPSE_CMAX_MIN
+    # mega-group corpus past an explicit crossover: auto must collapse
+    # even though the docs-per-distinct ratio is small
+    hot = _dup_corpus(spark, [80] + [1] * 120)
+    assert dd._resolve_pair_collapse(hot, "text", "auto", cmax_threshold=64)
+    assert not dd._resolve_pair_collapse(hot, "text", "auto", cmax_threshold=81)
+    # default auto path end-to-end: one group past sqrt(beta*n/P)
+    thr = dd._pair_cmax_threshold(5000, spark.sparkContext.defaultParallelism)
+    if thr < 4500:  # feasible only when the group fits the corpus
+        g = int(thr) + 1
+        big = _dup_corpus(spark, [g] + [1] * (5000 - g))
+        assert dd._resolve_pair_collapse(big, "text", "auto")
     # uniform 4x duplication (ratio 4.0, blowup 4, cmax 4): the pair
     # family must stay direct — in-bucket verify parallelizes across
     # small groups; the collapse fan-out joins would cost more

@@ -5,8 +5,8 @@ times every collapse-capable operator on BOTH physical plans (direct vs
 representative-collapsed), with a distributed parity hash proving the
 two plans agree on every band. The measured crossover calibrates the
 switch constants (operators/dedup.POSTING_COLLAPSE_BLOWUP and
-BM25_COLLAPSE_BLOWUP for the posting-join family, PAIR_COLLAPSE_CMAX
-for the pair family).
+BM25_COLLAPSE_BLOWUP for the posting-join family, PAIR_COLLAPSE_BETA
+for the pair family's scale-aware hotspot break-even).
 
 Two replica families, because the two switch statistics they separate
 are exactly the ones the round-8 weak mark conflated:
@@ -156,7 +156,7 @@ def main() -> None:
 
     from datamine_v2_0_spark.operators.dedup import (
         _dup_stats, _estimate_duplication,
-        BM25_COLLAPSE_BLOWUP, COLLAPSE_RATIO, PAIR_COLLAPSE_CMAX,
+        BM25_COLLAPSE_BLOWUP, COLLAPSE_RATIO, _pair_cmax_threshold,
         POSTING_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX,
     )
     from datamine_v2_0_spark.session import get_spark
@@ -199,7 +199,9 @@ def main() -> None:
             # mirror the REAL auto rules (_resolve_posting_collapse /
             # _resolve_pair_collapse / retrieval.bm25_topk)
             if op_name in pair_ops:
-                fire = cmax >= PAIR_COLLAPSE_CMAX
+                fire = cmax >= _pair_cmax_threshold(
+                    n, spark.sparkContext.defaultParallelism
+                )
             elif op_name == "text_bm25":
                 probes = docs.filter(
                     F.pmod(F.col("doc_id"), 100) == 0
