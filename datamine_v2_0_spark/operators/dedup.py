@@ -580,7 +580,16 @@ BM25_COLLAPSE_BLOWUP = 6.0
 # thousands idle collapses much earlier — exactly the scale behavior a
 # fixed constant cannot express. PAIR_COLLAPSE_CMAX_MIN floors the
 # formula so trivial corpora never collapse on noise-level cmax.
+# minhash: bracket h20 (direct-wins at cmax 1000) / h40 (loses 1.8x at
+# 2000) → crossover ≈ 1500 → beta = 1500²·32/5000.
 PAIR_COLLAPSE_BETA = 14_400
+# dedup_against pays a smaller collapse overhead (survival fans out by
+# fingerprint — no member-pair fan-out joins), so its crossover sits
+# lower: bracket h10 (direct-wins at cmax 500) / h20 (loses 1.7x at
+# 1000) → crossover ≈ 700 → beta = 700²·32/5000. The formula then
+# reproduces its sf0.01-skew reading too (threshold 221, measured
+# direct-wins at cmax 200).
+AGAINST_COLLAPSE_BETA = 3_136
 PAIR_COLLAPSE_CMAX_MIN = 64
 # posting hotspot: a mega group's posting pairs spread over its own
 # ~doc-length distinct shingle keys, so the serial fraction is far
@@ -612,13 +621,13 @@ def _resolve_posting_collapse(
     return trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= POSTING_COLLAPSE_CMAX
 
 
-def _pair_cmax_threshold(n: int, parallelism: int) -> float:
+def _pair_cmax_threshold(
+    n: int, parallelism: int, beta: float = PAIR_COLLAPSE_BETA
+) -> float:
     """Scale-aware pair-family hotspot crossover (see the
     PAIR_COLLAPSE_BETA block): sqrt(beta · n / P), floored."""
     p = max(parallelism, 1)
-    return max(
-        PAIR_COLLAPSE_CMAX_MIN, (PAIR_COLLAPSE_BETA * n / p) ** 0.5
-    )
+    return max(PAIR_COLLAPSE_CMAX_MIN, (beta * n / p) ** 0.5)
 
 
 def _resolve_pair_collapse(
@@ -626,14 +635,16 @@ def _resolve_pair_collapse(
     text_col,
     duplicate_collapse: str,
     cmax_threshold: float | None = None,
+    beta: float = PAIR_COLLAPSE_BETA,
 ) -> bool:
     """``auto`` plan pick for the pair family (minhash LSH /
     dedup_against): collapse iff the largest exact-duplicate group
     reaches the serial-hotspot crossover — by default the scale-aware
-    sqrt(beta·n/P) break-even (see PAIR_COLLAPSE_BETA), overridable
-    with an explicit ``cmax_threshold``. The probe is exact — a
-    sampled cmax has a detection floor that grows with n, while the
-    hotspot cost is absolute in cmax."""
+    sqrt(beta·n/P) break-even (beta calibrated per operator, see the
+    PAIR_COLLAPSE_BETA block), overridable with an explicit
+    ``cmax_threshold``. The probe is exact — a sampled cmax has a
+    detection floor that grows with n, while the hotspot cost is
+    absolute in cmax."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
@@ -641,7 +652,7 @@ def _resolve_pair_collapse(
     n, _, cmax = _dup_stats(df, text_col)
     if cmax_threshold is None:
         cmax_threshold = _pair_cmax_threshold(
-            n, df.sparkSession.sparkContext.defaultParallelism
+            n, df.sparkSession.sparkContext.defaultParallelism, beta
         )
     return cmax >= cmax_threshold
 
@@ -1862,6 +1873,7 @@ def dedup_against(
         new_df.select(F.col(text_col)).unionAll(ref_df.select(F.col(text_col))),
         text_col,
         duplicate_collapse,
+        beta=AGAINST_COLLAPSE_BETA,
     ):
         return _dedup_against_collapsed(
             new_df, ref_df, text_col, id_col, threshold, num_hashes,

@@ -156,7 +156,8 @@ def main() -> None:
 
     from datamine_v2_0_spark.operators.dedup import (
         _dup_stats, _estimate_duplication,
-        BM25_COLLAPSE_BLOWUP, COLLAPSE_RATIO, _pair_cmax_threshold,
+        AGAINST_COLLAPSE_BETA, BM25_COLLAPSE_BLOWUP, COLLAPSE_RATIO,
+        PAIR_COLLAPSE_BETA, _pair_cmax_threshold,
         POSTING_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX,
     )
     from datamine_v2_0_spark.session import get_spark
@@ -199,8 +200,13 @@ def main() -> None:
             # mirror the REAL auto rules (_resolve_posting_collapse /
             # _resolve_pair_collapse / retrieval.bm25_topk)
             if op_name in pair_ops:
+                beta = (
+                    AGAINST_COLLAPSE_BETA
+                    if op_name == "dedup_against"
+                    else PAIR_COLLAPSE_BETA
+                )
                 fire = cmax >= _pair_cmax_threshold(
-                    n, spark.sparkContext.defaultParallelism
+                    n, spark.sparkContext.defaultParallelism, beta
                 )
             elif op_name == "text_bm25":
                 probes = docs.filter(
