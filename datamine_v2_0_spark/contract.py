@@ -40,21 +40,24 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #
 #   _ALL        -- every query exactly once, alphabetical; the only place
 #                  an entry is defined.
-#   WINDOW_R9   -- the 50 names the driver certifies THIS round (it checks
+#   WINDOW_R10  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 10 queries whose implementation changed in round
-#                  9 lead (the duplicate-collapse switch rework touched
+#                  the 9 queries whose implementation changed in round 10
+#                  lead (the shared-probe/dup_stats plumbing, the
+#                  reliable= lineage truncation through the collapse
+#                  paths, and the configured-parallelism plan P touched
 #                  dedup_minhash_lsh / dedup_jaccard / dedup_against /
 #                  dedup_jaccard_inverted / dedup_containment /
 #                  text_bm25 / text_rrf and, through the jaccard pair
-#                  graph they consume, dedup_groups / dedup_canonical;
-#                  graph_pagerank moved to the parameterized
-#                  co_purchase_edges operator), followed by _TAIL_R8's
-#                  first 40 — the oldest-evidence rung, exactly as the
-#                  round-8 rotation planned.
-#   _TAIL_R9    -- the remaining 103, oldest driver evidence first
-#                  (_TAIL_R8's leftover 63, then round 8's 40 unchanged
-#                  window entries, freshest last), so the round-10
+#                  graph they consume, dedup_groups / dedup_canonical),
+#                  followed by _TAIL_R9's first 41 — which by the round-9
+#                  construction re-proves every query whose driver
+#                  evidence predates round 6 (win_rolling_corr, last
+#                  driver-green in round 3, plus the six round-5-evidence
+#                  entries all sit inside that rung).
+#   _TAIL_R10   -- the remaining 103, oldest driver evidence first
+#                  (_TAIL_R9's leftover 62, then round 9's 41 unchanged
+#                  window entries, freshest last), so the round-11
 #                  window is simply the next 50.
 #
 # Rotating the window next round = editing the two name lists; the
@@ -215,7 +218,7 @@ _ALL: dict[str, tuple] = {
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
 }
 
-WINDOW_R9: list[str] = [
+WINDOW_R10: list[str] = [
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
@@ -225,50 +228,6 @@ WINDOW_R9: list[str] = [
     "text_rrf",
     "dedup_groups",
     "dedup_canonical",
-    "graph_pagerank",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_topk",
-    "stat_kappa",
-    "text_decontaminate_embed",
-    "text_lang",
-    "text_lm_bigram",
-    "text_tokens",
-    "win_diff_shift",
-    "win_ffill",
-    "win_partition_stddev",
-    "win_running_sum",
-    "win_savgol",
-    "agg_ab_test",
-    "agg_corr_matrix",
-    "agg_cube",
-    "agg_describe",
-    "agg_diversity",
-    "agg_global_stats",
-    "agg_histogram",
-    "agg_incremental",
-    "agg_linreg",
-    "agg_mad",
-    "agg_mannwhitney",
-    "agg_outliers",
-    "agg_salted",
-    "agg_topk_group",
-    "agg_winsorize",
-    "dedup_embedding",
-    "dedup_exact_keep",
-    "dedup_simhash",
-    "dedup_substring",
-    "dedup_substring_strip",
-    "eda_movement",
-    "evt_transitions",
-    "filt_temperature_mix",
-    "filt_weighted_mix",
-    "geo_radius_join",
-    "join_fuzzy",
-]
-
-_TAIL_R9: list[str] = [
     "join_lookup",
     "join_salted",
     "pipeline_features",
@@ -310,6 +269,9 @@ _TAIL_R9: list[str] = [
     "ts_ewma",
     "ts_cusum",
     "agg_grouping_sets",
+]
+
+_TAIL_R10: list[str] = [
     "agg_hopping",
     "agg_rollup",
     "dedup_lines",
@@ -372,14 +334,55 @@ _TAIL_R9: list[str] = [
     "join_semi",
     "scalar_position",
     "scalar_silver",
+    "graph_pagerank",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_topk",
+    "stat_kappa",
+    "text_decontaminate_embed",
+    "text_lang",
+    "text_lm_bigram",
+    "text_tokens",
+    "win_diff_shift",
+    "win_ffill",
+    "win_partition_stddev",
+    "win_running_sum",
+    "win_savgol",
+    "agg_ab_test",
+    "agg_corr_matrix",
+    "agg_cube",
+    "agg_describe",
+    "agg_diversity",
+    "agg_global_stats",
+    "agg_histogram",
+    "agg_incremental",
+    "agg_linreg",
+    "agg_mad",
+    "agg_mannwhitney",
+    "agg_outliers",
+    "agg_salted",
+    "agg_topk_group",
+    "agg_winsorize",
+    "dedup_embedding",
+    "dedup_exact_keep",
+    "dedup_simhash",
+    "dedup_substring",
+    "dedup_substring_strip",
+    "eda_movement",
+    "evt_transitions",
+    "filt_temperature_mix",
+    "filt_weighted_mix",
+    "geo_radius_join",
+    "join_fuzzy",
 ]
 
-assert len(WINDOW_R9) == 50, len(WINDOW_R9)
-assert len(WINDOW_R9) == len(set(WINDOW_R9))
-assert len(_TAIL_R9) == len(set(_TAIL_R9))
-assert not set(WINDOW_R9) & set(_TAIL_R9)
-assert set(WINDOW_R9) | set(_TAIL_R9) == set(_ALL), (
-    set(WINDOW_R9) ^ set(_TAIL_R9) ^ set(_ALL)
+assert len(WINDOW_R10) == 50, len(WINDOW_R10)
+assert len(WINDOW_R10) == len(set(WINDOW_R10))
+assert len(_TAIL_R10) == len(set(_TAIL_R10))
+assert not set(WINDOW_R10) & set(_TAIL_R10)
+assert set(WINDOW_R10) | set(_TAIL_R10) == set(_ALL), (
+    set(WINDOW_R10) ^ set(_TAIL_R10) ^ set(_ALL)
 )
 
-QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R9 + _TAIL_R9}
+QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R10 + _TAIL_R10}

@@ -278,6 +278,7 @@ def ngram_jaccard_pairs(
     id_col: str,
     shingle_n: int = 3,
     threshold: float = 0.0,
+    reliable: bool = False,
 ) -> DataFrame:
     """Verify candidate pairs with exact n-gram Jaccard similarity
     (JVM-side array_intersect/array_union on hashed shingle arrays —
@@ -290,7 +291,7 @@ def ngram_jaccard_pairs(
     # the candidate plan is referenced three times (both union arms and
     # the pair join) — checkpoint it so LSH candidate generation runs
     # once, not three times (it's the expensive upstream)
-    candidates = candidates.localCheckpoint(eager=False)
+    candidates = iter_checkpoint(candidates, reliable)
     cand_ids = (
         candidates.select(F.col("id_a").alias(id_col))
         .union(candidates.select(F.col("id_b").alias(id_col)))
@@ -325,6 +326,8 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     round_to: int = 6,
     duplicate_collapse: str = "auto",
+    dup_stats: tuple[int, float, int] | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Banded MinHash-LSH candidates → exact n-gram Jaccard verify, with
     the adaptive representative collapse (see
@@ -352,18 +355,22 @@ def minhash_near_dup_pairs(
     form at Jaccard 1.0 — only for groups whose text shingles at all,
     matching the direct path, where a signature-less doc never pairs.
     Only the (inherently output-sized) fan-out scales with duplication.
+
+    ``dup_stats``: precomputed probe tuple (see :func:`dup_stats`) so
+    composed flows pay one probe across operators; ``reliable``: durable
+    lineage truncation (see :func:`_rep_groups` / ckpt.iter_checkpoint).
     """
     df = _spread(df)
-    if _resolve_pair_collapse(df, text_col, duplicate_collapse):
+    if _resolve_pair_collapse(df, text_col, duplicate_collapse, stats=dup_stats):
         return _minhash_near_dup_collapsed(
             df, text_col, id_col, threshold, num_hashes, bands,
-            shingle_n, round_to,
+            shingle_n, round_to, reliable,
         )
     cands = minhash_lsh_candidates(
         df, text_col, id_col, num_hashes, bands, shingle_n
     )
     out = ngram_jaccard_pairs(
-        cands, df, text_col, id_col, shingle_n, threshold
+        cands, df, text_col, id_col, shingle_n, threshold, reliable=reliable
     )
     return out.select(
         "id_a", "id_b", F.round("jaccard", round_to).alias("jaccard")
@@ -371,16 +378,18 @@ def minhash_near_dup_pairs(
 
 
 def _minhash_near_dup_collapsed(
-    df, text_col, id_col, threshold, num_hashes, bands, shingle_n, round_to
+    df, text_col, id_col, threshold, num_hashes, bands, shingle_n, round_to,
+    reliable=False,
 ) -> DataFrame:
     """Representative-collapsed LSH near-dup (see minhash_near_dup_pairs)."""
-    fpmap, groups, members = _rep_groups(df, text_col, id_col)
+    fpmap, groups, members = _rep_groups(df, text_col, id_col, reliable)
     reps = df.join(groups.select(F.col("__rep").alias(id_col)), id_col)
     cands = minhash_lsh_candidates(
         reps, text_col, id_col, num_hashes, bands, shingle_n
     )
     rep_pairs = ngram_jaccard_pairs(
-        cands, reps, text_col, id_col, shingle_n, threshold
+        cands, reps, text_col, id_col, shingle_n, threshold,
+        reliable=reliable,
     ).select("id_a", "id_b", F.round("jaccard", round_to).alias("jaccard"))
     ma = members.select(F.col("__rep").alias("id_a"), F.col("__m").alias("__ma"))
     mb = members.select(F.col("__rep").alias("id_b"), F.col("__m").alias("__mb"))
@@ -438,10 +447,51 @@ def _dup_blowup(df: DataFrame, text_col: str) -> float:
     Blowup orders all of these correctly; ratio orders them backwards.
 
     One narrow shuffle of 8-byte keys (map-side combine bounds the
-    shuffle by per-partition distincts). The decision path uses the
-    sampled estimator below; this exact form is the calibration /
-    tooling reference."""
+    shuffle by per-partition distincts). The decision path uses this
+    EXACT probe (via ``_dup_stats`` — the sampled gate it replaced
+    measured 6× slower than the probe it was gating, commit 7f070f6);
+    ``_dup_blowup_sampled`` below is tooling for huge-corpus estimation
+    and property tests only, not a production code path."""
     return _dup_stats(df, text_col)[1]
+
+
+# Session-scoped probe cache keyed on (session id, analyzed-plan
+# semantic hash, column): composed flows (bm25 inside rrf_fuse, several
+# dedup operators over the same gated corpus) each call the probe on a
+# semantically identical frame, and without the cache each call pays a
+# full scan of the text column. Safety: a stale entry (the one hazard —
+# an external process overwriting the parquet files behind an identical
+# plan mid-session) can only mis-CHOOSE a plan, never change a result —
+# both physical plans are result-exact on every input by construction.
+# Bounded; cleared wholesale rather than LRU-tracked (the probe is
+# cheap enough that a rare full re-probe beats per-hit bookkeeping).
+_DUP_STATS_CACHE: dict[tuple[int, int, str], tuple[int, float, int]] = {}
+_DUP_STATS_CACHE_MAX = 256
+
+# Number of probe scans actually EXECUTED this session (cache hits and
+# caller-supplied stats don't count) — instrumentation for the
+# probe-sharing contract (tools/dedup_bench.py, tests).
+DUP_STATS_PROBE_RUNS = 0
+
+
+def clear_dup_stats_cache() -> None:
+    """Drop every cached probe result (e.g. after overwriting the files
+    a live DataFrame reads, which the cache key cannot see)."""
+    _DUP_STATS_CACHE.clear()
+
+
+def dup_stats(df: DataFrame, text_col: str) -> tuple[int, float, int]:
+    """Public form of the exact duplication probe: (n, blowup, cmax)
+    over raw-byte xxhash64 duplicate groups of ``text_col``.
+
+    Compose-and-share contract: a pipeline running several
+    collapse-capable operators over the SAME corpus should call this
+    once and pass the tuple to each operator's ``dup_stats=`` parameter
+    — every ``duplicate_collapse='auto'`` resolution then reuses the one
+    probe instead of re-scanning the text column per operator. (Repeat
+    calls on a semantically identical DataFrame within a session hit a
+    plan-keyed cache even without the parameter.)"""
+    return _dup_stats(df, text_col)
 
 
 def _dup_stats(df: DataFrame, text_col: str) -> tuple[int, float, int]:
@@ -454,7 +504,17 @@ def _dup_stats(df: DataFrame, text_col: str) -> tuple[int, float, int]:
     One narrow shuffle of (8-byte key, count) pairs with map-side
     combine — ~16 bytes/doc, vs the ≥ full-text shuffle the operator
     being planned will itself run; the probe is noise next to the cost
-    of picking the wrong plan."""
+    of picking the wrong plan. Results are memoized per (session,
+    analyzed plan, column) so multi-operator flows pay one scan — see
+    :func:`dup_stats` for the caveat and :func:`clear_dup_stats_cache`."""
+    global DUP_STATS_PROBE_RUNS
+    key = None
+    try:
+        key = (id(df.sparkSession), df.semanticHash(), text_col)
+    except Exception:  # pragma: no cover - Connect/analysis corner
+        pass
+    if key is not None and key in _DUP_STATS_CACHE:
+        return _DUP_STATS_CACHE[key]
     g = df.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(
         F.count(F.lit(1)).alias("__c")
     )
@@ -463,8 +523,14 @@ def _dup_stats(df: DataFrame, text_col: str) -> tuple[int, float, int]:
         F.sum("__c").alias("__n"),
         F.max("__c").alias("__mx"),
     ).first()
+    DUP_STATS_PROBE_RUNS += 1
     n = r["__n"] or 0
-    return n, (r["__ss"] / n) if n else 0.0, r["__mx"] or 0
+    out = (n, (r["__ss"] / n) if n else 0.0, r["__mx"] or 0)
+    if key is not None:
+        if len(_DUP_STATS_CACHE) >= _DUP_STATS_CACHE_MAX:
+            _DUP_STATS_CACHE.clear()
+        _DUP_STATS_CACHE[key] = out
+    return out
 
 
 def _dup_blowup_sampled(
@@ -605,16 +671,19 @@ def _resolve_posting_collapse(
     df,
     text_col,
     duplicate_collapse: str,
+    stats: tuple[int, float, int] | None = None,
 ) -> bool:
     """``auto`` plan pick for the posting-join family: trimmed blowup
     against the measured spread crossover, cmax against the hotspot
     ceiling. No docs-per-distinct ratio gate — ratio stays near 1 on
-    exactly the concentrated compositions where the hotspot matters."""
+    exactly the concentrated compositions where the hotspot matters.
+    ``stats`` short-circuits the probe with a caller-supplied
+    (n, blowup, cmax) — see :func:`dup_stats`."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
         return duplicate_collapse == "always"
-    n, blowup, cmax = _dup_stats(df, text_col)
+    n, blowup, cmax = stats if stats is not None else _dup_stats(df, text_col)
     if n == 0:
         return False
     trimmed = blowup - cmax * cmax / n
@@ -630,43 +699,68 @@ def _pair_cmax_threshold(
     return max(PAIR_COLLAPSE_CMAX_MIN, (beta * n / p) ** 0.5)
 
 
+def _plan_parallelism(spark) -> int:
+    """Target parallelism P for plan-time cost decisions.
+
+    The instantaneous ``sparkContext.defaultParallelism`` is wrong under
+    dynamic allocation: before executors register it can be tiny, which
+    INFLATES the sqrt(beta·n/P) hotspot threshold and leaves a
+    mega-group corpus on the direct plan that will later stall one task
+    on the full cluster. Use the configured shuffle partitioning — the
+    stable statement of intended parallelism, and the partition count
+    the planned operator's own shuffles will actually run at — and take
+    the max with defaultParallelism so an interactive local session
+    with shuffle.partitions lowered still sees its real core count."""
+    sc = spark.sparkContext
+    try:
+        conf_p = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):  # e.g. "auto" under some AQE setups
+        conf_p = 0
+    return max(conf_p, sc.defaultParallelism, 1)
+
+
 def _resolve_pair_collapse(
     df,
     text_col,
     duplicate_collapse: str,
     cmax_threshold: float | None = None,
     beta: float = PAIR_COLLAPSE_BETA,
+    stats: tuple[int, float, int] | None = None,
 ) -> bool:
     """``auto`` plan pick for the pair family (minhash LSH /
     dedup_against): collapse iff the largest exact-duplicate group
     reaches the serial-hotspot crossover — by default the scale-aware
     sqrt(beta·n/P) break-even (beta calibrated per operator, see the
-    PAIR_COLLAPSE_BETA block), overridable with an explicit
-    ``cmax_threshold``. The probe is exact — a sampled cmax has a
-    detection floor that grows with n, while the hotspot cost is
-    absolute in cmax."""
+    PAIR_COLLAPSE_BETA block; P from :func:`_plan_parallelism`),
+    overridable with an explicit ``cmax_threshold``. The probe is exact
+    — a sampled cmax has a detection floor that grows with n, while the
+    hotspot cost is absolute in cmax. ``stats`` short-circuits the
+    probe with a caller-supplied (n, blowup, cmax)."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
         return duplicate_collapse == "always"
-    n, _, cmax = _dup_stats(df, text_col)
+    n, _, cmax = stats if stats is not None else _dup_stats(df, text_col)
     if cmax_threshold is None:
         cmax_threshold = _pair_cmax_threshold(
-            n, df.sparkSession.sparkContext.defaultParallelism, beta
+            n, _plan_parallelism(df.sparkSession), beta
         )
     return cmax >= cmax_threshold
 
 
-def _rep_groups(df: DataFrame, text_col: str, id_col: str):
+def _rep_groups(df: DataFrame, text_col: str, id_col: str, reliable: bool = False):
     """(fpmap, groups, members) for representative collapse: fpmap =
     narrow (id, sha256-of-normalized-text), groups = one row per
     distinct text (rep = min member id, cnt = multiplicity), members =
     (rep, member id). Text itself never shuffles — the fingerprint map
     is two thin columns, checkpointed because groups and the pair
-    fan-out both consume it."""
-    fpmap = (
-        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("__fp"))
-        .localCheckpoint(eager=False)
+    fan-out both consume it. ``reliable`` routes every lineage
+    truncation through the durable checkpoint dir (ckpt.iter_checkpoint)
+    so the collapsed path survives executor loss like the iterative
+    operators do."""
+    fpmap = iter_checkpoint(
+        df.select(F.col(id_col), content_hash(F.col(text_col)).alias("__fp")),
+        reliable,
     )
     groups = fpmap.groupBy("__fp").agg(
         F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__cnt")
@@ -686,6 +780,8 @@ def jaccard_pairs_inverted(
     max_shingle_freq: int | None = None,
     round_to: int = 6,
     duplicate_collapse: str = "auto",
+    dup_stats: tuple[int, float, int] | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via an inverted-index join: explode
     distinct shingles, equi-join on the shingle, count shared shingles
@@ -714,12 +810,13 @@ def jaccard_pairs_inverted(
     duplication. ``"auto"`` probes trimmed blowup + cmax against the
     posting family's measured crossovers (POSTING_COLLAPSE_BLOWUP /
     POSTING_COLLAPSE_CMAX — the self-join grows ~trimmed², so the
-    spread threshold sits low)."""
+    spread threshold sits low). ``dup_stats``: precomputed probe tuple
+    (see :func:`dup_stats`); ``reliable``: durable lineage truncation."""
     df = _spread(df)
-    if _resolve_posting_collapse(df, text_col, duplicate_collapse):
+    if _resolve_posting_collapse(df, text_col, duplicate_collapse, stats=dup_stats):
         return _jaccard_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
-            max_shingle_freq, round_to,
+            max_shingle_freq, round_to, reliable,
         )
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
@@ -743,7 +840,7 @@ def jaccard_pairs_inverted(
     # exchange, so Catalyst gets no ReusedExchange and would scan +
     # shingle + explode the corpus TWICE (plan-audited). Materialize the
     # posting table once — same recipe as the BM25 inverted index.
-    ex = ex.localCheckpoint(eager=False)
+    ex = iter_checkpoint(ex, reliable)
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
@@ -769,7 +866,8 @@ def jaccard_pairs_inverted(
 
 
 def _jaccard_pairs_collapsed(
-    df, text_col, id_col, shingle_n, threshold, max_shingle_freq, round_to
+    df, text_col, id_col, shingle_n, threshold, max_shingle_freq, round_to,
+    reliable=False,
 ) -> DataFrame:
     """Representative-collapsed exact Jaccard (see jaccard_pairs_inverted).
 
@@ -779,7 +877,7 @@ def _jaccard_pairs_collapsed(
     1.0 over the capped universe (emitted only when that universe is
     non-empty — matching the direct path, where shingle-less docs never
     join), and the df cap counts documents with multiplicity."""
-    fpmap, groups, members = _rep_groups(df, text_col, id_col)
+    fpmap, groups, members = _rep_groups(df, text_col, id_col, reliable)
     # shingle ONLY representatives: one (id, text)-shuffle join replaces
     # per-duplicate shingling (the collapsed path runs on duplicate-heavy
     # input by construction, so rep shingling is the cheap side)
@@ -808,7 +906,7 @@ def _jaccard_pairs_collapsed(
         eligible = sizes.filter(F.col("__sz") > 0).select(
             F.col(id_col).alias("__rep")
         )
-    ex = ex.localCheckpoint(eager=False)
+    ex = iter_checkpoint(ex, reliable)
     a = ex.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s")
     inter = (
@@ -861,6 +959,8 @@ def containment_pairs_inverted(
     max_shingle_freq: int | None = None,
     round_to: int = 6,
     duplicate_collapse: str = "auto",
+    dup_stats: tuple[int, float, int] | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Asymmetric n-gram containment pairs via the same inverted-index
     join as :func:`jaccard_pairs_inverted`:
@@ -886,12 +986,14 @@ def containment_pairs_inverted(
     ``duplicate_collapse``: same adaptive representative collapse (and
     the same result-exactness argument) as jaccard_pairs_inverted —
     this operator carried the repo's second-highest scaling exponent
-    (α 0.61) on duplicate-heavy growth before the collapse."""
+    (α 0.61) on duplicate-heavy growth before the collapse.
+    ``dup_stats``: precomputed probe tuple (see :func:`dup_stats`);
+    ``reliable``: durable lineage truncation."""
     df = _spread(df)
-    if _resolve_posting_collapse(df, text_col, duplicate_collapse):
+    if _resolve_posting_collapse(df, text_col, duplicate_collapse, stats=dup_stats):
         return _containment_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
-            max_shingle_freq, round_to,
+            max_shingle_freq, round_to, reliable,
         )
     sh = df.select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
@@ -911,7 +1013,7 @@ def containment_pairs_inverted(
     # materialize once: the aliased self-join otherwise recomputes the
     # scan+shingle+explode per branch (no ReusedExchange; see
     # jaccard_pairs_inverted)
-    ex = ex.localCheckpoint(eager=False)
+    ex = iter_checkpoint(ex, reliable)
     a = ex.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
@@ -942,7 +1044,8 @@ def containment_pairs_inverted(
 
 
 def _containment_pairs_collapsed(
-    df, text_col, id_col, shingle_n, threshold, max_shingle_freq, round_to
+    df, text_col, id_col, shingle_n, threshold, max_shingle_freq, round_to,
+    reliable=False,
 ) -> DataFrame:
     """Representative-collapsed containment (see containment_pairs_inverted).
 
@@ -955,7 +1058,7 @@ def _containment_pairs_collapsed(
     path either) and the score clears the threshold. The fan-out swaps
     the direction columns when member-id order inverts the
     representative order — containment is asymmetric."""
-    fpmap, groups, members = _rep_groups(df, text_col, id_col)
+    fpmap, groups, members = _rep_groups(df, text_col, id_col, reliable)
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col), "__cnt"), id_col
     )
@@ -991,7 +1094,7 @@ def _containment_pairs_collapsed(
             F.col(id_col).alias("__rep"),
             (F.col("__csz").cast("double") / F.col("__tsz")).alias("__wscore"),
         )
-    ex = ex.localCheckpoint(eager=False)
+    ex = iter_checkpoint(ex, reliable)
     a = ex.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s")
     b = ex.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s")
     inter = (
@@ -1827,6 +1930,8 @@ def dedup_against(
     bands: int = 16,
     shingle_n: int = 3,
     duplicate_collapse: str = "auto",
+    dup_stats: tuple[int, float, int] | None = None,
+    reliable: bool = False,
 ) -> DataFrame:
     """Cross-corpus dedup: drop ``new_df`` docs that duplicate ANY
     ``ref_df`` doc — the incremental-ingest shape (dedup a fresh crawl
@@ -1869,15 +1974,18 @@ def dedup_against(
         )
     if method != "near":
         raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
+    # ``dup_stats``, if supplied, must be the probe of the POOLED corpora
+    # (new ∪ ref on the text column) — that is what auto probes here.
     if _resolve_pair_collapse(
         new_df.select(F.col(text_col)).unionAll(ref_df.select(F.col(text_col))),
         text_col,
         duplicate_collapse,
         beta=AGAINST_COLLAPSE_BETA,
+        stats=dup_stats,
     ):
         return _dedup_against_collapsed(
             new_df, ref_df, text_col, id_col, threshold, num_hashes,
-            bands, shingle_n,
+            bands, shingle_n, reliable,
         )
 
     sig_udf = minhash_text_udf(num_hashes, shingle_n)
@@ -1921,11 +2029,11 @@ def dedup_against(
             ),
         )
     )
-    cands = (
+    cands = iter_checkpoint(
         buckets.select(F.explode(pairs).alias("p"))
         .select("p.id_new", "p.id_ref")
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        reliable,
     )
     # exact verify: shingle only candidate docs, per side
     def _shingles(side_df, ids, alias):
@@ -1966,7 +2074,8 @@ def dedup_against(
 
 
 def _dedup_against_collapsed(
-    new_df, ref_df, text_col, id_col, threshold, num_hashes, bands, shingle_n
+    new_df, ref_df, text_col, id_col, threshold, num_hashes, bands, shingle_n,
+    reliable=False,
 ) -> DataFrame:
     """Representative-collapsed cross-corpus near-dedup (see
     dedup_against): run the candidate+verify pipeline on one
@@ -1974,9 +2083,12 @@ def _dedup_against_collapsed(
     surviving representatives back to members by fingerprint. Exact:
     signatures and Jaccard scores are text-determined, so a member
     survives iff its representative does."""
-    nfp = new_df.select(
-        F.col(id_col), content_hash(F.col(text_col)).alias("__fp")
-    ).localCheckpoint(eager=False)
+    nfp = iter_checkpoint(
+        new_df.select(
+            F.col(id_col), content_hash(F.col(text_col)).alias("__fp")
+        ),
+        reliable,
+    )
     nrep = nfp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
     nreps_df = new_df.join(nrep.select(F.col("__rep").alias(id_col)), id_col)
     rreps = (
@@ -1989,7 +2101,7 @@ def _dedup_against_collapsed(
     surviving = dedup_against(
         nreps_df, rreps_df, text_col, id_col, "near",
         threshold, num_hashes, bands, shingle_n,
-        duplicate_collapse="never",
+        duplicate_collapse="never", reliable=reliable,
     ).select(F.col(id_col).alias("__rep"))
     surv_fp = nrep.join(surviving, "__rep").select("__fp")
     keep = nfp.join(surv_fp, "__fp").select(id_col)

@@ -72,7 +72,11 @@ def co_purchase_edges(
     basket above the cap: pass ``max_basket=None`` to disable the
     guard and accept the quadratic blow-up, or tune the cap to the
     corpus. Typical organic baskets are single digits, so results on
-    non-pathological data are unchanged at the default.
+    non-pathological data are unchanged at the default. The exclusion
+    is lazy (no job runs at call time), so there is no runtime warning
+    when the guard drops a basket — callers that need the signal run
+    :func:`co_purchase_excluded` on the same inputs: one cheap
+    aggregate listing exactly the groups the default silently dropped.
     """
     pairs = df.select(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
@@ -92,6 +96,25 @@ def co_purchase_edges(
         .filter(F.col("a.__i") != F.col("b.__i"))
         .select(F.col("a.__i").alias("src"), F.col("b.__i").alias("dst"))
         .distinct()
+    )
+
+
+def co_purchase_excluded(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    max_basket: int = 1000,
+) -> DataFrame:
+    """(group, basket_size) for every group the ``max_basket`` guard of
+    :func:`co_purchase_edges` EXCLUDES at the same cap — the runtime
+    signal the lazy operator itself cannot emit. One hash aggregate over
+    two thin columns; ``.count()`` it for a drop tally, or collect it to
+    audit which whales were cut before trusting the edge list."""
+    return (
+        df.select(F.col(group_col).alias("group"), F.col(item_col))
+        .groupBy("group")
+        .agg(F.count(F.lit(1)).alias("basket_size"))
+        .filter(F.col("basket_size") > max_basket)
     )
 
 

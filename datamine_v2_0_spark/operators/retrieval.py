@@ -82,6 +82,8 @@ def bm25_topk(
     b: float = 0.75,
     round_to: int = 6,
     duplicate_collapse: str = "auto",
+    doc_stats: tuple[int, float, int] | None = None,
+    query_stats: tuple[int, float, int] | None = None,
 ) -> DataFrame:
     """Top-k BM25 documents per query: (query_id, doc_id, score, rank).
 
@@ -115,6 +117,12 @@ def bm25_topk(
     physical-plan choice, the exactness does not depend on which side
     of the threshold a corpus lands.
 
+    ``doc_stats`` / ``query_stats``: precomputed probe tuples (see
+    dedup.dup_stats) so composed flows — rrf_fuse calling bm25 on the
+    same corpus another operator already probed — pay one probe per
+    corpus, not one per call. Repeat auto calls on a semantically
+    identical frame also hit dedup's session probe cache.
+
     Reference parity: the reference has no retrieval operator — this is
     part of the beyond-reference LLM-data surface (SURVEY.md §2 extension),
     built per Robertson et al., "Okapi at TREC-3" (1994).
@@ -124,8 +132,13 @@ def bm25_topk(
     )
 
     if duplicate_collapse == "auto":
-        n_d, blow_d, cmax_d = _dup_stats(docs, text_col)
-        _, blow_q, _ = _dup_stats(queries, query_text_col)
+        n_d, blow_d, cmax_d = (
+            doc_stats if doc_stats is not None else _dup_stats(docs, text_col)
+        )
+        _, blow_q, _ = (
+            query_stats if query_stats is not None
+            else _dup_stats(queries, query_text_col)
+        )
         trimmed_d = (blow_d - cmax_d * cmax_d / n_d) if n_d else 0.0
         collapse = (
             trimmed_d * blow_q >= BM25_COLLAPSE_BLOWUP

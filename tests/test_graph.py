@@ -100,3 +100,21 @@ def test_co_purchase_edges_max_basket_none_disables(spark):
     assert n == 10 * 9  # full symmetric pair set, no guard
     n_capped = gr.co_purchase_edges(df, "g", "item", max_basket=9).count()
     assert n_capped == 0
+
+
+def test_co_purchase_excluded_reports_dropped_whales(spark):
+    """The guard's runtime signal: co_purchase_excluded lists exactly
+    the groups co_purchase_edges drops at the same cap — the audit a
+    lazy operator cannot emit as a warning."""
+    df = _baskets(spark, {1: [1, 2], 2: list(range(10, 16)), 3: [7]})
+    dropped = {
+        (r["group"], r["basket_size"])
+        for r in gr.co_purchase_excluded(df, "g", "item", max_basket=3).collect()
+    }
+    assert dropped == {(2, 6)}
+    # parity with the operator: no edges from the excluded basket
+    edges = gr.co_purchase_edges(df, "g", "item", max_basket=3)
+    items_in_edges = {r["src"] for r in edges.collect()}
+    assert items_in_edges == {1, 2}
+    # cap above every basket: nothing reported
+    assert gr.co_purchase_excluded(df, "g", "item", max_basket=6).count() == 0

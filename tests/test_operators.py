@@ -1870,3 +1870,84 @@ def test_pair_collapse_auto_decision(spark):
     assert not dd._resolve_posting_collapse(hot_only, "text", "auto")
 
 
+
+
+def test_dup_stats_probe_cache_and_supplied_stats(spark):
+    """The probe-sharing contract (one probe per corpus in composed
+    flows): repeat probes on a semantically identical frame hit the
+    session cache, and a caller-supplied stats tuple skips the probe
+    entirely — DUP_STATS_PROBE_RUNS counts executed scans only."""
+    df = _dup_corpus(spark, [3, 2, 1, 1])
+    dd.clear_dup_stats_cache()
+    before = dd.DUP_STATS_PROBE_RUNS
+    s1 = dd.dup_stats(df, "text")
+    s2 = dd.dup_stats(df, "text")
+    assert s1 == s2 == (7, pytest.approx((9 + 4 + 1 + 1) / 7), 3)
+    assert dd.DUP_STATS_PROBE_RUNS == before + 1
+    # auto resolution with supplied stats: zero new probe scans
+    assert not dd._resolve_pair_collapse(df, "text", "auto", stats=s1)
+    assert not dd._resolve_posting_collapse(df, "text", "auto", stats=s1)
+    assert dd.DUP_STATS_PROBE_RUNS == before + 1
+    # a different corpus is a different plan -> a fresh probe
+    dd.dup_stats(_dup_corpus(spark, [5, 1]), "text")
+    assert dd.DUP_STATS_PROBE_RUNS == before + 2
+
+
+def test_auto_operators_share_one_probe_per_corpus(spark):
+    """Two collapse-capable operators over the SAME corpus pay one
+    probe scan total (the round-9 verdict's composed-flow cost), via
+    the plan-keyed cache — no caller plumbing required."""
+    df = _dup_corpus(spark, [2] * 10)
+    dd.clear_dup_stats_cache()
+    before = dd.DUP_STATS_PROBE_RUNS
+    dd.minhash_near_dup_pairs(df, "text", "doc_id").count()
+    dd.jaccard_pairs_inverted(df, "text", "doc_id").count()
+    assert dd.DUP_STATS_PROBE_RUNS == before + 1
+
+
+def test_collapsed_dedup_reliable_checkpoint_parity(spark, tmp_path):
+    """reliable=True must reach every lineage truncation in the
+    representative-collapse paths (the round-9 verdict's _rep_groups
+    hazard) and never change results — durable vs local checkpoint is
+    a fault-tolerance trade-off only."""
+    ckpt = tmp_path / "ckpt_collapse"
+    spark.sparkContext.setCheckpointDir(str(ckpt))
+    df = _dup_corpus(spark, [6, 3, 1, 1])
+    for fn in (
+        dd.minhash_near_dup_pairs,
+        dd.jaccard_pairs_inverted,
+        dd.containment_pairs_inverted,
+    ):
+        base = sorted(map(tuple, fn(
+            df, "text", "doc_id", duplicate_collapse="always"
+        ).collect()))
+        rel = sorted(map(tuple, fn(
+            df, "text", "doc_id", duplicate_collapse="always", reliable=True
+        ).collect()))
+        assert base == rel and base, fn.__name__
+    new = _dup_corpus(spark, [4, 1])
+    ref = _dup_corpus(spark, [2, 1])
+    surv_base = sorted(r[0] for r in dd.dedup_against(
+        new, ref, "text", "doc_id", duplicate_collapse="always"
+    ).select("doc_id").collect())
+    surv_rel = sorted(r[0] for r in dd.dedup_against(
+        new, ref, "text", "doc_id", duplicate_collapse="always", reliable=True
+    ).select("doc_id").collect())
+    assert surv_base == surv_rel
+    # the durable branch actually ran: the checkpoint dir has content
+    assert any(ckpt.rglob("*")), "reliable=True never wrote a durable checkpoint"
+
+
+def test_plan_parallelism_prefers_configured_target(spark):
+    """Plan-time P must come from the configured shuffle partitioning
+    (stable under dynamic allocation), never fall BELOW the live core
+    count, and survive a non-numeric setting."""
+    sc_p = spark.sparkContext.defaultParallelism
+    base = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "96")
+        assert dd._plan_parallelism(spark) == 96
+        spark.conf.set("spark.sql.shuffle.partitions", "1")
+        assert dd._plan_parallelism(spark) == max(1, sc_p)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", base)
