@@ -42,21 +42,25 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  an entry is defined.
 #   WINDOW_R10  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 9 queries whose implementation changed in round 10
+#                  the 10 queries whose implementation changed in round 10
 #                  lead (the shared-probe/dup_stats plumbing, the
 #                  reliable= lineage truncation through the collapse
 #                  paths, and the configured-parallelism plan P touched
 #                  dedup_minhash_lsh / dedup_jaccard / dedup_against /
 #                  dedup_jaccard_inverted / dedup_containment /
 #                  text_bm25 / text_rrf and, through the jaccard pair
-#                  graph they consume, dedup_groups / dedup_canonical),
-#                  followed by _TAIL_R9's first 41 — which by the round-9
+#                  graph they consume, dedup_groups / dedup_canonical;
+#                  sim_pq_topk switched to the representative-collapsed
+#                  PQ index after the skewed recall run exposed
+#                  shortlist clogging under mass-duplicate vectors),
+#                  followed by _TAIL_R9's first 40 — which by the round-9
 #                  construction re-proves every query whose driver
 #                  evidence predates round 6 (win_rolling_corr, last
 #                  driver-green in round 3, plus the six round-5-evidence
 #                  entries all sit inside that rung).
 #   _TAIL_R10   -- the remaining 103, oldest driver evidence first
-#                  (_TAIL_R9's leftover 62, then round 9's 41 unchanged
+#                  (the demoted 41st tail entry + _TAIL_R9's leftover 62 minus
+#                  sim_pq_topk, then round 9's 41 unchanged
 #                  window entries, freshest last), so the round-11
 #                  window is simply the next 50.
 #
@@ -228,6 +232,7 @@ WINDOW_R10: list[str] = [
     "text_rrf",
     "dedup_groups",
     "dedup_canonical",
+    "sim_pq_topk",
     "join_lookup",
     "join_salted",
     "pipeline_features",
@@ -268,10 +273,10 @@ WINDOW_R10: list[str] = [
     "agg_tdigest",
     "ts_ewma",
     "ts_cusum",
-    "agg_grouping_sets",
 ]
 
 _TAIL_R10: list[str] = [
+    "agg_grouping_sets",
     "agg_hopping",
     "agg_rollup",
     "dedup_lines",
@@ -292,7 +297,6 @@ _TAIL_R10: list[str] = [
     "sim_bucketed_topk",
     "sim_cosine_topk",
     "sim_lsh_topk",
-    "sim_pq_topk",
     "text_chunks",
     "sim_ivf_topk",
     "val_signal_context",

@@ -552,6 +552,7 @@ def pq_topk(
     seed: int = 42,
     round_to: int = 6,
     max_queries: int = 10_000,
+    exclude_self: bool = True,
 ) -> DataFrame:
     """ANN top-k by asymmetric-distance PQ search: corpus vectors live
     only as m-code rows; each query precomputes an inner-product lookup
@@ -615,9 +616,13 @@ def pq_topk(
     qids = F.broadcast(
         queries.select(F.col(id_col).alias("query_id"))
     )
-    pairs = codes.crossJoin(qids).filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
+    pairs = codes.crossJoin(qids)
+    if exclude_self:
+        # representative-collapsed callers (pq_rerank_topk) disable this
+        # and re-apply it at MEMBER level after fan-out: rep-level id
+        # equality both drops a whole duplicate group when the query IS
+        # its rep and misses nothing when the query is a non-rep member
+        pairs = pairs.filter(F.col("neighbor_id") != F.col("query_id"))
     scored = pairs.select(
         "query_id",
         "neighbor_id",
@@ -647,6 +652,7 @@ def pq_rerank_topk(
     rerank_from: int = 50,
     seed: int = 42,
     round_to: int = 6,
+    duplicate_collapse: str = "always",
 ) -> DataFrame:
     """Two-stage PQ search (the production FAISS shape): the compressed
     ADC scan shortlists ``rerank_from`` candidates per query, then ONLY
@@ -660,19 +666,77 @@ def pq_rerank_topk(
     of the top-``rerank_from`` shortlist; at the contract operating
     point the shortlist provably contains the exact top-k (verified by
     the exact-SQL oracle), the same candidates→exact-verify
-    certification pattern as the LSH and IVF tiers."""
+    certification pattern as the LSH and IVF tiers.
+
+    ``duplicate_collapse="always"`` (default): the index is built over
+    DISTINCT vectors and the shortlist fans out to duplicate members at
+    query time. The round-10 skewed-replica recall run (ANN.md) showed
+    why the direct form distorts under mass duplication, through two
+    mechanisms at once: a g-strong identical-vector group shares one
+    code, so it occupies up to g shortlist slots carrying ONE distinct
+    vector's information (effective depth shrinks by g−1 — on the
+    40%-duplicate corpus true neighbors sat at ADC positions 207–286
+    behind a 200-wide duplicate block and a 100-deep shortlist read
+    recall 0.95 at the certified point), and codebook training mass
+    concentrates on the duplicated point, coarsening quantization of
+    the unique remainder. Collapsed, ``rerank_from`` counts distinct
+    vectors (strictly stronger), codebooks train on the distinct set,
+    and the scan/encode shrink by the duplication factor. Result-exact:
+    cosine is a function of the vector, so member score == rep score
+    and the member-level (score desc, id asc) rank reproduces the
+    direct ordering. Unlike the text family there is NO "auto" probe
+    mode: the decision statistic (a fingerprint aggregate) costs the
+    same as the remedy itself, and the fan-out join is shortlist-sized
+    — the break-even favors collapse at ANY duplication.
+    ``"never"`` keeps the raw direct scan (one narrow aggregate + one
+    shortlist join cheaper on a provably duplicate-free corpus)."""
+    if duplicate_collapse not in ("always", "never"):
+        raise ValueError(
+            f"duplicate_collapse must be 'always' or 'never' for the PQ "
+            f"tier (no auto probe — see docstring), got "
+            f"{duplicate_collapse!r}"
+        )
+    members = None
+    index_corpus = corpus
+    if duplicate_collapse == "always":
+        fp = corpus.select(
+            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
+        )
+        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        index_corpus = corpus.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col
+        )
+        members = fp.join(reps, "__fp").select(
+            F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
+        )
+    # collapsed: shortlist reps WITHOUT rep-level self-exclusion (a
+    # query inside a duplicate group would otherwise lose its whole
+    # group when it IS the rep, or gain a self-pair via fan-out when it
+    # is not) at depth+1 so the post-filter still leaves rerank_from
+    # non-self candidates; the member-level filter below restores the
+    # exclusion contract exactly
     shortlist = pq_topk(
-        corpus,
+        index_corpus,
         queries,
         vec_col,
         id_col,
         dim,
-        k=rerank_from,
+        k=rerank_from if members is None else rerank_from + 1,
         m=m,
         k_codes=k_codes,
         seed=seed,
         round_to=round_to,
+        exclude_self=members is None,
     ).select("query_id", "neighbor_id")
+    if members is not None:
+        # fan representative hits out to duplicate members BEFORE the
+        # exact re-rank: members share their rep's vector, so candidacy
+        # transfers and the rank window below restores id tiebreaks
+        shortlist = (
+            shortlist.join(members, "neighbor_id")
+            .select("query_id", F.col("__m").alias("neighbor_id"))
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
 
     vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")

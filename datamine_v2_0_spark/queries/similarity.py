@@ -110,7 +110,11 @@ def q_sim_pq_topk(spark, sf_dir):
     # shortlist depth scales with corpus size (10%, floor 100): a fixed
     # depth that certifies at sf0.01 starts missing tail entries of the
     # exact top-5 by sf0.1 (measured: 100 misses 1-of-25 at 2000 vecs,
-    # 200 is exact)
+    # 200 is exact). Round 10: the operator's default representative
+    # collapse makes the depth count DISTINCT vectors, so mass-duplicate
+    # corpora (the skew replica's 200 identical embeddings) no longer
+    # clog the shortlist — the round-10 skewed recall run measured the
+    # direct form at 0.95 recall@5 here vs 1.0 collapsed (ANN.md).
     rerank_from = max(100, emb.count() // 10)
     return sim.pq_rerank_topk(
         emb, queries, "embedding", "vec_id", dim=64, k=5,

@@ -1951,3 +1951,67 @@ def test_plan_parallelism_prefers_configured_target(spark):
         assert dd._plan_parallelism(spark) == max(1, sc_p)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", base)
+
+
+def test_pq_rerank_duplicate_collapse_semantics(spark):
+    """The round-10 representative-collapsed PQ index: exactness with a
+    mass-duplicate group in the corpus, including the self-exclusion
+    edge the first draft got wrong in BOTH directions (a query that IS
+    its group's rep lost the whole group to rep-level self-exclusion; a
+    non-rep member gained a self-pair via fan-out)."""
+    import numpy as np
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(11)
+    uniq = rng.standard_normal((70, 16)).astype("float64")
+    uniq /= np.linalg.norm(uniq, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in uniq[0]]) for i in range(50)]  # mass
+    rows += [
+        (50 + j, [float(x) for x in v]) for j, v in enumerate(uniq[1:])
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # queries: the mass REP (0), non-rep mass members, and unique vecs
+    q = emb.filter(F.col("vec_id").isin(0, 1, 7, 60, 80))
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.cosine_topk(emb, q, "embedding", "vec_id", k=5).collect()
+    }
+    # rerank_from >= n_distinct (70): the collapsed shortlist holds every
+    # distinct vector, so exact parity is GUARANTEED, not fixture luck
+    coll = {
+        (r["query_id"], r["neighbor_id"])
+        for r in sim.pq_rerank_topk(
+            emb, q, "embedding", "vec_id", dim=16, k=5,
+            m=4, k_codes=8, rerank_from=70,
+        ).collect()
+    }
+    assert coll == exact
+    assert all(a != b for a, b in coll)  # member-level self-exclusion
+    # the rep's neighbors include its own group's members (the bug
+    # dropped them), the non-rep member's include the rep, no (q, q)
+    assert {(0, 1), (0, 2), (1, 0)} <= coll
+    # duplicate-free corpus: collapsed and direct are the same result
+    # (the collapse is a physical-plan choice, never a semantic one)
+    uniq_emb = emb.filter(F.col("vec_id") >= 50)
+    uq = uniq_emb.orderBy("vec_id").limit(4)
+    for mode in ("always", "never"):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.pq_rerank_topk(
+                uniq_emb, uq, "embedding", "vec_id", dim=16, k=3,
+                m=4, k_codes=8, rerank_from=69, duplicate_collapse=mode,
+            ).collect()
+        }
+        ex = {
+            (r["query_id"], r["neighbor_id"])
+            for r in sim.cosine_topk(
+                uniq_emb, uq, "embedding", "vec_id", k=3
+            ).collect()
+        }
+        assert got == ex, mode
+    with pytest.raises(ValueError):
+        sim.pq_rerank_topk(
+            emb, q, "embedding", "vec_id", dim=16, k=5,
+            duplicate_collapse="auto",
+        )

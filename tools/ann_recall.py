@@ -118,6 +118,21 @@ def collect_rows(spark, sf_dir: str, n_q: int):
                 ),
             )
         )
+    # the pre-round-10 direct form at the certified depth: on the skew
+    # corpus this documents the shortlist-clogging distortion the
+    # default representative collapse fixes (identical row on uniform)
+    rf_cert = max(100, n_corpus // 10)
+    rows.append(
+        run(
+            f"pq_rerank_topk rerank_from={rf_cert} duplicate_collapse=never"
+            " (pre-r10 direct form)",
+            lambda: sim.pq_rerank_topk(
+                emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+                m=16, k_codes=32, rerank_from=rf_cert,
+                duplicate_collapse="never",
+            ),
+        )
+    )
     emb.unpersist()
     return rows, n_corpus
 
@@ -184,7 +199,20 @@ def main() -> None:
             "Cheap-point recall may move in either direction under mass "
             "duplication: duplicate neighbors concentrate in few "
             "cells/buckets (easier to find), while cell/bucket imbalance "
-            "starves probes pointed elsewhere.",
+            "starves probes pointed elsewhere.\n\n"
+            "This run is what caught the round-10 PQ fix: the PRE-r10 "
+            "direct PQ form (last row of each table) reads <1.0 at the "
+            "certified depth on the skew corpus — a g-strong "
+            "identical-vector group shares one code and occupies up to g "
+            "shortlist slots (true neighbors measured at ADC positions "
+            "207-286 behind the 200-wide duplicate block), and codebook "
+            "mass concentrates on the duplicated point. The operator now "
+            "indexes DISTINCT vectors and fans the shortlist out to "
+            "members at query time (result-exact; "
+            "operators/similarity.pq_rerank_topk duplicate_collapse), "
+            "which restores recall 1.0 at the certified depth — the "
+            "structural fix, since at 100 TB a viral embedding group can "
+            "be wider than ANY affordable shortlist.",
         ]
 
     with open("/root/repo/ANN.md", "w") as f:
