@@ -659,10 +659,22 @@ AGAINST_COLLAPSE_BETA = 3_136
 PAIR_COLLAPSE_CMAX_MIN = 64
 # posting hotspot: a mega group's posting pairs spread over its own
 # ~doc-length distinct shingle keys, so the serial fraction is far
-# smaller — direct still won at cmax 2000 on every posting band; the
-# ceiling is an extrapolated guard, constant by the same argument
-# divided by the per-doc shingle spread.
+# smaller and the ceiling sits much higher than the pair family's.
+# Round-10 grounding (verdict task 6): the h80 cell (n=5000, cmax=4000,
+# trimmed 0.2) measured jaccard DIRECT still winning 8.8 s vs 14.5 s —
+# the 10,000 ceiling for jaccard/bm25 remains extrapolated, but the
+# measured direct-wins floor moved 2000 → 4000 (COLLAPSE_BAND.jsonl).
 POSTING_COLLAPSE_CMAX = 10_000
+# Containment crosses EARLIER than jaccard — the same h80 cell measured
+# collapse winning 2.1x (direct 23.9 s vs 11.2 s) while the h60 cell
+# (cmax=3000) still favored direct (6.6 vs 10.5): containment's
+# one-sided OR threshold keeps every subset pair a mega group's
+# postings touch, so its direct join output-amplifies faster in cmax.
+# Bracket (3000 direct-wins, 4000 collapse-wins) → geometric-mean
+# crossover sqrt(3000·4000) ≈ 3,464. One bracket cell cannot fix the
+# functional form (constant vs sqrt(n)-scaled), so this is a constant
+# within the measured bracket, re-derivable from COLLAPSE_BAND.jsonl.
+CONTAINMENT_COLLAPSE_CMAX = 3_464
 
 
 
@@ -672,13 +684,15 @@ def _resolve_posting_collapse(
     text_col,
     duplicate_collapse: str,
     stats: tuple[int, float, int] | None = None,
+    cmax_ceiling: int = POSTING_COLLAPSE_CMAX,
 ) -> bool:
     """``auto`` plan pick for the posting-join family: trimmed blowup
     against the measured spread crossover, cmax against the hotspot
-    ceiling. No docs-per-distinct ratio gate — ratio stays near 1 on
-    exactly the concentrated compositions where the hotspot matters.
-    ``stats`` short-circuits the probe with a caller-supplied
-    (n, blowup, cmax) — see :func:`dup_stats`."""
+    ceiling (per-operator — containment crosses earlier, see
+    CONTAINMENT_COLLAPSE_CMAX). No docs-per-distinct ratio gate — ratio
+    stays near 1 on exactly the concentrated compositions where the
+    hotspot matters. ``stats`` short-circuits the probe with a
+    caller-supplied (n, blowup, cmax) — see :func:`dup_stats`."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
@@ -687,7 +701,7 @@ def _resolve_posting_collapse(
     if n == 0:
         return False
     trimmed = blowup - cmax * cmax / n
-    return trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= POSTING_COLLAPSE_CMAX
+    return trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= cmax_ceiling
 
 
 def _pair_cmax_threshold(
@@ -986,11 +1000,18 @@ def containment_pairs_inverted(
     ``duplicate_collapse``: same adaptive representative collapse (and
     the same result-exactness argument) as jaccard_pairs_inverted —
     this operator carried the repo's second-highest scaling exponent
-    (α 0.61) on duplicate-heavy growth before the collapse.
+    (α 0.61) on duplicate-heavy growth before the collapse — and its
+    OWN, lower hotspot ceiling (CONTAINMENT_COLLAPSE_CMAX: the
+    one-sided OR threshold keeps every subset pair a mega group's
+    postings touch, so the direct join crosses at cmax ≈ 3.5k where
+    jaccard still wins at 4k — measured h60/h80 bracket).
     ``dup_stats``: precomputed probe tuple (see :func:`dup_stats`);
     ``reliable``: durable lineage truncation."""
     df = _spread(df)
-    if _resolve_posting_collapse(df, text_col, duplicate_collapse, stats=dup_stats):
+    if _resolve_posting_collapse(
+        df, text_col, duplicate_collapse, stats=dup_stats,
+        cmax_ceiling=CONTAINMENT_COLLAPSE_CMAX,
+    ):
         return _containment_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
             max_shingle_freq, round_to, reliable,

@@ -2015,3 +2015,24 @@ def test_pq_rerank_duplicate_collapse_semantics(spark):
             emb, q, "embedding", "vec_id", dim=16, k=5,
             duplicate_collapse="auto",
         )
+
+
+def test_containment_cmax_ceiling_is_lower_than_jaccard(spark):
+    """The round-10 h60/h80 band bracket: at (n=5000, cmax=4000,
+    trimmed ~0.2) containment must auto-collapse while jaccard stays
+    direct; at cmax=3000 both stay direct. Decision checked through
+    the supplied-stats path (no probe scan)."""
+    inside = (5000, 3200.2, 4000)   # the measured h80 composition
+    below = (5000, 1800.4, 3000)    # the measured h60 composition
+    assert dd._resolve_posting_collapse(
+        None, "text", "auto", stats=inside,
+        cmax_ceiling=dd.CONTAINMENT_COLLAPSE_CMAX,
+    )
+    assert not dd._resolve_posting_collapse(
+        None, "text", "auto", stats=inside,
+    )  # jaccard/bm25 ceiling: direct measured winning at cmax 4000
+    assert not dd._resolve_posting_collapse(
+        None, "text", "auto", stats=below,
+        cmax_ceiling=dd.CONTAINMENT_COLLAPSE_CMAX,
+    )
+    assert 3000 < dd.CONTAINMENT_COLLAPSE_CMAX < 4000

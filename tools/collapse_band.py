@@ -157,6 +157,7 @@ def main() -> None:
     from datamine_v2_0_spark.operators.dedup import (
         _dup_stats, _estimate_duplication,
         AGAINST_COLLAPSE_BETA, BM25_COLLAPSE_BLOWUP, COLLAPSE_RATIO,
+        CONTAINMENT_COLLAPSE_CMAX,
         PAIR_COLLAPSE_BETA, _pair_cmax_threshold,
         POSTING_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX,
     )
@@ -219,9 +220,13 @@ def main() -> None:
                 )
                 rec["blowup_q"] = round(bq, 2)
             else:
+                ceiling = (
+                    CONTAINMENT_COLLAPSE_CMAX
+                    if op_name == "dedup_containment"
+                    else POSTING_COLLAPSE_CMAX
+                )
                 fire = (
-                    trimmed >= POSTING_COLLAPSE_BLOWUP
-                    or cmax >= POSTING_COLLAPSE_CMAX
+                    trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= ceiling
                 )
             rec["auto"] = "always" if fire else "never"
             for mode in ("never", "always"):
