@@ -32,7 +32,8 @@ def band_stats(band: str, n: int, blowup: float) -> tuple[float, int]:
 
 def main() -> None:
     from datamine_v2_0_spark.operators.dedup import (
-        AGAINST_COLLAPSE_BETA, BM25_COLLAPSE_BLOWUP, PAIR_COLLAPSE_BETA,
+        AGAINST_COLLAPSE_BETA, BM25_COLLAPSE_BLOWUP,
+        CONTAINMENT_COLLAPSE_CMAX, PAIR_COLLAPSE_BETA,
         POSTING_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX,
         _pair_cmax_threshold,
     )
@@ -61,10 +62,14 @@ def main() -> None:
                 or cmax >= POSTING_COLLAPSE_CMAX
             )
         else:
-            fire = (
-                trimmed >= POSTING_COLLAPSE_BLOWUP
-                or cmax >= POSTING_COLLAPSE_CMAX
+            # containment crosses earlier than jaccard (round-10
+            # h60/h80 bracket) — per-operator ceiling
+            ceiling = (
+                CONTAINMENT_COLLAPSE_CMAX
+                if r["op"] == "dedup_containment"
+                else POSTING_COLLAPSE_CMAX
             )
+            fire = trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= ceiling
         t_auto = r["t_always"] if fire else r["t_never"]
         t_best = min(r["t_never"], r["t_always"])
         ratio = t_auto / t_best
