@@ -470,7 +470,8 @@ _DUP_STATS_CACHE_MAX = 256
 
 # Number of probe scans actually EXECUTED this session (cache hits and
 # caller-supplied stats don't count) — instrumentation for the
-# probe-sharing contract (tools/dedup_bench.py, tests).
+# probe-sharing contract (pytest asserts scan counts; the SCALING.md
+# round-10 table records measured per-query scan reductions).
 DUP_STATS_PROBE_RUNS = 0
 
 

@@ -74,6 +74,7 @@ def cosine_topk(
     id_col: str,
     k: int = 5,
     round_to: int = 6,
+    duplicate_collapse: str = "never",
 ) -> DataFrame:
     """Exact top-k cosine neighbors for each query vector.
 
@@ -81,23 +82,84 @@ def cosine_topk(
     only shuffle is the per-query top-k window. Scores are rounded before
     ranking (with id tiebreak) for cross-engine determinism.
 
+    ``duplicate_collapse="always"``: score one representative per
+    DISTINCT vector and fan the per-query winners back out to duplicate
+    members — on a mass-duplicate corpus (the skew replica carries 40%
+    of its vectors on one point) the expensive per-pair cosine kernel
+    runs over distinct vectors only. Result-exact by a group-cover
+    argument: every member of a duplicate group shares its rep's score,
+    so the direct member ordering (score desc, id asc) draws its top-k
+    from at most k groups, and any such group must sit within the top-k
+    groups ordered by (score desc, min-member-id asc) — a group ranked
+    below k is preceded by k groups that each put at least one member
+    (all members, when the score is strictly higher; their min member,
+    on a rounded-score tie) ahead of everything it could contribute.
+    One extra group (k+1) covers the member the self-exclusion drops;
+    exclusion itself is applied at MEMBER level after the fan-out, like
+    pq_rerank_topk. ``"never"`` (default — the uniform-corpus fixture
+    has no duplicates to harvest, and the exact tier is the recall
+    baseline everything else is judged against, so the registered plan
+    stays the simplest one): direct scan.
+
     Returns (query_id, neighbor_id, cos_sim) excluding self-matches."""
+    if duplicate_collapse not in ("always", "never"):
+        raise ValueError(
+            f"duplicate_collapse must be 'always' or 'never' for the "
+            f"exact tier (no auto probe — the decision statistic costs "
+            f"the same as the fingerprint pass it would gate), got "
+            f"{duplicate_collapse!r}"
+        )
     q = F.broadcast(
         queries.select(
             F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qvec")
         )
     )
-    pairs = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
-    ).crossJoin(q)
-    scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
-    )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
+    if duplicate_collapse == "always":
+        fp = corpus.select(
+            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
+        )
+        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        rep_vecs = corpus.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col
+        ).select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        )
+        rep_scored = rep_vecs.crossJoin(q).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__cvec"), F.col("__qvec")), round_to
+            ).alias("cos_sim"),
+        )
+        # top-(k+1) groups by (score, rep id = min member id): the
+        # group-cover bound plus one for the self-excluded member
+        rep_top = (
+            rep_scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k + 1)
+            .drop("__rn")
+        )
+        members = fp.join(reps, "__fp").select(
+            F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
+        )
+        scored = (
+            rep_top.join(members, "neighbor_id")
+            .select("query_id", F.col("__m").alias("neighbor_id"), "cos_sim")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
+    else:
+        pairs = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
+        ).crossJoin(q)
+        scored = pairs.filter(F.col("neighbor_id") != F.col("query_id")).select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                cosine(F.col("__cvec"), F.col("__qvec")), round_to
+            ).alias("cos_sim"),
+        )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

@@ -2036,3 +2036,54 @@ def test_containment_cmax_ceiling_is_lower_than_jaccard(spark):
         cmax_ceiling=dd.CONTAINMENT_COLLAPSE_CMAX,
     )
     assert 3000 < dd.CONTAINMENT_COLLAPSE_CMAX < 4000
+
+
+def test_cosine_topk_duplicate_collapse_exact_with_ties(spark):
+    """Distinct-vector collapse for the EXACT tier: the group-cover
+    bound must hold under rounded-score ties ACROSS groups (two
+    distinct vectors with identical cosine — one is a scalar multiple
+    of the other — interleave members by id with a duplicate group),
+    self-exclusion at member level, and every k that splits a tie."""
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),    # query
+        (5, [1.0, 0.0, 0.0, 0.0]),    # exact duplicate of the query
+        (20, [1.0, 0.9, 0.0, 0.0]),   # cos ~0.743, unique
+        (1, [2.0, 2.0, 0.0, 0.0]),    # group B: cos == 1/sqrt(2)
+        (2, [2.0, 2.0, 0.0, 0.0]),
+        (10, [1.0, 1.0, 0.0, 0.0]),   # group A: SAME cosine, distinct fp
+        (11, [1.0, 1.0, 0.0, 0.0]),
+        (12, [1.0, 1.0, 0.0, 0.0]),
+        (30, [0.0, 1.0, 0.0, 0.0]),   # cos 0
+        (31, [0.0, 1.0, 0.0, 0.0]),
+        (40, [-1.0, 0.0, 0.0, 0.0]),  # cos -1
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id").isin(0, 10, 1))  # unique-rep, rep, member
+    for k in (1, 2, 3, 4, 5, 8, 11):
+        direct = sorted(
+            map(tuple, sim.cosine_topk(
+                emb, q, "embedding", "vec_id", k=k
+            ).collect())
+        )
+        coll = sorted(
+            map(tuple, sim.cosine_topk(
+                emb, q, "embedding", "vec_id", k=k,
+                duplicate_collapse="always",
+            ).collect())
+        )
+        assert coll == direct, f"k={k}"
+    # spot-check the tie interleave the cover bound must survive:
+    # query 0 at k=4 -> dup-of-query, the 0.743 vec, then ids 1,2 of
+    # the TIED pair of groups (B before A purely by member id)
+    got = [
+        r["neighbor_id"]
+        for r in sim.cosine_topk(
+            emb, emb.filter(F.col("vec_id") == 0), "embedding", "vec_id",
+            k=4, duplicate_collapse="always",
+        ).orderBy(F.desc("cos_sim"), "neighbor_id").collect()
+    ]
+    assert got == [5, 20, 1, 2]
+    with pytest.raises(ValueError):
+        sim.cosine_topk(emb, q, "embedding", "vec_id", duplicate_collapse="auto")
