@@ -452,6 +452,7 @@ def lsh_topk(
     seed: int = 42,
     round_to: int = 6,
     probe: int = 0,
+    duplicate_collapse: str = "never",
 ) -> DataFrame:
     """Approximate top-k via banded random-hyperplane LSH: candidates are
     corpus vectors sharing >=1 of the query's band buckets. The join is an
@@ -465,12 +466,47 @@ def lsh_topk(
     key with bit j flipped, for j < probe (the classic multi-probe LSH
     trick: a near He miss usually differs by exactly one close-to-margin
     bit). Probing is QUERY-side only, so it multiplies the tiny broadcast
-    side by (1+probe) and leaves the corpus-side index untouched."""
+    side by (1+probe) and leaves the corpus-side index untouched.
+
+    ``duplicate_collapse="always"``: index one representative per
+    DISTINCT vector and fan per-query winners out to duplicate members —
+    RESULT-IDENTICAL to the direct plan at every (planes, bands, probe)
+    setting, because the hyperplanes are fixed (seeded) so a member's
+    band keys equal its rep's (candidacy transfers) and scores are
+    vector-determined (the cosine_topk group-cover bound then applies
+    within the candidate pool; self-exclusion moves to member level,
+    rep depth k+1). On a mass-duplicate corpus this keeps a g-strong
+    identical group from contributing g rows to every one of its band
+    buckets. Opt-in like cosine_topk; the IVF tier deliberately does
+    NOT offer this knob — its coarse quantizer is TRAINED on the
+    corpus, so a distinct-vector fit shifts cell boundaries and changes
+    the partial-probe operating point (at the certified nprobe=n_cells
+    point the cells partition the corpus and collapsing is pointless);
+    dedup the corpus explicitly (dedup.exact_dedup) before an IVF build
+    instead."""
+    if duplicate_collapse not in ("always", "never"):
+        raise ValueError(
+            f"duplicate_collapse must be 'always' or 'never', got "
+            f"{duplicate_collapse!r}"
+        )
     planes = make_hyperplanes(dim, num_planes, seed)
     keys = banded_keys_udf(planes, bands)
+    members = None
+    index_corpus = corpus
+    if duplicate_collapse == "always":
+        fp = corpus.select(
+            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
+        )
+        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+        index_corpus = corpus.join(
+            reps.select(F.col("__rep").alias(id_col)), id_col
+        )
+        members = fp.join(reps, "__fp").select(
+            F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
+        )
     # NULL vectors have no signature and would crash the numpy kernel
     # (a None row turns the Arrow batch into an object array)
-    c = corpus.filter(F.col(vec_col).isNotNull()).select(
+    c = index_corpus.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cvec"),
         F.posexplode(keys(F.col(vec_col))).alias("__band", "__key"),
@@ -499,19 +535,29 @@ def lsh_topk(
     # shuffles 3 narrow columns instead of two dim-wide float vectors
     # per candidate hit — cos_sim is deterministic per pair, so
     # distinct-on-(pair, score) equals distinct-on-pair
-    scored = (
-        c.join(q, ["__band", "__key"])
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round(
-                cosine(F.col("__cvec"), F.col("__qvec")), round_to
-            ).alias("cos_sim"),
-        )
-        .distinct()
-    )
+    scored = c.join(q, ["__band", "__key"])
+    if members is None:
+        scored = scored.filter(F.col("neighbor_id") != F.col("query_id"))
+    scored = scored.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            cosine(F.col("__cvec"), F.col("__qvec")), round_to
+        ).alias("cos_sim"),
+    ).distinct()
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    if members is not None:
+        # rep-level top-(k+1) (group-cover bound + the self-excluded
+        # row), fan out to members, member-level self-exclusion, then
+        # the final member-level top-k below
+        scored = (
+            scored.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k + 1)
+            .drop("__rn")
+            .join(members, "neighbor_id")
+            .select("query_id", F.col("__m").alias("neighbor_id"), "cos_sim")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+        )
     return (
         scored.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)

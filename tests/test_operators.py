@@ -2087,3 +2087,36 @@ def test_cosine_topk_duplicate_collapse_exact_with_ties(spark):
     assert got == [5, 20, 1, 2]
     with pytest.raises(ValueError):
         sim.cosine_topk(emb, q, "embedding", "vec_id", duplicate_collapse="auto")
+
+
+def test_lsh_topk_duplicate_collapse_identical_to_direct(spark):
+    """LSH distinct-vector collapse: hyperplanes are seeded constants,
+    so a member's band keys equal its rep's and the collapsed plan must
+    return EXACTLY the direct plan's rows at every probe depth — on a
+    corpus with a mass-duplicate group, rep/member/unique queries."""
+    import numpy as np
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(3)
+    uniq = rng.standard_normal((40, 16)).astype("float64")
+    rows = [(i, [float(x) for x in uniq[0]]) for i in range(25)]  # mass
+    rows += [(25 + j, [float(x) for x in v]) for j, v in enumerate(uniq[1:])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = emb.filter(F.col("vec_id").isin(0, 3, 30, 50))
+    for probe in (0, 2):
+        for k in (3, 6):
+            direct = sorted(map(tuple, sim.lsh_topk(
+                emb, q, "embedding", "vec_id", dim=16, k=k,
+                num_planes=16, bands=4, probe=probe,
+            ).collect()))
+            coll = sorted(map(tuple, sim.lsh_topk(
+                emb, q, "embedding", "vec_id", dim=16, k=k,
+                num_planes=16, bands=4, probe=probe,
+                duplicate_collapse="always",
+            ).collect()))
+            assert coll == direct and direct, (probe, k)
+            assert all(a != b for a, b, _ in coll)
+    with pytest.raises(ValueError):
+        sim.lsh_topk(emb, q, "embedding", "vec_id", dim=16,
+                     duplicate_collapse="auto")
