@@ -1217,6 +1217,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     round_to: int = 6,
     exact: bool = False,
+    duplicate_collapse: str = "never",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
     every pair with cosine >= threshold, id_a < id_b.
@@ -1231,17 +1232,87 @@ def embedding_neardup_pairs(
       key and no all-pairs product ever forms. Recall is tuned by
       (num_planes, bands): for pair similarity s the per-pair miss
       probability is (1-(1-acos(s)/pi)^r)^b with r = num_planes/bands.
-    """
+
+    ``duplicate_collapse="always"`` (LSH mode): band and verify one
+    representative per DISTINCT vector, fan verified rep pairs out to
+    member pairs, and emit within-group pairs in closed form at cosine
+    exactly 1.0 — the pair-family hazard transplanted from the text
+    family: a g-strong identical-embedding group otherwise lands whole
+    in each of its ``bands`` buckets, so ONE task runs a serial g×g
+    verify matmul (cmax² work no executor count absorbs) and the
+    distinct shuffles the group's g² passing pairs once per band.
+    Result-exact: cosine and band keys are vector-determined, so member
+    candidacy ⟺ rep candidacy and scores transfer; identical non-zero
+    vectors score bitwise 1.0 on the direct path too (num == den in the
+    same arithmetic), while an all-zero group verifies NaN there and is
+    correspondingly excluded from the closed form here. Opt-in like the
+    similarity tiers (no calibrated auto break-even exists for the
+    matmul verify kernel — the text family's beta does not transfer);
+    flip it when the largest identical-embedding group is large enough
+    that g² work in one task matters."""
     from datamine_v2_0_spark.operators.similarity import (
         banded_keys_udf,
         cosine_pairs_udf,
         make_hyperplanes,
     )
 
+    if duplicate_collapse not in ("always", "never"):
+        raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     # NULL vectors can't hash into a band or verify a cosine — drop them
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col)
     )
+    if duplicate_collapse == "always" and not exact:
+        fp = base.select(
+            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
+        )
+        groups = fp.groupBy("__fp").agg(
+            F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__cnt")
+        )
+        rep_base = base.join(
+            groups.select(F.col("__rep").alias(id_col)), id_col
+        )
+        rep_pairs = embedding_neardup_pairs(
+            rep_base, vec_col, id_col, dim, threshold, num_planes,
+            bands, seed, round_to, exact=False, duplicate_collapse="never",
+        )
+        members = fp.join(groups, "__fp").select(
+            "__rep", F.col(id_col).alias("__m")
+        )
+        ma = members.select(
+            F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")
+        )
+        mb = members.select(
+            F.col("__rep").alias("id_b"), F.col("__m").alias("__mb")
+        )
+        cross = rep_pairs.join(ma, "id_a").join(mb, "id_b").select(
+            F.least("__ma", "__mb").alias("id_a"),
+            F.greatest("__ma", "__mb").alias("id_b"),
+            "cos_sim",
+        )
+        if threshold > 1.0:
+            return cross
+        # within-group pairs: identical vectors, cosine exactly 1.0 —
+        # emitted only for non-zero vectors (a zero-vector group
+        # verifies NaN on the direct path and never passes)
+        nonzero = rep_base.filter(
+            F.aggregate(
+                F.col(vec_col).cast("array<double>"),
+                F.lit(0.0),
+                lambda a, x: a + x * x,
+            )
+            > 0
+        ).select(F.col(id_col).alias("__rep"))
+        m1 = members.join(nonzero, "__rep").select(
+            "__rep", F.col("__m").alias("id_a")
+        )
+        m2 = members.select("__rep", F.col("__m").alias("id_b"))
+        within = (
+            m1.join(m2, "__rep")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1.0).alias("cos_sim"))
+        )
+        return cross.unionByName(within)
     if exact:
         a = base.select(
             F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")

@@ -2120,3 +2120,40 @@ def test_lsh_topk_duplicate_collapse_identical_to_direct(spark):
     with pytest.raises(ValueError):
         sim.lsh_topk(emb, q, "embedding", "vec_id", dim=16,
                      duplicate_collapse="auto")
+
+
+def test_embedding_neardup_duplicate_collapse_parity(spark):
+    """Representative-collapsed embedding near-dup must match the direct
+    LSH plan exactly on a corpus with a mass-duplicate vector group, a
+    zero-vector group (never emitted — NaN on the direct path), and
+    near-duplicate unique vectors."""
+    import numpy as np
+
+    from datamine_v2_0_spark.operators import similarity as sim  # noqa: F401
+
+    rng = np.random.RandomState(5)
+    v = rng.standard_normal(16)
+    near = v + rng.standard_normal(16) * 0.01      # cos ~0.9999 with v
+    far = rng.standard_normal(16)
+    rows = [(i, [float(x) for x in v]) for i in range(12)]        # mass
+    rows += [(20, [float(x) for x in near]), (21, [float(x) for x in far])]
+    rows += [(30, [0.0] * 16), (31, [0.0] * 16)]                  # zeros
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(dim=16, threshold=0.9, num_planes=16, bands=8)
+    direct = sorted(map(tuple, dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", **kw
+    ).collect()))
+    coll = sorted(map(tuple, dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", duplicate_collapse="always", **kw
+    ).collect()))
+    assert coll == direct and direct
+    # the mass group's within pairs are present at exactly 1.0, the
+    # zero-vector pair is absent, the near-dup rep pair fans correctly
+    got = set((a, b) for a, b, _ in coll)
+    assert (0, 1) in got and (10, 11) in got
+    assert (30, 31) not in got
+    assert (0, 20) in got  # near-dup of the mass vector, via rep fan-out
+    with pytest.raises(ValueError):
+        dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", dim=16, duplicate_collapse="auto"
+        )
