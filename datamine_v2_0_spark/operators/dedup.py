@@ -1263,21 +1263,17 @@ def embedding_neardup_pairs(
         F.col(id_col), F.col(vec_col)
     )
     if duplicate_collapse == "always" and not exact:
-        fp = base.select(
-            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
+        from datamine_v2_0_spark.operators.similarity import (
+            vector_rep_groups,
         )
-        groups = fp.groupBy("__fp").agg(
-            F.min(id_col).alias("__rep"), F.count(F.lit(1)).alias("__cnt")
-        )
-        rep_base = base.join(
-            groups.select(F.col("__rep").alias(id_col)), id_col
+
+        rep_base, members0 = vector_rep_groups(base, vec_col, id_col)
+        members = members0.select(
+            F.col("neighbor_id").alias("__rep"), "__m"
         )
         rep_pairs = embedding_neardup_pairs(
             rep_base, vec_col, id_col, dim, threshold, num_planes,
             bands, seed, round_to, exact=False, duplicate_collapse="never",
-        )
-        members = fp.join(groups, "__fp").select(
-            "__rep", F.col(id_col).alias("__m")
         )
         ma = members.select(
             F.col("__rep").alias("id_a"), F.col("__m").alias("__ma")

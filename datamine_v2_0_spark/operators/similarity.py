@@ -67,6 +67,23 @@ def cosine_pairs_udf():
     return _cos
 
 
+def vector_rep_groups(df: DataFrame, vec_col: str, id_col: str):
+    """(rep_corpus, members) — the shared first stage of every
+    ``duplicate_collapse="always"`` plan in the ANN family: one
+    representative row per DISTINCT vector (rep = min member id over
+    the raw-byte xxhash64 fingerprint of the vector) and the
+    (neighbor_id = rep, __m = member id) fan-out map. Two narrow
+    aggregates/joins over (id, 8-byte hash) columns — the vectors
+    themselves never shuffle here."""
+    fp = df.select(F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp"))
+    reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
+    rep_corpus = df.join(reps.select(F.col("__rep").alias(id_col)), id_col)
+    members = fp.join(reps, "__fp").select(
+        F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
+    )
+    return rep_corpus, members
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -118,13 +135,8 @@ def cosine_topk(
         F.desc("cos_sim"), F.col("neighbor_id")
     )
     if duplicate_collapse == "always":
-        fp = corpus.select(
-            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
-        )
-        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-        rep_vecs = corpus.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col
-        ).select(
+        rep_corpus, members = vector_rep_groups(corpus, vec_col, id_col)
+        rep_vecs = rep_corpus.select(
             F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cvec")
         )
         rep_scored = rep_vecs.crossJoin(q).select(
@@ -140,9 +152,6 @@ def cosine_topk(
             rep_scored.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") <= k + 1)
             .drop("__rn")
-        )
-        members = fp.join(reps, "__fp").select(
-            F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
         )
         scored = (
             rep_top.join(members, "neighbor_id")
@@ -494,16 +503,7 @@ def lsh_topk(
     members = None
     index_corpus = corpus
     if duplicate_collapse == "always":
-        fp = corpus.select(
-            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
-        )
-        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-        index_corpus = corpus.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col
-        )
-        members = fp.join(reps, "__fp").select(
-            F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
-        )
+        index_corpus, members = vector_rep_groups(corpus, vec_col, id_col)
     # NULL vectors have no signature and would crash the numpy kernel
     # (a None row turns the Arrow batch into an object array)
     c = index_corpus.filter(F.col(vec_col).isNotNull()).select(
@@ -807,16 +807,7 @@ def pq_rerank_topk(
     members = None
     index_corpus = corpus
     if duplicate_collapse == "always":
-        fp = corpus.select(
-            F.col(id_col), F.xxhash64(F.col(vec_col)).alias("__fp")
-        )
-        reps = fp.groupBy("__fp").agg(F.min(id_col).alias("__rep"))
-        index_corpus = corpus.join(
-            reps.select(F.col("__rep").alias(id_col)), id_col
-        )
-        members = fp.join(reps, "__fp").select(
-            F.col("__rep").alias("neighbor_id"), F.col(id_col).alias("__m")
-        )
+        index_corpus, members = vector_rep_groups(corpus, vec_col, id_col)
     # collapsed: shortlist reps WITHOUT rep-level self-exclusion (a
     # query inside a duplicate group would otherwise lose its whole
     # group when it IS the rep, or gain a self-pair via fan-out when it
