@@ -42,11 +42,14 @@ def _spread(df: DataFrame) -> DataFrame:
     ``maxPartitionBytes``), so the expensive per-doc stage downstream
     (shingling, signature kernels) runs on a single core — measured 32×
     under-parallelized on local[32]. If the scan yields fewer partitions
-    than half the default parallelism, round-robin repartition; at real
-    scale inputs already carry ≫ defaultParallelism splits and this is a
-    no-op (no shuffle inserted)."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
+    than half the target parallelism, round-robin repartition; at real
+    scale inputs already carry ≫ target splits and this is a no-op (no
+    shuffle inserted). The target comes from _plan_parallelism (the
+    configured shuffle partitioning, max'd with defaultParallelism) —
+    the instantaneous executor count under-spreads before dynamic
+    allocation registers executors, the same hazard the pair-family
+    crossover had (round-9 ADVICE)."""
+    target = _plan_parallelism(df.sparkSession)
     if df.rdd.getNumPartitions() < max(1, target // 2):
         return df.repartition(target)
     return df
