@@ -2157,3 +2157,76 @@ def test_embedding_neardup_duplicate_collapse_parity(spark):
         dd.embedding_neardup_pairs(
             emb, "embedding", "vec_id", dim=16, duplicate_collapse="auto"
         )
+
+
+def test_ann_collapse_paths_layout_invariant(spark):
+    """The opt-in collapse plans must be layout-deterministic: the
+    registry determinism sweep only exercises default modes, so the
+    collapsed fan-out joins + rank windows get their own two-layout
+    compare (same data, different partitioning)."""
+    import numpy as np
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    rng = np.random.RandomState(17)
+    uniq = rng.standard_normal((30, 16)).astype("float64")
+    rows = [(i, [float(x) for x in uniq[0]]) for i in range(15)]
+    rows += [(15 + j, [float(x) for x in v]) for j, v in enumerate(uniq[1:])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    alt = emb.repartition(7)
+    q = emb.filter(F.col("vec_id").isin(0, 2, 20))
+    qa = alt.filter(F.col("vec_id").isin(0, 2, 20))
+
+    def rows_of(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows_of(sim.cosine_topk(
+        emb, q, "embedding", "vec_id", k=4, duplicate_collapse="always"
+    )) == rows_of(sim.cosine_topk(
+        alt, qa, "embedding", "vec_id", k=4, duplicate_collapse="always"
+    ))
+    assert rows_of(sim.lsh_topk(
+        emb, q, "embedding", "vec_id", dim=16, k=4, num_planes=16,
+        bands=4, probe=1, duplicate_collapse="always",
+    )) == rows_of(sim.lsh_topk(
+        alt, qa, "embedding", "vec_id", dim=16, k=4, num_planes=16,
+        bands=4, probe=1, duplicate_collapse="always",
+    ))
+    assert rows_of(dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", dim=16, threshold=0.9,
+        duplicate_collapse="always",
+    )) == rows_of(dd.embedding_neardup_pairs(
+        alt, "embedding", "vec_id", dim=16, threshold=0.9,
+        duplicate_collapse="always",
+    ))
+
+
+def test_cosine_collapse_randomized_cross_validation(spark):
+    """Seeded randomized check of the group-cover proof: random corpora
+    with random duplicate-group structure, random query subsets, random
+    k — collapsed must equal direct on every draw. Deterministic seeds
+    (no flaky CI), 6 draws x one comparison each."""
+    import numpy as np
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    for seed in range(6):
+        rng = np.random.RandomState(100 + seed)
+        n_groups = rng.randint(3, 10)
+        vecs = rng.standard_normal((n_groups, 8))
+        rows, vid = [], 0
+        for g in range(n_groups):
+            for _ in range(rng.randint(1, 8)):
+                rows.append((vid, [float(x) for x in vecs[g]]))
+                vid += 1
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        qids = [int(i) for i in rng.choice(vid, size=min(4, vid), replace=False)]
+        q = emb.filter(F.col("vec_id").isin(qids))
+        k = int(rng.randint(1, vid + 2))
+        direct = sorted(map(tuple, sim.cosine_topk(
+            emb, q, "embedding", "vec_id", k=k
+        ).collect()))
+        coll = sorted(map(tuple, sim.cosine_topk(
+            emb, q, "embedding", "vec_id", k=k, duplicate_collapse="always"
+        ).collect()))
+        assert coll == direct, (seed, k, qids)
