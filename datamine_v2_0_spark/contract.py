@@ -42,7 +42,7 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  an entry is defined.
 #   WINDOW_R10  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 10 queries whose implementation changed in round 10
+#                  the 11 queries whose implementation changed in round 10
 #                  lead (the shared-probe/dup_stats plumbing, the
 #                  reliable= lineage truncation through the collapse
 #                  paths, and the configured-parallelism plan P touched
@@ -52,14 +52,16 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  graph they consume, dedup_groups / dedup_canonical;
 #                  sim_pq_topk switched to the representative-collapsed
 #                  PQ index after the skewed recall run exposed
-#                  shortlist clogging under mass-duplicate vectors),
-#                  followed by _TAIL_R9's first 40 — which by the round-9
+#                  shortlist clogging under mass-duplicate vectors;
+#                  dedup_embedding gained the calibrated auto
+#                  representative collapse),
+#                  followed by _TAIL_R9's first 39 — which by the round-9
 #                  construction re-proves every query whose driver
 #                  evidence predates round 6 (win_rolling_corr, last
 #                  driver-green in round 3, plus the six round-5-evidence
 #                  entries all sit inside that rung).
 #   _TAIL_R10   -- the remaining 103, oldest driver evidence first
-#                  (the demoted 41st tail entry + _TAIL_R9's leftover 62 minus
+#                  (the demoted 40th/41st tail entries + _TAIL_R9's leftover 62 minus
 #                  sim_pq_topk, then round 9's 41 unchanged
 #                  window entries, freshest last), so the round-11
 #                  window is simply the next 50.
@@ -233,6 +235,7 @@ WINDOW_R10: list[str] = [
     "dedup_groups",
     "dedup_canonical",
     "sim_pq_topk",
+    "dedup_embedding",
     "join_lookup",
     "join_salted",
     "pipeline_features",
@@ -272,10 +275,10 @@ WINDOW_R10: list[str] = [
     "join_bloom",
     "agg_tdigest",
     "ts_ewma",
-    "ts_cusum",
 ]
 
 _TAIL_R10: list[str] = [
+    "ts_cusum",
     "agg_grouping_sets",
     "agg_hopping",
     "agg_rollup",
@@ -368,7 +371,6 @@ _TAIL_R10: list[str] = [
     "agg_salted",
     "agg_topk_group",
     "agg_winsorize",
-    "dedup_embedding",
     "dedup_exact_keep",
     "dedup_simhash",
     "dedup_substring",

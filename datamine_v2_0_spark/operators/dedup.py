@@ -660,6 +660,15 @@ PAIR_COLLAPSE_BETA = 14_400
 # reproduces its sf0.01-skew reading too (threshold 221, measured
 # direct-wins at cmax 200).
 AGAINST_COLLAPSE_BETA = 3_136
+# embedding_neardup_pairs (round 10): same serial-hotspot mechanism on
+# vectors — a g-strong identical-embedding group is one g×g verify
+# matmul in one bucket task plus g² passing pairs shuffled once per
+# band. Calibrated on the sf0.1 embeddings (n=2000, dim=64, P=32) with
+# planted duplicate groups: direct wins at g ≤ 400 (0.94 vs 1.05 s),
+# collapse wins at 600 (2.09 vs 1.60) and 800 (2.29/1.86 same-session;
+# 6.16/1.44 on the skew replica where other duplicates compound) →
+# crossover ≈ sqrt(400·600) ≈ 490 → beta = 490²·32/2000.
+EMBED_COLLAPSE_BETA = 3_841
 PAIR_COLLAPSE_CMAX_MIN = 64
 # posting hotspot: a mega group's posting pairs spread over its own
 # ~doc-length distinct shingle keys, so the serial fraction is far
@@ -1220,7 +1229,7 @@ def embedding_neardup_pairs(
     seed: int = 42,
     round_to: int = 6,
     exact: bool = False,
-    duplicate_collapse: str = "never",
+    duplicate_collapse: str = "auto",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: (id_a, id_b, cos_sim) for
     every pair with cosine >= threshold, id_a < id_b.
@@ -1236,36 +1245,40 @@ def embedding_neardup_pairs(
       (num_planes, bands): for pair similarity s the per-pair miss
       probability is (1-(1-acos(s)/pi)^r)^b with r = num_planes/bands.
 
-    ``duplicate_collapse="always"`` (LSH mode): band and verify one
-    representative per DISTINCT vector, fan verified rep pairs out to
-    member pairs, and emit within-group pairs in closed form at cosine
-    exactly 1.0 — the pair-family hazard transplanted from the text
-    family: a g-strong identical-embedding group otherwise lands whole
-    in each of its ``bands`` buckets, so ONE task runs a serial g×g
-    verify matmul (cmax² work no executor count absorbs) and the
+    ``duplicate_collapse`` (LSH mode): representative collapse — band
+    and verify one rep per DISTINCT vector, fan verified rep pairs out
+    to member pairs, and emit within-group pairs in closed form at
+    cosine exactly 1.0 — the pair-family hazard transplanted from the
+    text family: a g-strong identical-embedding group otherwise lands
+    whole in each of its ``bands`` buckets, so ONE task runs a serial
+    g×g verify matmul (cmax² work no executor count absorbs) and the
     distinct shuffles the group's g² passing pairs once per band.
-    Result-exact: cosine and band keys are vector-determined, so member
-    candidacy ⟺ rep candidacy and scores transfer; identical non-zero
-    vectors score bitwise 1.0 on the direct path too (num == den in the
-    same arithmetic), while an all-zero group verifies NaN there and is
-    correspondingly excluded from the closed form here. Opt-in like the
-    similarity tiers (no calibrated auto break-even exists for the
-    matmul verify kernel — the text family's beta does not transfer);
-    flip it when the largest identical-embedding group is large enough
-    that g² work in one task matters."""
+    Result-exact on every input: cosine and band keys are
+    vector-determined, so member candidacy ⟺ rep candidacy and scores
+    transfer; identical non-zero vectors score bitwise 1.0 on the
+    direct path too (num == den in the same arithmetic), while an
+    all-zero group verifies NaN there and is correspondingly excluded
+    from the closed form here. ``"auto"`` (default) probes the vector
+    column (the same cached _dup_stats scan — xxhash64 hashes arrays)
+    against the scale-aware sqrt(EMBED_COLLAPSE_BETA·n/P) crossover,
+    calibrated from a planted-group band on the sf0.1 embeddings (see
+    the constant's derivation block); the exact brute-force mode never
+    probes or collapses — it is the small-corpus oracle baseline."""
     from datamine_v2_0_spark.operators.similarity import (
         banded_keys_udf,
         cosine_pairs_udf,
         make_hyperplanes,
     )
 
-    if duplicate_collapse not in ("always", "never"):
+    if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     # NULL vectors can't hash into a band or verify a cosine — drop them
     base = df.filter(F.col(vec_col).isNotNull()).select(
         F.col(id_col), F.col(vec_col)
     )
-    if duplicate_collapse == "always" and not exact:
+    if not exact and _resolve_pair_collapse(
+        base, vec_col, duplicate_collapse, beta=EMBED_COLLAPSE_BETA
+    ):
         from datamine_v2_0_spark.operators.similarity import (
             vector_rep_groups,
         )

@@ -2153,9 +2153,27 @@ def test_embedding_neardup_duplicate_collapse_parity(spark):
     assert (0, 1) in got and (10, 11) in got
     assert (30, 31) not in got
     assert (0, 20) in got  # near-dup of the mass vector, via rep fan-out
+    # auto on this tiny fixture (cmax 12 < the 64-floor threshold)
+    # picks direct and must equal both plans
+    auto = sorted(map(tuple, dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", duplicate_collapse="auto", **kw
+    ).collect()))
+    assert auto == direct
+    # the calibrated crossover: the measured sf0.1 bracket (direct wins
+    # at g=400, collapse at 600; n=2000, P=32 -> threshold ~490)
+    thr = dd._pair_cmax_threshold(2000, 32, dd.EMBED_COLLAPSE_BETA)
+    assert 400 < thr < 600
+    assert dd._resolve_pair_collapse(
+        None, "embedding", "auto", cmax_threshold=thr,
+        stats=(2000, 180.0, 600),
+    )
+    assert not dd._resolve_pair_collapse(
+        None, "embedding", "auto", cmax_threshold=thr,
+        stats=(2000, 80.0, 400),
+    )
     with pytest.raises(ValueError):
         dd.embedding_neardup_pairs(
-            emb, "embedding", "vec_id", dim=16, duplicate_collapse="auto"
+            emb, "embedding", "vec_id", dim=16, duplicate_collapse="bogus"
         )
 
 
