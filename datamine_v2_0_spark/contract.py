@@ -71,6 +71,7 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 _ALL: dict[str, tuple] = {
     "agg_ab_test": (q_agg_ab_test, SQL_AGG_AB_TEST),
     "agg_approx": (q_agg_approx, None),
+    "agg_cms_counts": (q_agg_cms_counts, SQL_AGG_CMS_COUNTS),
     "agg_conditional": (q_agg_conditional, SQL_AGG_CONDITIONAL),
     "agg_corr_matrix": (q_agg_corr_matrix, SQL_AGG_CORR_MATRIX),
     "agg_cube": (q_agg_cube, SQL_AGG_CUBE),
@@ -225,6 +226,7 @@ _ALL: dict[str, tuple] = {
 }
 
 WINDOW_R10: list[str] = [
+    "agg_cms_counts",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
@@ -274,10 +276,10 @@ WINDOW_R10: list[str] = [
     "sql_views",
     "join_bloom",
     "agg_tdigest",
-    "ts_ewma",
 ]
 
 _TAIL_R10: list[str] = [
+    "ts_ewma",
     "ts_cusum",
     "agg_grouping_sets",
     "agg_hopping",

@@ -296,3 +296,120 @@ def merge_tdigests(
         merge, schema=f"{key_schema}, n long, {qschema}"
     )
     return out.drop("__all") if drop_all else out
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _cms_cell(key_str: "F.Column", j: int, width: int, portable: bool):
+    """Cell index of ``key`` in sketch row ``j``: hash(j ':' key) mod width.
+
+    ``portable=True`` uses the 60-bit md5-prefix family (first 15 hex
+    chars of md5, base 16 — always non-negative, so ``%`` and ``pmod``
+    agree), reproducible bit-for-bit in any ANSI SQL engine — the same
+    family that makes the portable SimHash oracle-checkable.
+    ``portable=False`` uses xxhash64 (faster; sign handled via pmod)."""
+    salted = F.concat(F.lit(f"{j}:"), key_str)
+    if portable:
+        h = F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+    else:
+        h = F.xxhash64(salted)
+    return F.pmod(h, F.lit(width)).cast("int")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 512,
+    weight_col: str | None = None,
+    portable: bool = True,
+) -> DataFrame:
+    """Count-min sketch of ``key_col`` frequencies (optionally weighted):
+    returns the full sketch table ``(row int, cell int, total long)`` with
+    at most ``depth * width`` rows.
+
+    Spark-first shape: the sketch IS a bounded GROUP BY. Each input row
+    contributes ``depth`` (row, cell) increments via one posexplode, and
+    ``groupBy(row, cell).sum(weight)`` bounds BOTH executor hash-map
+    memory and shuffle volume at depth*width entries per partition —
+    Tungsten's map-side partial aggregation is exactly the per-partition
+    sketch, and the exchange merge is exactly CMS's cell-wise sum merge.
+    At 100 TB: one scan of two thin columns, a depth*width-row shuffle,
+    no driver state. Point estimates then come from
+    :func:`cms_estimate` (broadcast join of the KB-scale sketch);
+    day->week rollups from :func:`cms_merge` with no raw rescan.
+
+    Guarantees (classic CMS): every estimate OVERcounts or is exact,
+    and with prob >= 1 - exp(-depth) the overcount is <= e/width * N
+    (N = total weight). Zero-count keys estimate 0 only if one of their
+    cells is untouched; collisions are data-dependent but fully
+    deterministic given the seeded hash family, so the portable variant
+    is hash-checkable against an independent SQL engine AT production
+    width (collisions and all), not just at a collision-free operating
+    point.
+
+    Reference parity note: no counterpart in the reference (its counting
+    passes are exact single-node SQL); part of the beyond-reference
+    scale surface alongside Misra-Gries / t-digest / HLL."""
+    if depth < 1 or width < 1:
+        raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
+    k = F.col(key_col).cast("string")
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    cells = F.array(*[_cms_cell(k, j, width, portable) for j in range(depth)])
+    return (
+        df.filter(F.col(key_col).isNotNull())
+        .select(F.posexplode(cells).alias("row", "cell"), w.alias("__w"))
+        .groupBy("row", "cell")
+        .agg(F.sum("__w").alias("total"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Cell-wise sum of two sketches built with the SAME (depth, width,
+    portable) parameters — the CMS merge is associative and lossless
+    (merge-then-estimate == estimate-on-union, exactly), so partition /
+    day sketches roll up without rescanning raw data."""
+    return (
+        a.unionByName(b)
+        .groupBy("row", "cell")
+        .agg(F.sum("total").alias("total"))
+    )
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    keys: DataFrame,
+    key_col: str,
+    depth: int = 3,
+    width: int = 512,
+    portable: bool = True,
+) -> DataFrame:
+    """Point-estimate each key in ``keys`` against a sketch built by
+    :func:`cms_sketch` with the same parameters: est = min over the
+    ``depth`` rows of the key's cell counters (0 for untouched cells).
+    Returns ``(key_col, est long)``.
+
+    The sketch is <= depth*width rows (KB-scale), so the join broadcasts
+    the sketch side and the keys side streams — estimation over any
+    number of probe keys is a map-side join plus a depth-row min."""
+    k = F.col(key_col).cast("string")
+    cells = F.array(*[_cms_cell(k, j, width, portable) for j in range(depth)])
+    q = keys.filter(F.col(key_col).isNotNull()).select(
+        key_col, F.posexplode(cells).alias("row", "cell")
+    )
+    return (
+        q.join(F.broadcast(sketch), ["row", "cell"], "left")
+        .groupBy(key_col)
+        .agg(
+            F.min(F.coalesce(F.col("total"), F.lit(0).cast("long"))).alias(
+                "est"
+            )
+        )
+    )

@@ -884,3 +884,47 @@ SELECT o.o_orderkey, o.o_orderpriority,
 FROM orders o JOIN caps
   ON o.o_orderpriority IS NOT DISTINCT FROM caps.o_orderpriority
 """
+
+
+def q_agg_cms_counts(spark, sf_dir):
+    """Count-min sketch round trip at PRODUCTION width: sketch
+    events.user_id at depth 3 x width 512 (collisions occur and are
+    part of the certified answer), then point-estimate every distinct
+    user. Unlike the heavy-hitters / t-digest certifications, which
+    pin an operating point where the sketch is provably exact, the
+    portable md5-60 hash family lets the oracle replicate the sketch
+    computation itself bit-for-bit — the APPROXIMATION is what gets
+    hash-matched. Overestimate/merge guarantees live in
+    test_sketches."""
+    from datamine_v2_0_spark.operators import sketches as sk
+
+    ev = _t(spark, sf_dir, "events")
+    sketch = sk.cms_sketch(ev, "user_id", depth=3, width=512, portable=True)
+    keys = ev.select("user_id").distinct()
+    return sk.cms_estimate(sketch, keys, "user_id", depth=3, width=512)
+
+
+SQL_AGG_CMS_COUNTS = """
+WITH js AS (SELECT unnest([0, 1, 2]) AS j),
+ks AS (
+  SELECT CAST(user_id AS VARCHAR) AS k, user_id
+  FROM events WHERE user_id IS NOT NULL
+),
+sk AS (
+  SELECT j.j AS row,
+         CAST(concat('0x', substr(md5(concat(CAST(j.j AS VARCHAR), ':', ks.k)), 1, 15)) AS BIGINT) % 512 AS cell,
+         CAST(COUNT(*) AS BIGINT) AS total
+  FROM ks CROSS JOIN js j
+  GROUP BY 1, 2
+),
+dk AS (SELECT DISTINCT user_id, CAST(user_id AS VARCHAR) AS k FROM events WHERE user_id IS NOT NULL),
+cells AS (
+  SELECT dk.user_id, j.j AS row,
+         CAST(concat('0x', substr(md5(concat(CAST(j.j AS VARCHAR), ':', dk.k)), 1, 15)) AS BIGINT) % 512 AS cell
+  FROM dk CROSS JOIN js j
+)
+SELECT c.user_id, CAST(MIN(coalesce(s.total, 0)) AS BIGINT) AS est
+FROM cells c
+LEFT JOIN sk s ON s.row = c.row AND s.cell = c.cell
+GROUP BY c.user_id
+"""

@@ -127,3 +127,126 @@ def test_tdigest_merge_free_at_certified_capacity():
     assert len(cent) == 1000
     assert np.array_equal(cent[:, 0], np.sort(v))
     assert (cent[:, 1] == 1.0).all()
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+
+def _exact_counts(events, key="user_id"):
+    return {
+        r[key]: r.c
+        for r in events.filter(F.col(key).isNotNull())
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+
+
+def test_cms_overestimates_never_under(spark, events):
+    # width 16 << distinct keys: collisions are guaranteed, every
+    # estimate must still be >= the true count (the CMS one-sided bound)
+    sketch = sk.cms_sketch(events, "user_id", depth=3, width=16)
+    keys = events.select("user_id").distinct()
+    est = {
+        r.user_id: r.est
+        for r in sk.cms_estimate(sketch, keys, "user_id", depth=3, width=16).collect()
+    }
+    exact = _exact_counts(events)
+    assert set(est) == set(exact)
+    assert all(est[k] >= exact[k] for k in exact)
+    assert any(est[k] > exact[k] for k in exact)  # collisions really occurred
+
+
+def test_cms_exact_when_collision_free(spark, events):
+    # huge width: if a key's THREE cells are touched by no other key in
+    # at least one row, its estimate is exactly its count; verify the
+    # implication per key by recomputing cell occupancy driver-side
+    depth, width = 3, 1 << 20
+    sketch = sk.cms_sketch(events, "user_id", depth=depth, width=width)
+    keys = events.select("user_id").distinct()
+    est = {
+        r.user_id: r.est
+        for r in sk.cms_estimate(
+            sketch, keys, "user_id", depth=depth, width=width
+        ).collect()
+    }
+    exact = _exact_counts(events)
+    import hashlib
+
+    cell_keys: dict = {}
+    for k in exact:
+        for j in range(depth):
+            h = int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16)
+            cell_keys.setdefault((j, h % width), set()).add(k)
+    for k, c in exact.items():
+        alone = any(
+            cell_keys[
+                (j, int(hashlib.md5(f"{j}:{k}".encode()).hexdigest()[:15], 16) % width)
+            ]
+            == {k}
+            for j in range(depth)
+        )
+        if alone:
+            assert est[k] == c, k
+        else:
+            assert est[k] >= c, k
+
+
+def test_cms_merge_equals_direct(spark, events):
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    merged = sk.cms_merge(
+        sk.cms_sketch(half_a, "user_id", depth=3, width=64),
+        sk.cms_sketch(half_b, "user_id", depth=3, width=64),
+    )
+    direct = sk.cms_sketch(events, "user_id", depth=3, width=64)
+    as_dict = lambda df: {(r.row, r.cell): r.total for r in df.collect()}
+    assert as_dict(merged) == as_dict(direct)
+
+
+def test_cms_weighted_and_fast_path(spark, events):
+    ev = events.withColumn("w", (F.col("event_id") % 5 + 1).cast("long"))
+    for portable in (True, False):
+        sketch = sk.cms_sketch(
+            ev, "user_id", depth=3, width=32, weight_col="w", portable=portable
+        )
+        total = sketch.filter(F.col("row") == 0).agg(F.sum("total")).collect()[0][0]
+        want = ev.agg(F.sum("w")).collect()[0][0]
+        assert total == want  # row 0 cells partition the total weight
+        exact = {
+            r.user_id: r.s
+            for r in ev.groupBy("user_id").agg(F.sum("w").alias("s")).collect()
+        }
+        est = {
+            r.user_id: r.est
+            for r in sk.cms_estimate(
+                sketch,
+                ev.select("user_id").distinct(),
+                "user_id",
+                depth=3,
+                width=32,
+                portable=portable,
+            ).collect()
+        }
+        assert all(est[k] >= exact[k] for k in exact)
+
+
+def test_cms_unseen_key_and_bounds(spark, events):
+    depth, width = 4, 1 << 18
+    sketch = sk.cms_sketch(events, "user_id", depth=depth, width=width)
+    assert sketch.count() <= depth * width
+    unseen = spark.createDataFrame([(987654321012345,)], "user_id long")
+    got = sk.cms_estimate(sketch, unseen, "user_id", depth=depth, width=width).collect()
+    # at 2^18 cells vs ~150 keys the 4 probe cells are overwhelmingly
+    # untouched; est must then be exactly 0 (left join -> coalesce 0)
+    assert got[0].est == 0
+
+
+def test_cms_empty_input(spark):
+    empty = spark.createDataFrame([], "user_id long")
+    sketch = sk.cms_sketch(empty, "user_id", depth=3, width=64)
+    assert sketch.count() == 0
+    est = sk.cms_estimate(sketch, empty, "user_id", depth=3, width=64)
+    assert est.count() == 0
