@@ -137,6 +137,7 @@ _ALL: dict[str, tuple] = {
     "filt_temperature_mix": (q_filt_temperature_mix, SQL_FILT_TEMPERATURE_MIX),
     "filt_token_budget": (q_filt_token_budget, SQL_FILT_TOKEN_BUDGET),
     "filt_weighted_mix": (q_filt_weighted_mix, SQL_FILT_WEIGHTED_MIX),
+    "filt_weighted_sample": (q_filt_weighted_sample, SQL_FILT_WEIGHTED_SAMPLE),
     "geo_radius_join": (q_geo_radius_join, SQL_GEO_RADIUS_JOIN),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "join_anti": (q_join_anti, SQL_JOIN_ANTI),
@@ -227,6 +228,7 @@ _ALL: dict[str, tuple] = {
 
 WINDOW_R10: list[str] = [
     "agg_cms_counts",
+    "filt_weighted_sample",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
@@ -275,10 +277,10 @@ WINDOW_R10: list[str] = [
     "join_interval",
     "sql_views",
     "join_bloom",
-    "agg_tdigest",
 ]
 
 _TAIL_R10: list[str] = [
+    "agg_tdigest",
     "ts_ewma",
     "ts_cusum",
     "agg_grouping_sets",

@@ -338,3 +338,99 @@ def stratified_sample_exact_k(
         .filter(F.col("__rn") <= k)
         .drop("__h", "__rn")
     )
+
+
+def weighted_sample_k(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int,
+    seed: int = 42,
+    method: str = "exact",
+    max_weight: int = 1024,
+    keep_priority: bool = False,
+) -> DataFrame:
+    """Weighted sampling WITHOUT replacement of exactly min(k, n) rows,
+    deterministic and layout-independent: Efraimidis-Spirakis priority
+    sampling, where each row draws priority u_i^(1/w_i) (u_i uniform)
+    and the k largest priorities win. Rows with NULL / non-positive
+    weight never sample; quality-weighted corpus selection where "about
+    k" isn't acceptable (the weighted cousin of
+    stratified_sample_exact_k).
+
+    ``method="exact"`` (small INTEGER weights <= ``max_weight``): uses
+    the identity P(max of w uniforms <= x) = x^w = P(u^(1/w) <= x) —
+    the priority is the MAX of ``w`` seeded md5-60 hashes, an exact
+    integer, so the draw is reproducible bit-for-bit in any SQL engine
+    (no pow/ln float rounding at the k-th boundary). Cost: a length-w
+    hash array per row (bounded by ``max_weight``; weights above it
+    raise rather than silently clip).
+
+    ``method="float"``: priority ln(u)/w for arbitrary positive DOUBLE
+    weights, O(1) per row — the 100 TB path (token-count weights in the
+    millions would make the exact form's array explode). Deterministic
+    given the seed, but the ln boundary is engine-libm-specific, so
+    it's not oracle-portable; property coverage in test_filters.
+
+    Both forms end in an orderBy(priority).limit(k) — Spark executes
+    TakeOrdered (per-partition bounded heap, k rows to the driver's
+    final merge), never a full global sort."""
+    if method not in ("exact", "float"):
+        raise ValueError(f"method must be 'exact' or 'float', got {method!r}")
+    w = F.col(weight_col)
+    if method == "exact":
+        wl = w.cast("long")
+        pri = F.array_max(
+            F.transform(
+                F.sequence(F.lit(0).cast("long"), wl - 1),
+                lambda r: F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(f"{seed}:"),
+                                r.cast("string"),
+                                F.lit(":"),
+                                F.col(id_col).cast("string"),
+                            )
+                        ),
+                        1,
+                        15,
+                    ),
+                    16,
+                    10,
+                ).cast("long"),
+            )
+        )
+        pri = F.when(
+            wl > max_weight,
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"weighted_sample_k(method='exact') weight above "
+                        f"max_weight={max_weight} for id "
+                    ),
+                    F.col(id_col).cast("string"),
+                    F.lit("; use method='float' for large weights"),
+                )
+            ).cast("long"),
+        ).otherwise(pri)
+        out = df.filter(wl >= 1)
+    else:
+        h = F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("double")
+        u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
+        pri = F.log(u) / w.cast("double")
+        out = df.filter(w.cast("double") > 0)
+    out = (
+        out.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.col(id_col))
+        .limit(k)
+    )
+    return out if keep_priority else out.drop("priority")

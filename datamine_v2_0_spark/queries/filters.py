@@ -279,3 +279,35 @@ WITH h1 AS (
 )
 SELECT doc_id, lang FROM r WHERE rn <= 20
 """
+
+
+def q_filt_weighted_sample(spark, sf_dir):
+    """Efraimidis-Spirakis weighted sample at the integer-exact
+    operating point: priority = max of w seeded md5-60 hashes (same
+    law as u^(1/w)), so the DRAW ITSELF is replicated bit-for-bit by
+    the oracle — no pow/ln rounding at the k-th boundary. Weights are
+    a deterministic 1..7 bucket of doc_id; priority kept in the output
+    so the hash match certifies the full ordering, not just
+    membership."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 7 + 1).cast("long").alias("wt")
+    )
+    return flt.weighted_sample_k(
+        docs, "doc_id", "wt", k=100, seed=42, keep_priority=True
+    )
+
+
+SQL_FILT_WEIGHTED_SAMPLE = """
+WITH w AS (
+  SELECT doc_id, CAST(doc_id % 7 + 1 AS BIGINT) AS wt FROM documents
+),
+pri AS (
+  SELECT doc_id, wt,
+         MAX(CAST(concat('0x', substr(md5(concat('42:', CAST(r AS VARCHAR), ':', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)) AS priority
+  FROM (SELECT doc_id, wt, unnest(range(wt)) AS r FROM w) t
+  GROUP BY doc_id, wt
+)
+SELECT doc_id, wt, priority FROM pri
+ORDER BY priority DESC, doc_id
+LIMIT 100
+"""

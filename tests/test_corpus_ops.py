@@ -534,3 +534,81 @@ def test_duplicate_spans_merge_overlapping_regions(spark):
         if r.doc_id == 1
     }
     assert spans == {(1, 1, 10): 10}
+
+
+# ---------------------------------------------------------------------------
+# weighted_sample_k (Efraimidis-Spirakis priority sampling)
+# ---------------------------------------------------------------------------
+
+
+def _es_priority_py(doc_id: int, w: int, seed: int) -> int:
+    """Pure-python replica of the exact-method priority (max of w
+    seeded md5-60 hashes) — the independent implementation the Spark
+    output is checked against."""
+    import hashlib
+
+    return max(
+        int(hashlib.md5(f"{seed}:{r}:{doc_id}".encode()).hexdigest()[:15], 16)
+        for r in range(w)
+    )
+
+
+def test_weighted_sample_exact_matches_pure_python(spark):
+    rows = [(i, i % 7 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long")
+    got = flt.weighted_sample_k(
+        df, "doc_id", "wt", k=25, seed=11, keep_priority=True
+    ).collect()
+    want = sorted(
+        ((_es_priority_py(i, w, 11), i, w) for i, w in rows),
+        key=lambda t: (-t[0], t[1]),
+    )[:25]
+    assert [(r.priority, r.doc_id, r.wt) for r in got] == want
+
+
+def test_weighted_sample_law():
+    # P(priority_a > priority_b) = wa/(wa+wb) for the u^(1/w) law; the
+    # max-of-w integer form follows the same law exactly. Pure-python
+    # over many seeds (the Spark parity above pins the implementation).
+    wins = sum(
+        _es_priority_py(1, 3, seed) > _es_priority_py(2, 1, seed)
+        for seed in range(500)
+    )
+    assert 0.69 <= wins / 500 <= 0.81  # expect 0.75
+
+
+def test_weighted_sample_edge_cases(spark):
+    df = spark.createDataFrame(
+        [(1, 5), (2, 0), (3, None), (4, 2)], "doc_id long, wt int"
+    )
+    got = flt.weighted_sample_k(df, "doc_id", "wt", k=10)
+    assert sorted(r.doc_id for r in got.collect()) == [1, 4]  # 0/NULL never sample
+    assert "priority" not in got.columns
+    # exactly min(k, n) rows
+    assert flt.weighted_sample_k(df, "doc_id", "wt", k=1).count() == 1
+
+
+def test_weighted_sample_overweight_raises(spark):
+    df = spark.createDataFrame([(1, 2000)], "doc_id long, wt long")
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    with pytest.raises((Py4JJavaError, PySparkException, Exception)):
+        flt.weighted_sample_k(df, "doc_id", "wt", k=1, max_weight=1024).collect()
+
+
+def test_weighted_sample_float_path(spark):
+    rows = [(i, float(i % 9) + 0.5) for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, wt double")
+    a = flt.weighted_sample_k(df, "doc_id", "wt", k=40, method="float")
+    b = flt.weighted_sample_k(
+        df.repartition(7, "doc_id"), "doc_id", "wt", k=40, method="float"
+    )
+    ids_a = sorted(r.doc_id for r in a.collect())
+    ids_b = sorted(r.doc_id for r in b.collect())
+    assert ids_a == ids_b and len(ids_a) == 40  # layout-independent
+    neg = spark.createDataFrame([(1, -2.0), (2, 1.0)], "doc_id long, wt double")
+    assert [
+        r.doc_id for r in flt.weighted_sample_k(neg, "doc_id", "wt", k=5, method="float").collect()
+    ] == [2]
