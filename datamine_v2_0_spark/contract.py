@@ -199,6 +199,7 @@ _ALL: dict[str, tuple] = {
     "text_quality_gate": (q_text_quality_gate, SQL_TEXT_QUALITY_GATE),
     "text_redact": (q_text_redact, SQL_TEXT_REDACT),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_retrieval_eval": (q_text_retrieval_eval, SQL_TEXT_RETRIEVAL_EVAL),
     "text_rrf": (q_text_rrf, SQL_TEXT_RRF),
     "text_tfidf": (q_text_tfidf, SQL_TEXT_TFIDF),
     "text_tokens": (q_text_tokens, SQL_TEXT_TOKENS),
@@ -229,6 +230,7 @@ _ALL: dict[str, tuple] = {
 WINDOW_R10: list[str] = [
     "agg_cms_counts",
     "filt_weighted_sample",
+    "text_retrieval_eval",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
@@ -276,10 +278,10 @@ WINDOW_R10: list[str] = [
     "join_equi_revenue",
     "join_interval",
     "sql_views",
-    "join_bloom",
 ]
 
 _TAIL_R10: list[str] = [
+    "join_bloom",
     "agg_tdigest",
     "ts_ewma",
     "ts_cusum",

@@ -386,3 +386,88 @@ def rrf_fuse(
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= k)
     )
+
+
+def retrieval_eval(
+    results: DataFrame,
+    qrels: DataFrame,
+    k: int,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-quality metrics for a retrieval run: per query,
+    ``ndcg`` @k (binary gains: DCG = sum 1/log2(rank+1) over relevant
+    hits, IDCG = the same sum over the first min(k, n_rel) ideal
+    ranks), ``mrr`` @k (1/rank of the first relevant hit), ``recall``
+    @k, and ``n_rel`` (relevant-set size). The evaluation loop every
+    retrieval/dedup/decontamination pipeline runs next to BM25/ANN —
+    the ranked cousin of validation.overlap_recall.
+
+    ``results``: ranked lists (query_col, doc_col, rank_col 1-based,
+    deduplicated) — bm25_topk / *_topk output shape. ``qrels``: the
+    relevant (query_col, doc_col) pairs (binary relevance; graded
+    inputs should be thresholded by the caller). Queries appearing in
+    only one input still get a row (metrics 0 when they retrieved
+    nothing relevant or have an empty relevant set).
+
+    Scale shape: one equi join of results@k against qrels on
+    (query, doc), two partial-aggregatable groupBys, and a broadcast
+    of per-query ideal mass; all pyspark.sql.functions — no UDFs, no
+    per-query loop. nDCG uses binary gains so every term is
+    1/log2(i+1): exact on any engine after round_to rounding (no 2^rel
+    pow)."""
+    r = results.filter(F.col(rank_col) <= k).select(
+        F.col(query_col).alias("__q"),
+        F.col(doc_col).alias("__d"),
+        F.col(rank_col).cast("int").alias("__r"),
+    )
+    q = qrels.select(
+        F.col(query_col).alias("__q"), F.col(doc_col).alias("__d")
+    ).distinct()
+    # relevant-set size + ideal DCG mass per query: IDCG depends only
+    # on min(k, n_rel), so it's a closed form over the count
+    log2 = F.log2
+    rel_stats = q.groupBy("__q").agg(F.count(F.lit(1)).alias("n_rel"))
+    idcg = rel_stats.select(
+        "__q",
+        "n_rel",
+        F.aggregate(
+            F.sequence(F.lit(1), F.least(F.lit(k), F.col("n_rel"))),
+            F.lit(0.0),
+            lambda acc, i: acc + F.lit(1.0) / log2(i.cast("double") + 1.0),
+        ).alias("__idcg"),
+    )
+    hits = r.join(q.withColumn("__rel", F.lit(1)), ["__q", "__d"], "left")
+    per_q = hits.groupBy("__q").agg(
+        F.sum(
+            F.when(F.col("__rel") == 1, F.lit(1.0) / log2(F.col("__r") + 1.0))
+            .otherwise(F.lit(0.0))
+        ).alias("__dcg"),
+        F.max(
+            F.when(F.col("__rel") == 1, F.lit(1.0) / F.col("__r").cast("double"))
+        ).alias("__mrr"),
+        F.sum(F.when(F.col("__rel") == 1, 1).otherwise(0)).alias("__nhit"),
+    )
+    out = per_q.join(idcg, "__q", "full")
+    return out.select(
+        F.col("__q").alias(query_col),
+        F.round(
+            F.when(
+                F.coalesce(F.col("__idcg"), F.lit(0.0)) > 0,
+                F.coalesce(F.col("__dcg"), F.lit(0.0)) / F.col("__idcg"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("ndcg"),
+        F.round(F.coalesce(F.col("__mrr"), F.lit(0.0)), round_to).alias("mrr"),
+        F.round(
+            F.when(
+                F.coalesce(F.col("n_rel"), F.lit(0)) > 0,
+                F.coalesce(F.col("__nhit"), F.lit(0)).cast("double")
+                / F.col("n_rel"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("recall"),
+        F.coalesce(F.col("n_rel"), F.lit(0)).cast("long").alias("n_rel"),
+    )

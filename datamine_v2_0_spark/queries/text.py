@@ -741,3 +741,105 @@ s AS (
 SELECT vec_id, eval_id, ROUND(cos, 6) AS cos_sim
 FROM s WHERE rn = 1 AND cos >= 0.35
 """
+
+
+def q_text_retrieval_eval(spark, sf_dir):
+    """Ranked-retrieval quality loop: BM25 top-5 per probe (every 100th
+    doc queries the corpus), judged against a same-source relevance set
+    — per query nDCG@5 / MRR@5 / recall@5. Binary gains keep every DCG
+    term 1/log2(i+1), engine-exact at 6 dp; the oracle recomputes BM25
+    AND the metrics in SQL."""
+    from datamine_v2_0_spark.operators import retrieval as rt
+
+    df = _t(spark, sf_dir, "documents")
+    probes = df.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("text").alias("qtext")
+    )
+    results = rt.bm25_topk(df, probes, "text", "doc_id", "qtext", "qid", k=5)
+    qd = probes.join(
+        df.select("doc_id", "source"),
+        probes["qid"] == F.col("doc_id"),
+    ).select(F.col("qid").alias("query_id"), "source")
+    qrels = (
+        qd.join(df.select("doc_id", "source"), "source")
+        .filter(F.col("doc_id") != F.col("query_id"))
+        .select("query_id", "doc_id")
+    )
+    return rt.retrieval_eval(results, qrels, k=5)
+
+
+SQL_TEXT_RETRIEVAL_EVAL = r"""
+WITH tokens AS (
+  SELECT doc_id,
+         unnest(string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')),
+                             ' ')) AS term
+  FROM documents
+), tok AS (
+  SELECT doc_id, term FROM tokens WHERE term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+), dl AS (
+  SELECT doc_id, SUM(tf) AS dl FROM tf GROUP BY doc_id
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), stats AS (
+  SELECT COUNT(*) AS n_docs, AVG(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, term FROM tok WHERE doc_id % 100 = 0
+), scored AS (
+  SELECT q.query_id, tf.doc_id,
+         ROUND(SUM(
+           LN(1.0 + (CAST(s.n_docs - d.df AS DOUBLE) + 0.5)
+                    / (CAST(d.df AS DOUBLE) + 0.5))
+           * (CAST(tf.tf AS DOUBLE) * 2.2)
+           / (CAST(tf.tf AS DOUBLE)
+              + 1.2 * (0.25 + 0.75 * CAST(dl.dl AS DOUBLE) / s.avgdl))
+         ), 6) AS score
+  FROM tf
+  JOIN qterms q USING (term)
+  JOIN dfreq d USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+), res AS (
+  SELECT query_id, doc_id, rn AS rank FROM (
+    SELECT *, ROW_NUMBER() OVER (
+      PARTITION BY query_id ORDER BY score DESC, doc_id) AS rn
+    FROM scored
+  ) WHERE rn <= 5
+), qr AS (
+  SELECT q.doc_id AS query_id, d.doc_id
+  FROM documents q
+  JOIN documents d ON d.source = q.source AND d.doc_id <> q.doc_id
+  WHERE q.doc_id % 100 = 0
+), rel AS (
+  SELECT query_id, COUNT(*) AS n_rel FROM qr GROUP BY query_id
+), icum AS (
+  SELECT t.i, SUM(1.0 / log2(s.i + 1.0)) AS cum
+  FROM range(1, 6) t(i) JOIN range(1, 6) s(i) ON s.i <= t.i
+  GROUP BY t.i
+), idcg AS (
+  SELECT rel.query_id, rel.n_rel, icum.cum AS idcg_v
+  FROM rel JOIN icum ON icum.i = LEAST(5, rel.n_rel)
+), hit AS (
+  SELECT r.query_id, r.rank,
+         CASE WHEN qr.doc_id IS NOT NULL THEN 1 ELSE 0 END AS rel
+  FROM res r
+  LEFT JOIN qr ON qr.query_id = r.query_id AND qr.doc_id = r.doc_id
+), pq AS (
+  SELECT query_id,
+         SUM(CASE WHEN rel = 1 THEN 1.0 / log2(rank + 1.0) ELSE 0.0 END) AS dcg,
+         MAX(CASE WHEN rel = 1 THEN 1.0 / rank END) AS mrr,
+         SUM(rel) AS nhit
+  FROM hit GROUP BY query_id
+)
+SELECT query_id,
+       ROUND(CASE WHEN coalesce(idcg_v, 0) > 0
+                  THEN coalesce(dcg, 0) / idcg_v ELSE 0 END, 6) AS ndcg,
+       ROUND(coalesce(mrr, 0), 6) AS mrr,
+       ROUND(CASE WHEN coalesce(n_rel, 0) > 0
+                  THEN CAST(coalesce(nhit, 0) AS DOUBLE) / n_rel
+                  ELSE 0 END, 6) AS recall,
+       CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel
+FROM pq FULL OUTER JOIN idcg USING (query_id)
+"""

@@ -258,3 +258,65 @@ def test_bm25_supplied_stats_skip_probe_and_match_auto(spark):
     )
     assert got == base
     assert dd.DUP_STATS_PROBE_RUNS == before  # zero probe scans ran
+
+
+# ---------------------------------------------------------------------------
+# retrieval_eval (nDCG@k / MRR@k / recall@k)
+# ---------------------------------------------------------------------------
+
+
+def test_retrieval_eval_hand_computed(spark):
+    import math
+
+    results = spark.createDataFrame(
+        [("q1", "d1", 1), ("q1", "d2", 2), ("q1", "d3", 3),
+         ("q2", "d7", 1), ("q2", "d8", 2)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q1", "d2"), ("q1", "d4"), ("q1", "d5"), ("q1", "d9"),
+         ("q3", "d1"), ("q3", "d2")],
+        "query_id string, doc_id string",
+    )
+    got = {
+        r.query_id: r
+        for r in rt.retrieval_eval(results, qrels, k=3).collect()
+    }
+    assert set(got) == {"q1", "q2", "q3"}
+    idcg = sum(1.0 / math.log2(i + 1) for i in range(1, 4))  # min(3, 4) ideal
+    dcg = 1.0 / math.log2(3)  # d2 hit at rank 2
+    assert got["q1"].ndcg == round(dcg / idcg, 6)
+    assert got["q1"].mrr == 0.5
+    assert got["q1"].recall == 0.25
+    assert got["q1"].n_rel == 4
+    # retrieved nothing relevant / judged nothing
+    assert (got["q2"].ndcg, got["q2"].mrr, got["q2"].recall, got["q2"].n_rel) == (0.0, 0.0, 0.0, 0)
+    # judged but never retrieved
+    assert (got["q3"].ndcg, got["q3"].mrr, got["q3"].recall, got["q3"].n_rel) == (0.0, 0.0, 0.0, 2)
+
+
+def test_retrieval_eval_k_cutoff_and_perfect(spark):
+    results = spark.createDataFrame(
+        [("q", "a", 1), ("q", "b", 2), ("q", "c", 3)],
+        "query_id string, doc_id string, rank int",
+    )
+    qrels = spark.createDataFrame(
+        [("q", "a"), ("q", "b"), ("q", "c")], "query_id string, doc_id string"
+    )
+    perfect = rt.retrieval_eval(results, qrels, k=3).collect()[0]
+    assert (perfect.ndcg, perfect.mrr, perfect.recall) == (1.0, 1.0, 1.0)
+    # rank-3 hit invisible at k=2: recall drops, ndcg uses min(k, n_rel)
+    cut = rt.retrieval_eval(results, qrels, k=2).collect()[0]
+    assert cut.ndcg == 1.0 and cut.recall == round(2 / 3, 6)
+
+
+def test_retrieval_eval_empty_inputs(spark):
+    empty_r = spark.createDataFrame([], "query_id string, doc_id string, rank int")
+    qrels = spark.createDataFrame([("q", "d")], "query_id string, doc_id string")
+    got = rt.retrieval_eval(empty_r, qrels, k=5).collect()
+    assert len(got) == 1 and got[0].ndcg == 0.0 and got[0].n_rel == 1
+    empty_q = spark.createDataFrame([], "query_id string, doc_id string")
+    results = spark.createDataFrame([("q", "d", 1)], "query_id string, doc_id string, rank int")
+    got2 = rt.retrieval_eval(results, empty_q, k=5).collect()
+    assert len(got2) == 1 and got2[0].n_rel == 0 and got2[0].ndcg == 0.0
+    assert rt.retrieval_eval(empty_r, empty_q, k=5).count() == 0
