@@ -50,6 +50,9 @@ BNLJ_OK = {
     # cosine probe-set broadcast (tiny by construction) + the BM25 corpus
     # stats 1-row fold — both linear over the corpus
     "text_rrf": 2,
+    # composes text_bm25, so it inherits the same 1-row corpus-stats
+    # fold-in; the eval joins themselves are equi (query, doc) hash joins
+    "text_retrieval_eval": 1,
     # reference min/max (1 row) folded into both binned sides, the
     # n_bins-row grid joins, and the 1-row totals — all constant-size
     "qa_psi": 5,
