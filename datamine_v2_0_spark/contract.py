@@ -180,6 +180,8 @@ _ALL: dict[str, tuple] = {
     "sim_pq_topk": (q_sim_pq_topk, SQL_SIM_COSINE_TOPK),
     "sort_topk": (q_sort_topk, SQL_SORT_TOPK),
     "sql_views": (q_sql_views, SQL_SQL_VIEWS),
+    "stat_auc": (q_stat_auc, SQL_STAT_AUC),
+    "stat_calibration": (q_stat_calibration, SQL_STAT_CALIBRATION),
     "stat_chi2": (q_stat_chi2, SQL_STAT_CHI2),
     "stat_kappa": (q_stat_kappa, SQL_STAT_KAPPA),
     "stat_ks": (q_stat_ks, SQL_STAT_KS),
@@ -231,6 +233,8 @@ WINDOW_R10: list[str] = [
     "agg_cms_counts",
     "filt_weighted_sample",
     "text_retrieval_eval",
+    "stat_auc",
+    "stat_calibration",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
@@ -276,11 +280,11 @@ WINDOW_R10: list[str] = [
     "join_asof",
     "join_asof_backward",
     "join_equi_revenue",
-    "join_interval",
-    "sql_views",
 ]
 
 _TAIL_R10: list[str] = [
+    "join_interval",
+    "sql_views",
     "join_bloom",
     "agg_tdigest",
     "ts_ewma",

@@ -441,3 +441,130 @@ def cohens_kappa(
         F.round(pe, round_to).alias("pe"),
         F.round(kappa, round_to).alias("kappa"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    round_to: int = 6,
+    buckets: int = 32,
+) -> DataFrame:
+    """Exact ROC-AUC of a score against a binary label, tie-corrected:
+    AUC = U_pos / (n_pos * n_neg) with U from midranks — the
+    probability a random positive outscores a random negative, the
+    model-eval yardstick next to the retrieval metrics
+    (retrieval.retrieval_eval) and the A/B tests (mann_whitney_u,
+    which this shares its rank machinery with). Returns ONE row
+    (n_pos, n_neg, auc); degenerate inputs (single class, empty)
+    yield NULL auc rather than a job failure.
+
+    ``label_col`` must be 0/1 (numeric or boolean — cast to int).
+    Scale shape identical to mann_whitney_u: the rank exchange carries
+    DISTINCT score values (one aggregate row per value), midranks come
+    from a distributed prefix sum (`_dist_prefix_sums` — range
+    buckets + broadcast offsets, no single-task global window), so a
+    billion-row score column ranks at ~distinct/buckets rows per task.
+    No sampling, no sklearn, no driver collect."""
+    lab = F.col(label_col).cast("int")
+    v = F.col(score_col).cast("double")
+    sub = df.filter(v.isNotNull() & lab.isNotNull()).select(
+        lab.alias("__y"), v.alias("__v")
+    )
+    per_val = sub.groupBy("__v").agg(
+        F.count(F.lit(1)).alias("__t"),
+        F.sum("__y").alias("__tp"),
+    )
+    ranked = _dist_prefix_sums(
+        per_val, "__v", ["__t"], include_current=False, buckets=buckets
+    ).withColumn(
+        "__midrank",
+        F.col("__cum___t").cast("double")
+        + (F.col("__t").cast("double") + 1.0) / 2.0,
+    )
+    stats = ranked.agg(
+        F.sum("__tp").cast("double").alias("__np"),
+        F.sum(F.col("__t") - F.col("__tp")).cast("double").alias("__nn"),
+        F.sum(F.col("__midrank") * F.col("__tp")).alias("__rp"),
+    )
+    np_, nn = F.col("__np"), F.col("__nn")
+    u = F.col("__rp") - np_ * (np_ + 1) / 2
+    return stats.select(
+        np_.cast("bigint").alias("n_pos"),
+        nn.cast("bigint").alias("n_neg"),
+        F.round(F.try_divide(u, np_ * nn), round_to).alias("auc"),
+    )
+
+
+def reliability_bins(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reliability diagram table for a probabilistic score in [0, 1]
+    vs a 0/1 label: per equal-width bin, (bin, n, conf, acc) where
+    conf = mean predicted score and acc = empirical positive rate.
+    Out-of-range scores clamp into the edge bins (same treatment as
+    the PSI monitor's frozen grid); the top edge (score = 1.0) belongs
+    to the last bin. One partial-aggregatable groupBy over ``bins``
+    groups — shuffle bounded by the bin count, any corpus size."""
+    lab = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    b = F.least(
+        F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
+        F.lit(bins - 1),
+    )
+    return (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .select(b.alias("bin"), s.alias("__s"), lab.alias("__y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("__s"), round_to).alias("conf"),
+            F.round(F.avg("__y"), round_to).alias("acc"),
+        )
+    )
+
+
+def calibration_report(
+    df: DataFrame,
+    label_col: str,
+    score_col: str,
+    bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-row calibration summary of a [0, 1] score vs a 0/1 label:
+    (n, ece, mce, brier). ECE = sum over bins of (n_b/N)·|acc-conf|
+    (expected calibration error), MCE = max bin gap, Brier =
+    mean (score - label)^2. The quality-classifier health check a
+    curation pipeline runs next to roc_auc before trusting scores as
+    sampling weights (filters.weighted_sample_k) or gate thresholds.
+
+    Two bounded aggregates: the bin table (``bins`` groups) plus a
+    global Brier pass, joined on a literal — no windows, no UDFs.
+    Empty input yields one row of NULLs via try_divide."""
+    lab = F.col(label_col).cast("double")
+    s = F.col(score_col).cast("double")
+    # bin stats are rounded (6 dp) BEFORE the gap algebra on purpose:
+    # that makes the ECE/MCE definition engine-exact (a 2000-double avg
+    # differs across engines in the last ulp; the rounded value doesn't)
+    binned = reliability_bins(df, label_col, score_col, bins, round_to=round_to)
+    per_bin = binned.agg(
+        F.sum("n").alias("__n"),
+        F.sum(
+            F.col("n").cast("double") * F.abs(F.col("acc") - F.col("conf"))
+        ).alias("__gapsum"),
+        F.max(F.abs(F.col("acc") - F.col("conf"))).alias("__mce"),
+    )
+    brier = (
+        df.filter(s.isNotNull() & lab.isNotNull())
+        .agg(F.avg((s - lab) * (s - lab)).alias("__brier"))
+    )
+    return per_bin.join(brier, F.lit(True)).select(
+        F.coalesce(F.col("__n"), F.lit(0)).cast("bigint").alias("n"),
+        F.round(F.try_divide(F.col("__gapsum"), F.col("__n")), round_to).alias("ece"),
+        F.round(F.col("__mce"), round_to).alias("mce"),
+        F.round(F.col("__brier"), round_to).alias("brier"),
+    )

@@ -928,3 +928,87 @@ FROM cells c
 LEFT JOIN sk s ON s.row = c.row AND s.cell = c.cell
 GROUP BY c.user_id
 """
+
+
+def q_stat_auc(spark, sf_dir):
+    """Exact tie-corrected ROC-AUC: does events.value separate
+    purchases from the rest? Midranks over DISTINCT score values via
+    the distributed prefix-sum (no global single-task window); the
+    oracle replays the identical midrank algebra in SQL."""
+    from datamine_v2_0_spark.operators import stats as stx
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "is_purchase", (F.col("event_type") == "purchase").cast("int")
+    )
+    return stx.roc_auc(ev, "is_purchase", "value")
+
+
+SQL_STAT_AUC = """
+WITH sub AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+         CAST(value AS DOUBLE) AS v
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+per_val AS (
+  SELECT v, COUNT(*) AS t, SUM(y) AS tp FROM sub GROUP BY v
+),
+ranked AS (
+  SELECT v, t, tp,
+         COALESCE(SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM per_val
+),
+st AS (
+  SELECT CAST(SUM(tp) AS DOUBLE) AS np,
+         CAST(SUM(t - tp) AS DOUBLE) AS nn,
+         SUM((below + (t + 1.0) / 2.0) * tp) AS rp
+  FROM ranked
+)
+SELECT CAST(np AS BIGINT) AS n_pos,
+       CAST(nn AS BIGINT) AS n_neg,
+       ROUND((rp - np * (np + 1) / 2) / NULLIF(np * nn, 0), 6) AS auc
+FROM st
+"""
+
+
+def q_stat_calibration(spark, sf_dir):
+    """Calibration health of a [0,1] score against the purchase label:
+    one-row (n, ece, mce, brier). Bin stats are rounded before the gap
+    algebra (defined semantics, engine-exact); score = value/500
+    clamped into edge bins by the operator."""
+    from datamine_v2_0_spark.operators import stats as stx
+
+    ev = _t(spark, sf_dir, "events").select(
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+        (F.col("value") / 500.0).alias("s"),
+    )
+    return stx.calibration_report(ev, "y", "s", bins=10)
+
+
+SQL_STAT_CALIBRATION = """
+WITH sub AS (
+  SELECT CASE WHEN event_type = 'purchase' THEN 1.0 ELSE 0.0 END AS y,
+         CAST(value AS DOUBLE) / 500.0 AS s
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+),
+b AS (
+  SELECT LEAST(GREATEST(CAST(FLOOR(s * 10) AS INT), 0), 9) AS bin, s, y
+  FROM sub
+),
+bt AS (
+  SELECT bin, COUNT(*) AS n, ROUND(AVG(s), 6) AS conf, ROUND(AVG(y), 6) AS acc
+  FROM b GROUP BY bin
+),
+pb AS (
+  SELECT SUM(n) AS nn,
+         SUM(CAST(n AS DOUBLE) * ABS(acc - conf)) AS gapsum,
+         MAX(ABS(acc - conf)) AS mce
+  FROM bt
+),
+br AS (SELECT AVG((s - y) * (s - y)) AS brier FROM sub)
+SELECT CAST(coalesce(nn, 0) AS BIGINT) AS n,
+       ROUND(gapsum / NULLIF(nn, 0), 6) AS ece,
+       ROUND(mce, 6) AS mce,
+       ROUND(brier, 6) AS brier
+FROM pb, br
+"""

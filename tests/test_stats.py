@@ -11,7 +11,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
-from datamine_v2_0_spark.operators import stats, windows as win
+from datamine_v2_0_spark.operators import stats, stats as stx, windows as win
 from datamine_v2_0_spark.operators.timeseries import seasonal_baseline_anomalies
 
 
@@ -480,3 +480,93 @@ def test_grouped_mad_and_outliers_null_stratum(spark):
     out = agg.robust_outliers(df, ["k"], "v", z_thresh=3.5).collect()
     flagged = [(r.k, r.v) for r in out]
     assert (None, 1e6) in flagged
+
+
+# ---------------------------------------------------------------------------
+# roc_auc
+# ---------------------------------------------------------------------------
+
+
+def _auc_numpy(y, s):
+    import numpy as np
+
+    y = np.asarray(y, dtype=float)
+    s = np.asarray(s, dtype=float)
+    # midrank AUC: U_pos / (n_pos * n_neg)
+    order = np.argsort(s, kind="mergesort")
+    ranks = np.empty(len(s), dtype=float)
+    sorted_s = s[order]
+    i = 0
+    while i < len(s):
+        j = i
+        while j + 1 < len(s) and sorted_s[j + 1] == sorted_s[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2.0 + 1.0
+        i = j + 1
+    n_pos, n_neg = y.sum(), (1 - y).sum()
+    u = ranks[y == 1].sum() - n_pos * (n_pos + 1) / 2
+    return u / (n_pos * n_neg)
+
+
+def test_roc_auc_perfect_reversed_and_ties(spark):
+    perfect = spark.createDataFrame(
+        [(1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1)], "y int, s double"
+    )
+    r = stx.roc_auc(perfect, "y", "s").collect()[0]
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    assert stx.roc_auc(
+        perfect.withColumn("s", -F.col("s")), "y", "s"
+    ).collect()[0].auc == 0.0
+    all_tied = spark.createDataFrame(
+        [(1, 5.0), (1, 5.0), (0, 5.0), (0, 5.0)], "y int, s double"
+    )
+    assert stx.roc_auc(all_tied, "y", "s").collect()[0].auc == 0.5
+
+
+def test_roc_auc_matches_numpy_with_ties(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(rng.randint(0, 1), float(rng.randint(0, 30)) / 4) for _ in range(500)]
+    df = spark.createDataFrame(rows, "y int, s double")
+    got = stx.roc_auc(df, "y", "s").collect()[0]
+    want = _auc_numpy([r[0] for r in rows], [r[1] for r in rows])
+    assert got.auc == round(want, 6)
+
+
+def test_roc_auc_degenerate(spark):
+    one_class = spark.createDataFrame([(1, 0.3), (1, 0.9)], "y int, s double")
+    r = stx.roc_auc(one_class, "y", "s").collect()[0]
+    assert r.n_pos == 2 and r.n_neg == 0 and r.auc is None
+    empty = spark.createDataFrame([], "y int, s double")
+    r2 = stx.roc_auc(empty, "y", "s").collect()[0]
+    assert r2.auc is None
+
+
+def test_reliability_bins_and_clamping(spark):
+    df = spark.createDataFrame(
+        [(1, 0.95), (0, 0.95), (1, 1.0), (0, -0.2), (1, 1.7), (0, 0.05)],
+        "y int, s double",
+    )
+    bins = {r.bin: r for r in stx.reliability_bins(df, "y", "s", bins=10).collect()}
+    # 1.0, 1.7 and 0.95 all land in the top bin (clamp + closed top edge)
+    assert bins[9].n == 4 and bins[0].n == 2
+    assert bins[9].acc == 0.75 and bins[0].acc == 0.0
+
+
+def test_calibration_report_perfect_and_hand(spark):
+    # perfectly calibrated degenerate scores: score == label
+    perfect = spark.createDataFrame(
+        [(1, 1.0), (0, 0.0), (1, 1.0), (0, 0.0)], "y int, s double"
+    )
+    r = stx.calibration_report(perfect, "y", "s").collect()[0]
+    assert (r.ece, r.mce, r.brier) == (0.0, 0.0, 0.0)
+    # hand case: one bin, conf 0.5, acc 1.0 -> ece = mce = 0.5
+    off = spark.createDataFrame([(1, 0.5), (1, 0.5)], "y int, s double")
+    r2 = stx.calibration_report(off, "y", "s").collect()[0]
+    assert (r2.n, r2.ece, r2.mce) == (2, 0.5, 0.5)
+    assert r2.brier == 0.25
+    # empty input: NULL metrics, zero count, no crash
+    empty = spark.createDataFrame([], "y int, s double")
+    r3 = stx.calibration_report(empty, "y", "s").collect()[0]
+    assert r3.n == 0 and r3.ece is None

@@ -58,6 +58,8 @@ BNLJ_OK = {
     "qa_psi": 5,
     # stratum-weight total: 1-row fold into the rate table
     "filt_temperature_mix": 1,
+    # 1-row bin-gap summary x 1-row Brier aggregate literal join
+    "stat_calibration": 1,
     # the 1-row node-count folds into the init ranks and each of the 5
     # fixed power-method iterations — all constant-size broadcasts
     "graph_pagerank": 6,
@@ -100,6 +102,9 @@ GLOBAL_WIN_OK = {
     # max-aggregate and the crossJoin side).
     "stat_ks": 2,
     "agg_mannwhitney": 1,
+    # roc_auc shares mann_whitney's rank machinery, so the same
+    # 32-row offsets stitch appears once
+    "stat_auc": 1,
     # same _dist_prefix_sums offsets stitch inside the scale-safe exact
     # NTILE (operators/binning.quantile_bins_exact)
     "scalar_quantile_bins": 1,
