@@ -349,6 +349,7 @@ def weighted_sample_k(
     method: str = "exact",
     max_weight: int = 1024,
     keep_priority: bool = False,
+    strata: Sequence[str] | None = None,
 ) -> DataFrame:
     """Weighted sampling WITHOUT replacement of exactly min(k, n) rows,
     deterministic and layout-independent: Efraimidis-Spirakis priority
@@ -374,7 +375,11 @@ def weighted_sample_k(
 
     Both forms end in an orderBy(priority).limit(k) — Spark executes
     TakeOrdered (per-partition bounded heap, k rows to the driver's
-    final merge), never a full global sort."""
+    final merge), never a full global sort. With ``strata`` the top-k
+    runs PER STRATUM instead (one hash exchange on the strata key +
+    a k-bounded window heap per stratum — the weighted cousin of
+    stratified_sample_exact_k, e.g. "k docs per language, weighted by
+    quality score")."""
     if method not in ("exact", "float"):
         raise ValueError(f"method must be 'exact' or 'float', got {method!r}")
     w = F.col(weight_col)
@@ -428,9 +433,18 @@ def weighted_sample_k(
         u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
         pri = F.log(u) / w.cast("double")
         out = df.filter(w.cast("double") > 0)
-    out = (
-        out.withColumn("priority", pri)
-        .orderBy(F.desc("priority"), F.col(id_col))
-        .limit(k)
-    )
+    out = out.withColumn("priority", pri)
+    if strata:
+        from pyspark.sql import Window
+
+        win = Window.partitionBy(*strata).orderBy(
+            F.desc("priority"), F.col(id_col)
+        )
+        out = (
+            out.withColumn("__rn", F.row_number().over(win))
+            .filter(F.col("__rn") <= k)
+            .drop("__rn")
+        )
+    else:
+        out = out.orderBy(F.desc("priority"), F.col(id_col)).limit(k)
     return out if keep_priority else out.drop("priority")

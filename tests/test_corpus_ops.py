@@ -612,3 +612,22 @@ def test_weighted_sample_float_path(spark):
     assert [
         r.doc_id for r in flt.weighted_sample_k(neg, "doc_id", "wt", k=5, method="float").collect()
     ] == [2]
+
+
+def test_weighted_sample_strata(spark):
+    rows = [(i, i % 5 + 1, "en" if i % 2 == 0 else "de") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, wt long, lang string")
+    got = flt.weighted_sample_k(
+        df, "doc_id", "wt", k=7, strata=["lang"], keep_priority=True
+    ).collect()
+    by_lang: dict = {}
+    for r in got:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert {len(v) for v in by_lang.values()} == {7}
+    # per-stratum winners == the global ES order restricted to the stratum
+    for lang, members in by_lang.items():
+        pool = sorted(
+            ((_es_priority_py(i, w, 42), i) for i, w, l in rows if l == lang),
+            key=lambda t: (-t[0], t[1]),
+        )[:7]
+        assert sorted((r.priority, r.doc_id) for r in members) == sorted(pool)
