@@ -512,10 +512,13 @@ def reliability_bins(
     groups — shuffle bounded by the bin count, any corpus size."""
     lab = F.col(label_col).cast("double")
     s = F.col(score_col).cast("double")
-    b = F.least(
-        F.greatest(F.floor(s * bins).cast("int"), F.lit(0)),
-        F.lit(bins - 1),
-    )
+    # clamp the SCORE into [0, 1] before binning, not the bin after:
+    # floor(1e308 * bins) overflows the ANSI int cast (extreme-doubles
+    # sweep). Non-finite scores land in an edge bin (NaN/+inf -> top,
+    # -inf -> bottom) — deterministic garbage-in treatment; the raw
+    # score still flows into conf so the distortion stays visible.
+    s_cl = F.least(F.greatest(s, F.lit(0.0)), F.lit(1.0))
+    b = F.least(F.floor(s_cl * bins).cast("int"), F.lit(bins - 1))
     return (
         df.filter(s.isNotNull() & lab.isNotNull())
         .select(b.alias("bin"), s.alias("__s"), lab.alias("__y"))
