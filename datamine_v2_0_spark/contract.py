@@ -42,8 +42,12 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  an entry is defined.
 #   WINDOW_R10  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 11 queries whose implementation changed in round 10
-#                  lead (the shared-probe/dup_stats plumbing, the
+#                  the 5 queries NEW in the round-10 continuation lead
+#                  (agg_cms_counts / filt_weighted_sample /
+#                  text_retrieval_eval / stat_auc / stat_calibration —
+#                  never driver-certified, so they need the seat most),
+#                  then the 11 queries whose implementation changed in
+#                  round 10 (the shared-probe/dup_stats plumbing, the
 #                  reliable= lineage truncation through the collapse
 #                  paths, and the configured-parallelism plan P touched
 #                  dedup_minhash_lsh / dedup_jaccard / dedup_against /
@@ -55,16 +59,20 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  shortlist clogging under mass-duplicate vectors;
 #                  dedup_embedding gained the calibrated auto
 #                  representative collapse),
-#                  followed by _TAIL_R9's first 39 — which by the round-9
+#                  followed by _TAIL_R9's first 34 — which by the round-9
 #                  construction re-proves every query whose driver
 #                  evidence predates round 6 (win_rolling_corr, last
 #                  driver-green in round 3, plus the six round-5-evidence
 #                  entries all sit inside that rung).
-#   _TAIL_R10   -- the remaining 103, oldest driver evidence first
-#                  (the demoted 40th/41st tail entries + _TAIL_R9's leftover 62 minus
-#                  sim_pq_topk, then round 9's 41 unchanged
-#                  window entries, freshest last), so the round-11
-#                  window is simply the next 50.
+#   _TAIL_R10   -- the remaining 108, oldest driver evidence first:
+#                  the 5 entries the new queries displaced from the
+#                  window's tail rung (join_interval, sql_views,
+#                  join_bloom, agg_tdigest, ts_ewma — the
+#                  NEWEST-evidence members of that stale rung, all
+#                  sweep-green this round) lead so round 11 re-proves
+#                  them first, then _TAIL_R9's leftover entries and
+#                  round 9's unchanged window entries, freshest last,
+#                  so the round-11 window is simply the next 50.
 #
 # Rotating the window next round = editing the two name lists; the
 # assertions below keep the partition exact.
