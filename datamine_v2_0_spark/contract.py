@@ -199,6 +199,7 @@ _ALL: dict[str, tuple] = {
     "text_decontaminate": (q_text_decontaminate, SQL_TEXT_DECONTAMINATE),
     "text_decontaminate_embed": (q_text_decontaminate_embed, SQL_TEXT_DECONTAMINATE_EMBED),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_js_divergence": (q_text_js_divergence, SQL_TEXT_JS_DIVERGENCE),
     "text_lang": (q_text_lang, SQL_TEXT_LANG),
     "text_lm_bigram": (q_text_lm_bigram, SQL_TEXT_LM_BIGRAM),
     "text_lm_score": (q_text_lm_score, SQL_TEXT_LM_SCORE),
@@ -243,6 +244,7 @@ WINDOW_R10: list[str] = [
     "text_retrieval_eval",
     "stat_auc",
     "stat_calibration",
+    "text_js_divergence",
     "dedup_minhash_lsh",
     "dedup_jaccard",
     "dedup_against",
@@ -287,10 +289,10 @@ WINDOW_R10: list[str] = [
     "val_candidate_clustering",
     "join_asof",
     "join_asof_backward",
-    "join_equi_revenue",
 ]
 
 _TAIL_R10: list[str] = [
+    "join_equi_revenue",
     "join_interval",
     "sql_views",
     "join_bloom",

@@ -14,6 +14,8 @@ from typing import Sequence
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from datamine_v2_0_spark.operators.dedup import normalize_text
+
 # Minimal high-frequency stopword profiles. Scoring = count of profile-word
 # occurrences; the language with the max score wins ('und' = undetermined).
 _LANG_PROFILES: dict[str, list[str]] = {
@@ -835,4 +837,72 @@ def bigram_logprob(
                 F.sum(F.col("__n") * F.log10(p)) / F.sum("__n"), round_to
             ).alias("avg_logp"),
         )
+    )
+
+
+def vocab_js_divergence(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jensen-Shannon divergence (base 2, in [0, 1]) between the unigram
+    TOKEN distributions of two sub-corpora — the text cousin of the PSI
+    monitor: "did this source's vocabulary drift between snapshots?" /
+    "how far is crawl B's language from crawl A's?". 0 = identical
+    distributions, 1 = disjoint vocabularies. One row:
+    (n_tokens_a, n_tokens_b, vocab, jsd); NULL jsd when either side has
+    no tokens (no silent 0 for "nothing vs something").
+
+    Tokenization is the shared `normalize_text` split, so the measured
+    vocabulary agrees with the fingerprint/TF-IDF/BM25 family.
+    Scale shape: one explode + one per-term groupBy (partial-agg;
+    shuffle carries the distinct vocabulary, not tokens), a 1-row
+    totals fold-in, and a final sum — JSD's per-term contributions are
+    independent, so the whole thing is partial-aggregatable; no UDFs,
+    no collect."""
+    toks = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            (F.col(group_col) == F.lit(group_a)).alias("__a"),
+            F.explode(
+                F.split(normalize_text(F.col(text_col)), " ")
+            ).alias("__t"),
+        )
+        .filter(F.col("__t") != "")
+    )
+    per_term = toks.groupBy("__t").agg(
+        F.sum(F.when(F.col("__a"), 1).otherwise(0)).alias("__ca"),
+        F.sum(F.when(F.col("__a"), 0).otherwise(1)).alias("__cb"),
+    )
+    tot = per_term.agg(
+        F.sum("__ca").alias("__na"), F.sum("__cb").alias("__nb")
+    )
+    j = per_term.join(F.broadcast(tot), F.lit(True))
+    p = F.try_divide(F.col("__ca").cast("double"), F.col("__na"))
+    q = F.try_divide(F.col("__cb").cast("double"), F.col("__nb"))
+    m = (p + q) / 2
+    contrib = (
+        F.when(p > 0, p * F.log2(p / m) * 0.5).otherwise(F.lit(0.0))
+        + F.when(q > 0, q * F.log2(q / m) * 0.5).otherwise(F.lit(0.0))
+    )
+    out = j.agg(
+        F.max("__na").cast("bigint").alias("n_tokens_a"),
+        F.max("__nb").cast("bigint").alias("n_tokens_b"),
+        F.count(F.lit(1)).cast("bigint").alias("vocab"),
+        F.sum(contrib).alias("__jsd"),
+    )
+    return out.select(
+        F.coalesce(F.col("n_tokens_a"), F.lit(0)).alias("n_tokens_a"),
+        F.coalesce(F.col("n_tokens_b"), F.lit(0)).alias("n_tokens_b"),
+        "vocab",
+        F.round(
+            F.when(
+                (F.col("n_tokens_a") > 0) & (F.col("n_tokens_b") > 0),
+                F.col("__jsd"),
+            ),
+            round_to,
+        ).alias("jsd"),
     )

@@ -843,3 +843,43 @@ SELECT query_id,
        CAST(coalesce(n_rel, 0) AS BIGINT) AS n_rel
 FROM pq FULL OUTER JOIN idcg USING (query_id)
 """
+
+
+def q_text_js_divergence(spark, sf_dir):
+    """Vocabulary drift between two sources: base-2 Jensen-Shannon
+    divergence of src0's vs src1's unigram token distributions, with
+    token totals and joint vocabulary size. The per-term contributions
+    are independent (partial-aggregatable), so the plan is explode ->
+    per-term groupBy -> 1-row totals fold -> sum."""
+    df = _t(spark, sf_dir, "documents")
+    return tx.vocab_js_divergence(df, "text", "source", "src0", "src1")
+
+
+SQL_TEXT_JS_DIVERGENCE = r"""
+WITH toks AS (
+  SELECT source = 'src0' AS a,
+         unnest(string_split(TRIM(regexp_replace(LOWER(text), '\s+', ' ', 'g')),
+                             ' ')) AS t
+  FROM documents WHERE source IN ('src0', 'src1')
+), tok AS (
+  SELECT a, t FROM toks WHERE t <> ''
+), per AS (
+  SELECT t,
+         SUM(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+         SUM(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+  FROM tok GROUP BY t
+), tot AS (
+  SELECT SUM(ca) AS na, SUM(cb) AS nb FROM per
+), terms AS (
+  SELECT CAST(ca AS DOUBLE) / na AS p, CAST(cb AS DOUBLE) / nb AS q
+  FROM per, tot
+)
+SELECT (SELECT CAST(coalesce(na, 0) AS BIGINT) FROM tot) AS n_tokens_a,
+       (SELECT CAST(coalesce(nb, 0) AS BIGINT) FROM tot) AS n_tokens_b,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM per) AS vocab,
+       ROUND(SUM(
+         0.5 * CASE WHEN p > 0 THEN p * log2(p / ((p + q) / 2)) ELSE 0 END
+         + 0.5 * CASE WHEN q > 0 THEN q * log2(q / ((p + q) / 2)) ELSE 0 END
+       ), 6) AS jsd
+FROM terms
+"""

@@ -6,6 +6,7 @@ import pytest
 from pyspark.sql import Row, functions as F
 
 from datamine_v2_0_spark.operators import binning as bn
+from datamine_v2_0_spark.operators import text as tx
 from datamine_v2_0_spark.operators.text import tfidf_top_terms
 
 
@@ -267,3 +268,52 @@ def test_quantile_bins_exact_check_unique_allows_null_values(spark):
         df, "x", 2, "q", "i", check_unique=True
     ).collect()
     assert len(rows) == 3
+
+
+# ---------------------------------------------------------------------------
+# vocab_js_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    same = spark.createDataFrame(
+        [("a", "x y z"), ("b", "x y z")], "src string, text string"
+    )
+    r = tx.vocab_js_divergence(same, "text", "src", "a", "b").collect()[0]
+    assert r.jsd == 0.0 and r.vocab == 3 and r.n_tokens_a == 3
+    disjoint = spark.createDataFrame(
+        [("a", "x y"), ("b", "u v")], "src string, text string"
+    )
+    assert tx.vocab_js_divergence(
+        disjoint, "text", "src", "a", "b"
+    ).collect()[0].jsd == 1.0  # JSD base 2 of disjoint supports is exactly 1
+
+
+def test_js_divergence_hand_computed(spark):
+    import math
+
+    # A: {x: 2/3, y: 1/3}; B: {x: 1/3, y: 2/3}
+    df = spark.createDataFrame(
+        [("a", "x x y"), ("b", "x y y")], "src string, text string"
+    )
+    got = tx.vocab_js_divergence(df, "text", "src", "a", "b").collect()[0]
+
+    def kl(p, m):
+        return p * math.log2(p / m)
+
+    want = 0.5 * (kl(2 / 3, 0.5) + kl(1 / 3, 0.5)) + 0.5 * (
+        kl(1 / 3, 0.5) + kl(2 / 3, 0.5)
+    )
+    assert got.jsd == round(want, 6)
+    assert (got.n_tokens_a, got.n_tokens_b, got.vocab) == (3, 3, 2)
+
+
+def test_js_divergence_empty_side_is_null(spark):
+    df = spark.createDataFrame(
+        [("a", "x y"), ("b", None), ("b", "  ")], "src string, text string"
+    )
+    r = tx.vocab_js_divergence(df, "text", "src", "a", "b").collect()[0]
+    assert r.jsd is None and r.n_tokens_b == 0
+    empty = spark.createDataFrame([], "src string, text string")
+    r2 = tx.vocab_js_divergence(empty, "text", "src", "a", "b").collect()[0]
+    assert r2.jsd is None and r2.vocab == 0

@@ -60,6 +60,8 @@ BNLJ_OK = {
     "filt_temperature_mix": 1,
     # 1-row bin-gap summary x 1-row Brier aggregate literal join
     "stat_calibration": 1,
+    # 1-row token-totals fold into the per-term relation
+    "text_js_divergence": 1,
     # the 1-row node-count folds into the init ranks and each of the 5
     # fixed power-method iterations — all constant-size broadcasts
     "graph_pagerank": 6,
