@@ -42,10 +42,11 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  an entry is defined.
 #   WINDOW_R10  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 5 queries NEW in the round-10 continuation lead
+#                  the 6 queries NEW in the round-10 continuation lead
 #                  (agg_cms_counts / filt_weighted_sample /
-#                  text_retrieval_eval / stat_auc / stat_calibration —
-#                  never driver-certified, so they need the seat most),
+#                  text_retrieval_eval / stat_auc / stat_calibration /
+#                  text_js_divergence — never driver-certified, so they
+#                  need the seat most),
 #                  then the 11 queries whose implementation changed in
 #                  round 10 (the shared-probe/dup_stats plumbing, the
 #                  reliable= lineage truncation through the collapse
@@ -59,15 +60,15 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  shortlist clogging under mass-duplicate vectors;
 #                  dedup_embedding gained the calibrated auto
 #                  representative collapse),
-#                  followed by _TAIL_R9's first 34 — which by the round-9
+#                  followed by _TAIL_R9's first 33 — which by the round-9
 #                  construction re-proves every query whose driver
 #                  evidence predates round 6 (win_rolling_corr, last
 #                  driver-green in round 3, plus the six round-5-evidence
 #                  entries all sit inside that rung).
-#   _TAIL_R10   -- the remaining 108, oldest driver evidence first:
-#                  the 5 entries the new queries displaced from the
-#                  window's tail rung (join_interval, sql_views,
-#                  join_bloom, agg_tdigest, ts_ewma — the
+#   _TAIL_R10   -- the remaining 109, oldest driver evidence first:
+#                  the 6 entries the new queries displaced from the
+#                  window's tail rung (join_equi_revenue, join_interval,
+#                  sql_views, join_bloom, agg_tdigest, ts_ewma — the
 #                  NEWEST-evidence members of that stale rung, all
 #                  sweep-green this round) lead so round 11 re-proves
 #                  them first, then _TAIL_R9's leftover entries and
