@@ -362,9 +362,12 @@ def minhash_near_dup_pairs(
     ``dup_stats``: precomputed probe tuple (see :func:`dup_stats`) so
     composed flows pay one probe across operators; ``reliable``: durable
     lineage truncation (see :func:`_rep_groups` / ckpt.iter_checkpoint).
+    Probe results are cached per (session, plan, column): if this session OVERWRITES the files behind ``df`` and re-runs on an identical plan, call :func:`clear_dup_stats_cache` first or the auto switch plans from stale stats (plan choice only — both plans are result-exact).
     """
     df = _spread(df)
-    if _resolve_pair_collapse(df, text_col, duplicate_collapse, stats=dup_stats):
+    if _resolve_pair_collapse(
+        df, text_col, duplicate_collapse, stats=dup_stats, id_col=id_col
+    ):
         return _minhash_near_dup_collapsed(
             df, text_col, id_col, threshold, num_hashes, bands,
             shingle_n, round_to, reliable,
@@ -451,10 +454,14 @@ def _dup_blowup(df: DataFrame, text_col: str) -> float:
 
     One narrow shuffle of 8-byte keys (map-side combine bounds the
     shuffle by per-partition distincts). The decision path uses this
-    EXACT probe (via ``_dup_stats`` — the sampled gate it replaced
-    measured 6× slower than the probe it was gating, commit 7f070f6);
-    ``_dup_blowup_sampled`` below is tooling for huge-corpus estimation
-    and property tests only, not a production code path."""
+    EXACT probe (via ``_dup_stats``) up to SAMPLED_PROBE_MIN_N docs —
+    at measurable scales the full probe is noise next to the operator
+    (the round-5 sampled gate measured 6× slower than the probe it was
+    gating, commit 7f070f6, because it paid df.count() + a sampling
+    pass on a corpus where one exact pass was already cheap). Above the
+    cutoff the resolvers switch to :func:`_dup_stats_sampled` with an
+    at-threshold exact fallback — calibrated decision-parity in
+    tools/probe_calibration.py / SCALING.md."""
     return _dup_stats(df, text_col)[1]
 
 
@@ -586,6 +593,140 @@ def _dup_blowup_sampled(
     return 1.0 + cc / (s * s * n)
 
 
+# --- Sampled planning probe (round 11) -------------------------------------
+#
+# Above SAMPLED_PROBE_MIN_N docs the plan-time exact probe's full scan
+# (xxhash64 of EVERY text) is the single largest planning cost left at
+# 100x scale, and the collapse decisions only need (trimmed blowup,
+# cmax) to ONE decision bit each. The sampled probe estimates both from
+# a deterministic member-level sample and decides outright when the
+# estimates sit FAR from every threshold; inside a +/-PROBE_GUARD_BAND
+# multiplicative band of any threshold it falls back to the exact probe
+# (the at-threshold fallback), so a decision flip requires the estimate
+# to be wrong by more than the guard factor. tools/probe_calibration.py
+# measures the residual flip rate on the 54 stress-band cells + both
+# replicas at matched sampling intensity (PROBE_CALIB.jsonl /
+# SCALING.md): 0 flips at PROBE_MIN_HITS=50 across every cell x 20
+# sample draws, including with the guard band disabled.
+#
+# Detectability is the sizing rule, not a fixed rate: a constant-cmax
+# ceiling (containment's 3,464) is INVISIBLE to a fixed 2M-row sample
+# at n=10^10 (0.7 expected sampled members), so target_m is bumped to
+# keep >= PROBE_MIN_HITS expected members in a threshold-sized group:
+# the pair family's sqrt(beta*n/P) threshold needs only the default
+# 20*sqrt(n) sample, while containment at n=10^10 needs a ~3% sample —
+# still a 30x cut over hashing every text, and priced honestly here
+# rather than silently undetected.
+SAMPLED_PROBE_MIN_N = 5_000_000
+PROBE_GUARD_BAND = 2.0
+PROBE_MIN_HITS = 50
+# target_m floor (the 20*sqrt(n) detection-math default's absolute
+# minimum) — module constant so the cutoff-boundary pytest can scale
+# the whole mechanism down to test-sized corpora.
+SAMPLED_PROBE_TARGET_M_FLOOR = 200_000
+
+# Executed SAMPLED probe scans this session (cache hits don't count) —
+# companion to DUP_STATS_PROBE_RUNS for the probe-count plan audit.
+DUP_STATS_SAMPLED_RUNS = 0
+
+
+def _dup_stats_sampled(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    min_detect_cmax: float,
+    target_m: int | None = None,
+    salt: str | None = None,
+) -> tuple[int, float, int]:
+    """(n, blowup_est, cmax_est) from one deterministic member-level
+    sample pass — the sampled counterpart of :func:`_dup_stats`, same
+    tuple shape so the resolvers consume either.
+
+    Estimators (inclusion rate s = 1/K, member-level id-hash sample):
+    E[sum c_s^2] = s^2*sum c^2 + s(1-s)*n gives the unbiased
+    sum-of-squares, so blowup_est = ((sum c_s^2) - s(1-s)n) / (s^2 n);
+    cmax_est = max(c_s)/s (multiplicative error ~1/sqrt(s*cmax), which
+    the guard-band fallback in the resolvers absorbs). ``target_m`` is
+    raised to n*PROBE_MIN_HITS/min_detect_cmax so a group at the
+    caller's smallest decision-relevant cmax keeps >= PROBE_MIN_HITS
+    expected sampled members. ``salt`` perturbs the sampling hash —
+    calibration tooling only (tools/probe_calibration.py sweeps salts
+    to measure the flip-rate distribution); production planning is
+    salt-free so every run/replica makes the same decision."""
+    global DUP_STATS_SAMPLED_RUNS
+    if n == 0:
+        return (0, 0.0, 0)
+    if target_m is None:
+        target_m = max(SAMPLED_PROBE_TARGET_M_FLOOR, int(20 * n ** 0.5))
+    if min_detect_cmax > 0:
+        target_m = max(target_m, int(n * PROBE_MIN_HITS / min_detect_cmax) + 1)
+    if n <= 4 * target_m:
+        return _dup_stats(df, text_col)
+    k = max(2, round(n / target_m))
+    key_expr = (
+        F.col(id_col)
+        if salt is None
+        else F.concat(F.lit(f"{salt}:"), F.col(id_col).cast("string"))
+    )
+    sample = df.filter(F.pmod(F.xxhash64(key_expr), F.lit(k)) == 0)
+    g = sample.groupBy(F.xxhash64(F.col(text_col)).alias("__h")).agg(
+        F.count(F.lit(1)).alias("__c")
+    )
+    r = g.agg(
+        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        F.max("__c").alias("__mx"),
+    ).first()
+    DUP_STATS_SAMPLED_RUNS += 1
+    s = 1.0 / k
+    ss = r["__ss"] or 0
+    mx = r["__mx"] or 0
+    blowup_est = max(1.0, (ss - s * (1.0 - s) * n) / (s * s * n))
+    cmax_est = max(1, round(mx / s)) if mx else 0
+    return (n, blowup_est, cmax_est)
+
+
+def _planning_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    min_detect_cmax,
+) -> tuple[tuple[int, float, int], bool]:
+    """(stats, sampled?) for an ``auto`` collapse resolution: the exact
+    probe below SAMPLED_PROBE_MIN_N docs (or when a cached exact result
+    is already free, or when the caller has no id column to sample on),
+    else the sampled probe sized to detect the caller's thresholds.
+    ``min_detect_cmax`` is a callable n -> smallest cmax the caller's
+    rule must see (the lower guard-band edge of its ceiling)."""
+    if id_col is None:
+        return _dup_stats(df, text_col), False
+    key = None
+    try:
+        key = (id(df.sparkSession), df.semanticHash(), text_col)
+    except Exception:  # pragma: no cover - Connect/analysis corner
+        pass
+    if key is not None and key in _DUP_STATS_CACHE:
+        return _DUP_STATS_CACHE[key], False
+    n = df.count()
+    if n <= SAMPLED_PROBE_MIN_N:
+        return _dup_stats(df, text_col), False
+    detect = min_detect_cmax(n)
+    # Sampled results share across a composed flow too, but only when
+    # the cached draw was at least as precise (smaller min_detect =
+    # larger sample) as this caller needs.
+    skey = key + ("sampled",) if key is not None else None
+    if skey is not None and skey in _DUP_STATS_CACHE:
+        cached_detect, est = _DUP_STATS_CACHE[skey]
+        if cached_detect <= detect:
+            return est, True
+    est = _dup_stats_sampled(df, text_col, id_col, n, detect)
+    if skey is not None:
+        if len(_DUP_STATS_CACHE) >= _DUP_STATS_CACHE_MAX:
+            _DUP_STATS_CACHE.clear()
+        _DUP_STATS_CACHE[skey] = (detect, est)
+    return est, True
+
+
 # Historical docs-per-distinct-text ratio threshold, retained for the
 # ratio probe's tooling uses. Round 9 retired RATIO as a switch
 # statistic entirely: it is blind to group-size concentration in both
@@ -698,6 +839,8 @@ def _resolve_posting_collapse(
     duplicate_collapse: str,
     stats: tuple[int, float, int] | None = None,
     cmax_ceiling: int = POSTING_COLLAPSE_CMAX,
+    id_col: str | None = None,
+    blowup_threshold: float | None = None,
 ) -> bool:
     """``auto`` plan pick for the posting-join family: trimmed blowup
     against the measured spread crossover, cmax against the hotspot
@@ -705,16 +848,35 @@ def _resolve_posting_collapse(
     CONTAINMENT_COLLAPSE_CMAX). No docs-per-distinct ratio gate — ratio
     stays near 1 on exactly the concentrated compositions where the
     hotspot matters. ``stats`` short-circuits the probe with a
-    caller-supplied (n, blowup, cmax) — see :func:`dup_stats`."""
+    caller-supplied (n, blowup, cmax) — see :func:`dup_stats`. With an
+    ``id_col`` and > SAMPLED_PROBE_MIN_N docs the probe runs SAMPLED
+    (:func:`_dup_stats_sampled`); estimates inside the guard band of
+    either threshold re-run the exact probe before deciding."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
         return duplicate_collapse == "always"
-    n, blowup, cmax = stats if stats is not None else _dup_stats(df, text_col)
+    if blowup_threshold is None:
+        blowup_threshold = POSTING_COLLAPSE_BLOWUP
+    if stats is not None:
+        (n, blowup, cmax), sampled = stats, False
+    else:
+        (n, blowup, cmax), sampled = _planning_stats(
+            df, text_col, id_col, lambda _n: cmax_ceiling / PROBE_GUARD_BAND
+        )
     if n == 0:
         return False
     trimmed = blowup - cmax * cmax / n
-    return trimmed >= POSTING_COLLAPSE_BLOWUP or cmax >= cmax_ceiling
+    if sampled:
+        G = PROBE_GUARD_BAND
+        near = (
+            blowup_threshold / G <= trimmed <= blowup_threshold * G
+            or cmax_ceiling / G <= cmax <= cmax_ceiling * G
+        )
+        if near:  # at-threshold fallback: the exact probe decides
+            n, blowup, cmax = _dup_stats(df, text_col)
+            trimmed = blowup - cmax * cmax / n
+    return trimmed >= blowup_threshold or cmax >= cmax_ceiling
 
 
 def _pair_cmax_threshold(
@@ -753,25 +915,48 @@ def _resolve_pair_collapse(
     cmax_threshold: float | None = None,
     beta: float = PAIR_COLLAPSE_BETA,
     stats: tuple[int, float, int] | None = None,
+    id_col: str | None = None,
 ) -> bool:
     """``auto`` plan pick for the pair family (minhash LSH /
     dedup_against): collapse iff the largest exact-duplicate group
     reaches the serial-hotspot crossover — by default the scale-aware
     sqrt(beta·n/P) break-even (beta calibrated per operator, see the
     PAIR_COLLAPSE_BETA block; P from :func:`_plan_parallelism`),
-    overridable with an explicit ``cmax_threshold``. The probe is exact
-    — a sampled cmax has a detection floor that grows with n, while the
-    hotspot cost is absolute in cmax. ``stats`` short-circuits the
-    probe with a caller-supplied (n, blowup, cmax)."""
+    overridable with an explicit ``cmax_threshold``. ``stats``
+    short-circuits the probe with a caller-supplied (n, blowup, cmax).
+    With an ``id_col`` and > SAMPLED_PROBE_MIN_N docs the probe runs
+    SAMPLED — the sqrt(beta*n/P) threshold grows with n at exactly the
+    rate that keeps a threshold-sized group's expected sampled-member
+    count constant under the 20*sqrt(n) sample, so detectability holds
+    at any n (see _dup_stats_sampled); a cmax estimate inside the guard
+    band re-runs the exact probe before deciding."""
     if duplicate_collapse not in ("auto", "always", "never"):
         raise ValueError(f"duplicate_collapse: {duplicate_collapse!r}")
     if duplicate_collapse != "auto":
         return duplicate_collapse == "always"
-    n, _, cmax = stats if stats is not None else _dup_stats(df, text_col)
+    if stats is not None:
+        (n, _, cmax), sampled = stats, False
+    else:
+        p = _plan_parallelism(df.sparkSession)
+        (n, _, cmax), sampled = _planning_stats(
+            df,
+            text_col,
+            id_col,
+            lambda _n: (
+                cmax_threshold
+                if cmax_threshold is not None
+                else _pair_cmax_threshold(_n, p, beta)
+            )
+            / PROBE_GUARD_BAND,
+        )
     if cmax_threshold is None:
         cmax_threshold = _pair_cmax_threshold(
             n, _plan_parallelism(df.sparkSession), beta
         )
+    if sampled:
+        G = PROBE_GUARD_BAND
+        if cmax_threshold / G <= cmax <= cmax_threshold * G:
+            n, _, cmax = _dup_stats(df, text_col)  # at-threshold fallback
     return cmax >= cmax_threshold
 
 
@@ -838,9 +1023,12 @@ def jaccard_pairs_inverted(
     posting family's measured crossovers (POSTING_COLLAPSE_BLOWUP /
     POSTING_COLLAPSE_CMAX — the self-join grows ~trimmed², so the
     spread threshold sits low). ``dup_stats``: precomputed probe tuple
-    (see :func:`dup_stats`); ``reliable``: durable lineage truncation."""
+    (see :func:`dup_stats`); ``reliable``: durable lineage truncation.
+    Probe results are cached per (session, plan, column): if this session OVERWRITES the files behind ``df`` and re-runs on an identical plan, call :func:`clear_dup_stats_cache` first or the auto switch plans from stale stats (plan choice only — both plans are result-exact)."""
     df = _spread(df)
-    if _resolve_posting_collapse(df, text_col, duplicate_collapse, stats=dup_stats):
+    if _resolve_posting_collapse(
+        df, text_col, duplicate_collapse, stats=dup_stats, id_col=id_col
+    ):
         return _jaccard_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
             max_shingle_freq, round_to, reliable,
@@ -1019,11 +1207,12 @@ def containment_pairs_inverted(
     postings touch, so the direct join crosses at cmax ≈ 3.5k where
     jaccard still wins at 4k — measured h60/h80 bracket).
     ``dup_stats``: precomputed probe tuple (see :func:`dup_stats`);
-    ``reliable``: durable lineage truncation."""
+    ``reliable``: durable lineage truncation.
+    Probe results are cached per (session, plan, column): if this session OVERWRITES the files behind ``df`` and re-runs on an identical plan, call :func:`clear_dup_stats_cache` first or the auto switch plans from stale stats (plan choice only — both plans are result-exact)."""
     df = _spread(df)
     if _resolve_posting_collapse(
         df, text_col, duplicate_collapse, stats=dup_stats,
-        cmax_ceiling=CONTAINMENT_COLLAPSE_CMAX,
+        cmax_ceiling=CONTAINMENT_COLLAPSE_CMAX, id_col=id_col,
     ):
         return _containment_pairs_collapsed(
             df, text_col, id_col, shingle_n, threshold,
@@ -1277,7 +1466,8 @@ def embedding_neardup_pairs(
         F.col(id_col), F.col(vec_col)
     )
     if not exact and _resolve_pair_collapse(
-        base, vec_col, duplicate_collapse, beta=EMBED_COLLAPSE_BETA
+        base, vec_col, duplicate_collapse, beta=EMBED_COLLAPSE_BETA,
+        id_col=id_col,
     ):
         from datamine_v2_0_spark.operators.similarity import (
             vector_rep_groups,
@@ -2068,7 +2258,12 @@ def dedup_against(
     bucket) equality — never all-pairs — and the signature UDF runs
     once over each corpus.
 
-    Returns the surviving ``new_df`` rows (original columns).
+    Returns the surviving ``new_df`` rows (original columns). Auto
+    probe results are cached per (session, plan, column): if this
+    session OVERWRITES the files behind either corpus and re-runs on an
+    identical plan, call :func:`clear_dup_stats_cache` first or the
+    auto switch plans from stale stats (plan choice only — both plans
+    are result-exact).
     """
     if method == "exact":
         rh = ref_df.select(content_hash(F.col(text_col)).alias("__h")).distinct()
@@ -2082,11 +2277,14 @@ def dedup_against(
     # ``dup_stats``, if supplied, must be the probe of the POOLED corpora
     # (new ∪ ref on the text column) — that is what auto probes here.
     if _resolve_pair_collapse(
-        new_df.select(F.col(text_col)).unionAll(ref_df.select(F.col(text_col))),
+        new_df.select(F.col(id_col), F.col(text_col)).unionAll(
+            ref_df.select(F.col(id_col), F.col(text_col))
+        ),
         text_col,
         duplicate_collapse,
         beta=AGAINST_COLLAPSE_BETA,
         stats=dup_stats,
+        id_col=id_col,
     ):
         return _dedup_against_collapsed(
             new_df, ref_df, text_col, id_col, threshold, num_hashes,

@@ -365,7 +365,13 @@ def weighted_sample_k(
     integer, so the draw is reproducible bit-for-bit in any SQL engine
     (no pow/ln float rounding at the k-th boundary). Cost: a length-w
     hash array per row (bounded by ``max_weight``; weights above it
-    raise rather than silently clip).
+    raise rather than silently clip). Exact mode REQUIRES integer
+    weights >= 1: a positive non-integral weight (including the [0,1)
+    quality scores calibration_report suggests as weights) raises at
+    evaluation time instead of silently truncating to long — before
+    round 11 a 0.7 weight truncated to 0 and the row was dropped, so
+    an all-fractional corpus returned an EMPTY sample with no error.
+    Use ``method="float"`` for fractional weights.
 
     ``method="float"``: priority ln(u)/w for arbitrary positive DOUBLE
     weights, O(1) per row — the 100 TB path (token-count weights in the
@@ -419,7 +425,30 @@ def weighted_sample_k(
                 )
             ).cast("long"),
         ).otherwise(pri)
-        out = df.filter(wl >= 1)
+        # Integer-weight precondition, enforced IN the filter expression:
+        # the old ``filter(wl >= 1)`` ran before any priority guard could
+        # fire, so fractional weights were truncated-and-dropped silently
+        # (weights in (0,1) all became 0 -> empty sample, no error). A
+        # positive non-integral weight now raises row-side, pointing at
+        # method='float'; exact zero / negative / NULL weights still
+        # never sample, per the contract above.
+        wd = w.cast("double")
+        keep = F.when(
+            wd.isNotNull() & (wd > 0) & (wd != wl.cast("double")),
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "weighted_sample_k(method='exact') requires integer "
+                        "weights >= 1; got non-integral weight "
+                    ),
+                    wd.cast("string"),
+                    F.lit(" for id "),
+                    F.col(id_col).cast("string"),
+                    F.lit("; use method='float' for fractional weights"),
+                )
+            ).cast("boolean"),
+        ).otherwise(wl >= 1)
+        out = df.filter(keep)
     else:
         h = F.conv(
             F.substring(
@@ -432,7 +461,12 @@ def weighted_sample_k(
         ).cast("double")
         u = (h + F.lit(0.5)) / F.lit(float(1 << 60))
         pri = F.log(u) / w.cast("double")
-        out = df.filter(w.cast("double") > 0)
+        # NaN weights satisfy ``w > 0`` under Spark's NaN-greatest
+        # ordering and would yield NaN priorities that sort FIRST under
+        # desc(), silently filling the whole sample — exclude them
+        # alongside NULL / non-positive weights (round-11 ADVICE).
+        wd = w.cast("double")
+        out = df.filter((wd > 0) & ~F.isnan(wd))
     out = out.withColumn("priority", pri)
     if strata:
         from pyspark.sql import Window

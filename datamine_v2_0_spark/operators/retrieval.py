@@ -121,25 +121,51 @@ def bm25_topk(
     dedup.dup_stats) so composed flows — rrf_fuse calling bm25 on the
     same corpus another operator already probed — pay one probe per
     corpus, not one per call. Repeat auto calls on a semantically
-    identical frame also hit dedup's session probe cache.
+    identical frame also hit dedup's session probe cache — so if this
+    session OVERWRITES the files behind ``docs``/``queries`` and
+    re-runs an identical plan, call dedup.clear_dup_stats_cache() first
+    or the auto switch plans from stale stats (plan choice only — both
+    plans are result-exact).
 
     Reference parity: the reference has no retrieval operator — this is
     part of the beyond-reference LLM-data surface (SURVEY.md §2 extension),
     built per Robertson et al., "Okapi at TREC-3" (1994).
     """
     from datamine_v2_0_spark.operators.dedup import (
-        BM25_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX, _dup_stats,
+        BM25_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX, PROBE_GUARD_BAND,
+        _dup_stats, _planning_stats,
     )
 
     if duplicate_collapse == "auto":
-        n_d, blow_d, cmax_d = (
-            doc_stats if doc_stats is not None else _dup_stats(docs, text_col)
-        )
+        # Doc side is the 100 TB side: above dedup.SAMPLED_PROBE_MIN_N
+        # the probe runs sampled with an at-threshold exact fallback
+        # (guard band below); the query side is small by contract
+        # (probes/eval sets) and stays on the exact probe.
+        if doc_stats is not None:
+            (n_d, blow_d, cmax_d), sampled_d = doc_stats, False
+        else:
+            (n_d, blow_d, cmax_d), sampled_d = _planning_stats(
+                docs, text_col, id_col,
+                lambda _n: POSTING_COLLAPSE_CMAX / PROBE_GUARD_BAND,
+            )
         _, blow_q, _ = (
             query_stats if query_stats is not None
             else _dup_stats(queries, query_text_col)
         )
         trimmed_d = (blow_d - cmax_d * cmax_d / n_d) if n_d else 0.0
+        if sampled_d:
+            G = PROBE_GUARD_BAND
+            near = (
+                BM25_COLLAPSE_BLOWUP / G
+                <= trimmed_d * blow_q
+                <= BM25_COLLAPSE_BLOWUP * G
+                or POSTING_COLLAPSE_CMAX / G
+                <= cmax_d
+                <= POSTING_COLLAPSE_CMAX * G
+            )
+            if near:  # at-threshold fallback: the exact probe decides
+                n_d, blow_d, cmax_d = _dup_stats(docs, text_col)
+                trimmed_d = (blow_d - cmax_d * cmax_d / n_d) if n_d else 0.0
         collapse = (
             trimmed_d * blow_q >= BM25_COLLAPSE_BLOWUP
             or cmax_d >= POSTING_COLLAPSE_CMAX

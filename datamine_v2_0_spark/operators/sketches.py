@@ -357,14 +357,38 @@ def cms_sketch(
     if depth < 1 or width < 1:
         raise ValueError(f"depth/width must be >= 1, got {depth}/{width}")
     k = F.col(key_col).cast("string")
-    w = (
-        F.col(weight_col).cast("long")
-        if weight_col is not None
-        else F.lit(1).cast("long")
-    )
+    if weight_col is not None:
+        # The one-sided "estimates never undercount" guarantee documented
+        # above requires non-negative weights: a negative weight would
+        # subtract from every cell it hashes into and silently turn the
+        # sketch into a biased estimator. Raise row-side (mirroring
+        # weighted_sample_k's guard style) instead of trusting callers,
+        # and drop NULL-weight rows explicitly — before round 11 they
+        # rode into posexplode and were discarded by sum() without
+        # warning; now the filter states the precondition in the plan.
+        wl = F.col(weight_col).cast("long")
+        w = F.when(
+            wl < 0,
+            F.raise_error(
+                F.concat(
+                    F.lit("cms_sketch: negative weight "),
+                    wl.cast("string"),
+                    F.lit(" for key "),
+                    k,
+                    F.lit(
+                        " violates the one-sided overcount guarantee; "
+                        "weights must be >= 0"
+                    ),
+                )
+            ).cast("long"),
+        ).otherwise(wl)
+        key_filter = F.col(key_col).isNotNull() & wl.isNotNull()
+    else:
+        w = F.lit(1).cast("long")
+        key_filter = F.col(key_col).isNotNull()
     cells = F.array(*[_cms_cell(k, j, width, portable) for j in range(depth)])
     return (
-        df.filter(F.col(key_col).isNotNull())
+        df.filter(key_filter)
         .select(F.posexplode(cells).alias("row", "cell"), w.alias("__w"))
         .groupBy("row", "cell")
         .agg(F.sum("__w").alias("total"))

@@ -614,6 +614,40 @@ def test_weighted_sample_float_path(spark):
     ] == [2]
 
 
+def test_weighted_sample_exact_fractional_raises(spark):
+    # Round-11 ADVICE: exact mode used to cast (0,1) weights to long 0 and
+    # silently return an EMPTY sample — the documented calibration_report
+    # score-as-weight flow hit exactly this. Now it raises, pointing at
+    # method='float'.
+    import pytest
+
+    scores = spark.createDataFrame(
+        [(1, 0.7), (2, 0.3), (3, 0.9)], "doc_id long, wt double"
+    )
+    with pytest.raises(Exception, match="non-integral weight"):
+        flt.weighted_sample_k(scores, "doc_id", "wt", k=2).collect()
+    mixed = spark.createDataFrame([(1, 2.5), (2, 3.0)], "doc_id long, wt double")
+    with pytest.raises(Exception, match="non-integral weight"):
+        flt.weighted_sample_k(mixed, "doc_id", "wt", k=1).collect()
+    # integral-valued doubles are fine (2.0 == long 2), and the same
+    # scores sample cleanly under method='float'
+    ok = spark.createDataFrame([(1, 2.0), (2, 3.0)], "doc_id long, wt double")
+    assert flt.weighted_sample_k(ok, "doc_id", "wt", k=2).count() == 2
+    assert flt.weighted_sample_k(scores, "doc_id", "wt", k=2, method="float").count() == 2
+
+
+def test_weighted_sample_float_nan_excluded(spark):
+    # NaN > 0 is TRUE under Spark's NaN-greatest ordering, and ln(u)/NaN
+    # priorities sort first under desc() — before round 11 NaN-weight rows
+    # silently occupied the whole sample.
+    df = spark.createDataFrame(
+        [(1, float("nan")), (2, float("nan")), (3, 1.0), (4, 2.0)],
+        "doc_id long, wt double",
+    )
+    got = flt.weighted_sample_k(df, "doc_id", "wt", k=2, method="float")
+    assert sorted(r.doc_id for r in got.collect()) == [3, 4]
+
+
 def test_weighted_sample_strata(spark):
     rows = [(i, i % 5 + 1, "en" if i % 2 == 0 else "de") for i in range(100)]
     df = spark.createDataFrame(rows, "doc_id long, wt long, lang string")

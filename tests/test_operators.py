@@ -1893,6 +1893,97 @@ def test_dup_stats_probe_cache_and_supplied_stats(spark):
     assert dd.DUP_STATS_PROBE_RUNS == before + 2
 
 
+def test_dup_stats_cache_overwrite_staleness(spark, tmp_path):
+    """The documented cache hazard (round-11 verdict #4): overwriting
+    the files behind an identical plan serves stale probe stats until
+    clear_dup_stats_cache() — the exact flow the consuming operators'
+    docstrings now point at."""
+    path = str(tmp_path / "docs.parquet")
+    _dup_corpus(spark, [1] * 20).write.mode("overwrite").parquet(path)
+    dd.clear_dup_stats_cache()
+    first = dd.dup_stats(spark.read.parquet(path), "text")
+    assert first[2] == 1  # all unique
+    # overwrite with a duplicate-heavy corpus behind the SAME plan
+    _dup_corpus(spark, [15, 5]).write.mode("overwrite").parquet(path)
+    stale = dd.dup_stats(spark.read.parquet(path), "text")
+    assert stale == first  # cache cannot see the overwrite
+    dd.clear_dup_stats_cache()
+    fresh = dd.dup_stats(spark.read.parquet(path), "text")
+    assert fresh[0] == 20 and fresh[2] == 15
+
+
+def test_sampled_probe_estimator_accuracy(spark):
+    """_dup_stats_sampled within the guard-band factor of truth across
+    independent sample draws (salts) at ~80 expected sampled members of
+    the mega group — the intensity the detectability sizing guarantees
+    (PROBE_MIN_HITS floor, tools/probe_calibration.py measures the full
+    flip-rate distribution on the stress band)."""
+    hot = _dup_corpus(spark, [400] + [1] * 1600)  # n=2000, cmax=400
+    exact_n, exact_blowup, exact_cmax = dd._dup_stats(hot, "text")
+    assert (exact_n, exact_cmax) == (2000, 400)
+    for salt in (None, "0", "1", "2"):
+        n, blowup, cmax = dd._dup_stats_sampled(
+            hot, "text", "doc_id", n=2000, min_detect_cmax=0.0,
+            target_m=400, salt=salt,
+        )
+        assert n == 2000
+        assert exact_cmax / 2 <= cmax <= exact_cmax * 2
+        assert exact_blowup / 2 <= blowup <= exact_blowup * 2
+    # the n <= 4*target_m small-corpus guard inside the estimator
+    # returns the exact probe outright
+    assert dd._dup_stats_sampled(
+        hot, "text", "doc_id", n=2000, min_detect_cmax=0.0, target_m=600,
+    ) == (exact_n, exact_blowup, exact_cmax)
+
+
+def test_sampled_probe_cutoff_and_guard_band(spark, monkeypatch):
+    """The planning cutoff boundary (round-11 verdict task 1): exact
+    probe at or below SAMPLED_PROBE_MIN_N, sampled above; a sampled
+    cmax estimate inside the guard band of the pair threshold re-runs
+    the exact probe (at-threshold fallback), outside it the sample
+    decides alone."""
+    # n=10000 so the default 20*sqrt(n) sample (2000 rows) is a real
+    # sub-sample (the estimator's n <= 4*target_m guard returns exact
+    # below ~6400 docs); the mega group samples ~80 members at s=0.2
+    hot = _dup_corpus(spark, [400] + [1] * 9600)
+    # below the cutoff: exact, no sampled scan
+    dd.clear_dup_stats_cache()
+    s_runs = dd.DUP_STATS_SAMPLED_RUNS
+    stats, sampled = dd._planning_stats(hot, "text", "doc_id", lambda n: 50.0)
+    assert not sampled and stats == dd._dup_stats(hot, "text")
+    assert dd.DUP_STATS_SAMPLED_RUNS == s_runs
+    # above the cutoff: sampled scan runs, detectability sizing keeps
+    # the 400-strong group visible within the guard factor
+    monkeypatch.setattr(dd, "SAMPLED_PROBE_MIN_N", 100)
+    monkeypatch.setattr(dd, "PROBE_MIN_HITS", 20)
+    monkeypatch.setattr(dd, "SAMPLED_PROBE_TARGET_M_FLOOR", 50)
+    dd.clear_dup_stats_cache()
+    stats_s, sampled = dd._planning_stats(hot, "text", "doc_id", lambda n: 200.0)
+    assert sampled and dd.DUP_STATS_SAMPLED_RUNS == s_runs + 1
+    assert stats_s[0] == 10000 and 200 <= stats_s[2] <= 800
+    # identical-plan re-probe reuses the cached sampled draw ...
+    stats_s2, sampled2 = dd._planning_stats(hot, "text", "doc_id", lambda n: 200.0)
+    assert sampled2 and stats_s2 == stats_s
+    assert dd.DUP_STATS_SAMPLED_RUNS == s_runs + 1
+    # ... but a caller needing finer detection re-samples
+    dd._planning_stats(hot, "text", "doc_id", lambda n: 150.0)
+    assert dd.DUP_STATS_SAMPLED_RUNS == s_runs + 2
+    # guard band: threshold near the estimate -> exact fallback decides
+    dd.clear_dup_stats_cache()
+    e_runs = dd.DUP_STATS_PROBE_RUNS
+    assert not dd._resolve_pair_collapse(
+        hot, "text", "auto", cmax_threshold=500.0, id_col="doc_id"
+    )  # est ~400 inside [250, 1000] -> exact probe ran, 400 < 500
+    assert dd.DUP_STATS_PROBE_RUNS == e_runs + 1
+    # threshold far above the estimate -> the sample decides alone
+    dd.clear_dup_stats_cache()
+    e_runs = dd.DUP_STATS_PROBE_RUNS
+    assert not dd._resolve_pair_collapse(
+        hot, "text", "auto", cmax_threshold=1200.0, id_col="doc_id"
+    )  # est ~400 outside [600, 2400] -> direct, no exact scan
+    assert dd.DUP_STATS_PROBE_RUNS == e_runs
+
+
 def test_auto_operators_share_one_probe_per_corpus(spark):
     """Two collapse-capable operators over the SAME corpus pay one
     probe scan total (the round-9 verdict's composed-flow cost), via

@@ -233,6 +233,30 @@ def test_cms_weighted_and_fast_path(spark, events):
         assert all(est[k] >= exact[k] for k in exact)
 
 
+def test_cms_weight_preconditions(spark):
+    # Round-11 ADVICE: negative weights would silently break the
+    # one-sided overcount guarantee (undercounts with no error) — now a
+    # row-side raise; NULL-weight rows are filtered explicitly and the
+    # sketch total matches the non-NULL weight mass.
+    import pytest
+
+    df = spark.createDataFrame(
+        [("a", 3), ("b", -1), ("c", 2)], "k string, w long"
+    )
+    with pytest.raises(Exception, match="negative weight"):
+        sk.cms_sketch(df, "k", depth=2, width=16, weight_col="w").collect()
+    with_null = spark.createDataFrame(
+        [("a", 3), ("b", None), ("c", 2)], "k string, w long"
+    )
+    sketch = sk.cms_sketch(with_null, "k", depth=2, width=16, weight_col="w")
+    total = sketch.filter(F.col("row") == 0).agg(F.sum("total")).collect()[0][0]
+    assert total == 5  # 3 + 2; the NULL-weight row contributes nothing
+    # zero weights are allowed (guarantee holds trivially)
+    zeros = spark.createDataFrame([("a", 0), ("b", 4)], "k string, w long")
+    z = sk.cms_sketch(zeros, "k", depth=2, width=16, weight_col="w")
+    assert z.filter(F.col("row") == 0).agg(F.sum("total")).collect()[0][0] == 4
+
+
 def test_cms_unseen_key_and_bounds(spark, events):
     depth, width = 4, 1 << 18
     sketch = sk.cms_sketch(events, "user_id", depth=depth, width=width)
