@@ -604,10 +604,12 @@ def _dup_blowup_sampled(
 # multiplicative band of any threshold it falls back to the exact probe
 # (the at-threshold fallback), so a decision flip requires the estimate
 # to be wrong by more than the guard factor. tools/probe_calibration.py
-# measures the residual flip rate on the 54 stress-band cells + both
-# replicas at matched sampling intensity (PROBE_CALIB.jsonl /
-# SCALING.md): 0 flips at PROBE_MIN_HITS=50 across every cell x 20
-# sample draws, including with the guard band disabled.
+# measures the residual flip rate at matched sampling intensity on the
+# full stress band + skew/16x replicas + 16x-scaled hot bands where the
+# sample genuinely estimates a mega-group cmax (85 corpus x rule cells,
+# 50 genuinely sampled, 20 salted draws each — PROBE_CALIB.jsonl /
+# SCALING.md): 0 flips in 1000 draws, including with the guard band
+# disabled; 340 draws landed in-band and would defer to the exact probe.
 #
 # Detectability is the sizing rule, not a fixed rate: a constant-cmax
 # ceiling (containment's 3,464) is INVISIBLE to a fixed 2M-row sample
@@ -644,11 +646,18 @@ def _dup_stats_sampled(
     tuple shape so the resolvers consume either.
 
     Estimators (inclusion rate s = 1/K, member-level id-hash sample):
-    E[sum c_s^2] = s^2*sum c^2 + s(1-s)*n gives the unbiased
-    sum-of-squares, so blowup_est = ((sum c_s^2) - s(1-s)n) / (s^2 n);
-    cmax_est = max(c_s)/s (multiplicative error ~1/sqrt(s*cmax), which
-    the guard-band fallback in the resolvers absorbs). ``target_m`` is
-    raised to n*PROBE_MIN_HITS/min_detect_cmax so a group at the
+    blowup_est = 1 + (sum c_s(c_s-1)) / (s^2 n) — the COLLISION form,
+    unbiased since E[c_s(c_s-1)] = s^2 c(c-1), and its noise comes only
+    from same-group pair collisions (a sum-of-squares form would add
+    the sample-size fluctuation amplified by 1/(s^2 n), which
+    calibration measured flipping decisions at low rates; the collision
+    form's per-draw sigma is ~(blowup-1)/sqrt(collisions), pinned to a
+    constant by the 20*sqrt(n) floor below). cmax_est = max(c_s)/s
+    (multiplicative error ~1/sqrt(s*cmax), which the guard-band
+    fallback in the resolvers absorbs). ``target_m`` defaults to
+    max(floor, 20*sqrt(n)) — the blowup detectability term: collisions
+    at the spread threshold are ~200*(blowup-1) regardless of n — and
+    is raised to n*PROBE_MIN_HITS/min_detect_cmax so a group at the
     caller's smallest decision-relevant cmax keeps >= PROBE_MIN_HITS
     expected sampled members. ``salt`` perturbs the sampling hash —
     calibration tooling only (tools/probe_calibration.py sweeps salts
@@ -674,14 +683,14 @@ def _dup_stats_sampled(
         F.count(F.lit(1)).alias("__c")
     )
     r = g.agg(
-        F.sum(F.col("__c") * F.col("__c")).alias("__ss"),
+        F.sum(F.col("__c") * (F.col("__c") - 1)).alias("__cc"),
         F.max("__c").alias("__mx"),
     ).first()
     DUP_STATS_SAMPLED_RUNS += 1
     s = 1.0 / k
-    ss = r["__ss"] or 0
+    cc = r["__cc"] or 0
     mx = r["__mx"] or 0
-    blowup_est = max(1.0, (ss - s * (1.0 - s) * n) / (s * s * n))
+    blowup_est = 1.0 + cc / (s * s * n)
     cmax_est = max(1, round(mx / s)) if mx else 0
     return (n, blowup_est, cmax_est)
 

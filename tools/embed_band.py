@@ -1,0 +1,128 @@
+"""Planted-group band for the embedding near-dup collapse crossover.
+
+Round-10 calibrated EMBED_COLLAPSE_BETA = 3,841 from ONE (n=2000, P=32)
+band on the sf0.1 embeddings (g-crossover ~ 490); round-11 verdict task
+3 orders a second calibration point to test the sqrt(beta*n/P)
+functional form in n before trusting its extrapolation. This tool is
+the (previously ad-hoc) harness, now versioned: plant one g-strong
+identical-vector group into an embeddings corpus, time
+embedding_neardup_pairs on both physical plans with distributed
+parity, and report each cell against the formula's predicted
+crossover sqrt(beta*n/P).
+
+Methodology identical to round 10: the g lowest vec_ids are overwritten
+with the corpus's first vector (so the group is one exact-duplicate
+embedding, the serial-hotspot composition), min-of-REPS timing per
+(cell, plan) with the first run of each cell discarded as scan warm-up,
+parity via an order-insensitive distributed hash of all output pairs.
+
+Usage:
+  python tools/embed_band.py [src_embeddings_parquet] [--cells 400,600,...]
+                             [--reps 2] [--dim 64]
+Appends one JSON line per cell to EMBED_BAND.jsonl.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+OUT = "/root/repo/EMBED_BAND.jsonl"
+
+
+def fingerprint(df):
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return int(r["n"] or 0), int(r["h"] or 0)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "src", nargs="?", default="/root/testdata/sf0.1/embeddings.parquet"
+    )
+    ap.add_argument("--cells", default="400,600,800,1200,1600")
+    ap.add_argument("--reps", type=int, default=2)
+    ap.add_argument("--dim", type=int, default=64)
+    args = ap.parse_args()
+
+    from datamine_v2_0_spark.session import get_spark
+    from datamine_v2_0_spark.operators import dedup as dd
+
+    spark = get_spark("embed-band")
+    base = spark.read.parquet(args.src)
+    n = base.count()
+    p = dd._plan_parallelism(spark)
+    predicted = (dd.EMBED_COLLAPSE_BETA * n / p) ** 0.5
+    print(
+        f"src={args.src} n={n} P={p} beta={dd.EMBED_COLLAPSE_BETA} "
+        f"predicted crossover g ~= {predicted:.0f}"
+    )
+
+    viral = base.orderBy("vec_id").select("embedding").first()[0]
+    lit_vec = F.array(*[F.lit(float(x)) for x in viral])
+
+    for g in [int(x) for x in args.cells.split(",") if x]:
+        df = base.withColumn(
+            "embedding",
+            F.when(F.col("vec_id") < g, lit_vec).otherwise(F.col("embedding")),
+        ).persist()
+        df.count()  # materialize once so both plans read a warm cache
+        times, fps = {}, {}
+        for mode in ("never", "always"):
+            best = None
+            for rep in range(args.reps + 1):
+                t0 = time.time()
+                out = dd.embedding_neardup_pairs(
+                    df, "embedding", "vec_id", dim=args.dim,
+                    threshold=0.9, duplicate_collapse=mode,
+                )
+                fp = fingerprint(out)
+                dt = time.time() - t0
+                if rep == 0:
+                    fps[mode] = fp
+                    continue  # warm-up discarded
+                assert fp == fps[mode], (mode, fp, fps[mode])
+                best = dt if best is None else min(best, dt)
+            times[mode] = round(best, 3)
+        parity = fps["never"] == fps["always"]
+        # what auto would pick at this cell (exact probe — corpus is
+        # far below the sampled cutoff)
+        stats = dd._dup_stats(df, "embedding")
+        auto_collapse = dd._resolve_pair_collapse(
+            df, "embedding", "auto", beta=dd.EMBED_COLLAPSE_BETA,
+            stats=stats, id_col="vec_id",
+        )
+        winner = "always" if times["always"] < times["never"] else "never"
+        row = {
+            "src": args.src,
+            "n": n,
+            "parallelism": p,
+            "g": g,
+            "predicted_crossover": round(predicted, 1),
+            "t_never": times["never"],
+            "t_always": times["always"],
+            "winner": winner,
+            "auto": "always" if auto_collapse else "never",
+            "auto_optimal": (winner == "always") == auto_collapse,
+            "parity": parity,
+            "pairs": fps["never"][0],
+        }
+        print(json.dumps(row), flush=True)
+        with open(OUT, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        df.unpersist()
+
+
+if __name__ == "__main__":
+    main()
