@@ -810,15 +810,32 @@ PAIR_COLLAPSE_BETA = 14_400
 # reproduces its sf0.01-skew reading too (threshold 221, measured
 # direct-wins at cmax 200).
 AGAINST_COLLAPSE_BETA = 3_136
-# embedding_neardup_pairs (round 10): same serial-hotspot mechanism on
-# vectors — a g-strong identical-embedding group is one g×g verify
-# matmul in one bucket task plus g² passing pairs shuffled once per
-# band. Calibrated on the sf0.1 embeddings (n=2000, dim=64, P=32) with
-# planted duplicate groups: direct wins at g ≤ 400 (0.94 vs 1.05 s),
-# collapse wins at 600 (2.09 vs 1.60) and 800 (2.29/1.86 same-session;
-# 6.16/1.44 on the skew replica where other duplicates compound) →
-# crossover ≈ sqrt(400·600) ≈ 490 → beta = 490²·32/2000.
-EMBED_COLLAPSE_BETA = 3_841
+# embedding_neardup_pairs: same serial-hotspot mechanism on vectors —
+# a g-strong identical-embedding group is one g×g verify matmul in one
+# bucket task plus g² passing pairs shuffled once per band. Round 10
+# calibrated a single sqrt(beta·n/P) beta from ONE n (2000 → beta
+# 3,841); round 11 added two more n points (tools/embed_band.py,
+# EMBED_BAND.jsonl — uniquified 4x backgrounds so replica duplication
+# doesn't confound the planted hotspot) and the single-beta form broke:
+# measured crossover brackets at P=32 are
+#     n=500:  g* in (200, 300)    [direct 0.88 vs 0.96 at 200]
+#     n=2000: g* in (300, 500)    [direct 0.92 vs 1.19 at 300]
+#     n=8000: g* in (500, 800)    [collapse 1.65 vs 1.91 at 800]
+# i.e. g* grows ~n^0.34 here, not sqrt(n) — no single beta satisfies
+# all three brackets (the n=500 lower bound and n=8000 upper bound
+# pinch at exactly 2,560). The affine model
+#     g*² = EMBED_COLLAPSE_INTERCEPT + EMBED_COLLAPSE_BETA · n/P
+# fits all three with margin (intercept = the FIXED collapse overhead —
+# the rep-group build + fan-out join stages cost ~constant wall-clock
+# at small n — in hotspot-pair units; beta = the per-core linear
+# fan-out work): fit through the n=500/n=8000 bracket centers gives
+# intercept 37,400 / beta 1,448 and predicts g*(n=2000) = 358, inside
+# its bracket. At cluster scale the beta term dominates and the
+# sqrt(1/P) earlier-collapse-on-bigger-clusters behavior is retained;
+# at small n the threshold floors at sqrt(intercept) ≈ 193 instead of
+# the old form's coincidental 245.
+EMBED_COLLAPSE_BETA = 1_448
+EMBED_COLLAPSE_INTERCEPT = 37_400
 PAIR_COLLAPSE_CMAX_MIN = 64
 # posting hotspot: a mega group's posting pairs spread over its own
 # ~doc-length distinct shingle keys, so the serial fraction is far
@@ -889,12 +906,16 @@ def _resolve_posting_collapse(
 
 
 def _pair_cmax_threshold(
-    n: int, parallelism: int, beta: float = PAIR_COLLAPSE_BETA
+    n: int, parallelism: int, beta: float = PAIR_COLLAPSE_BETA,
+    intercept: float = 0.0,
 ) -> float:
     """Scale-aware pair-family hotspot crossover (see the
-    PAIR_COLLAPSE_BETA block): sqrt(beta · n / P), floored."""
+    PAIR_COLLAPSE_BETA block): sqrt(intercept + beta · n / P), floored.
+    The intercept is 0 for the text family; the embedding family's
+    measured fixed collapse overhead makes it affine (see the
+    EMBED_COLLAPSE_INTERCEPT block)."""
     p = max(parallelism, 1)
-    return max(PAIR_COLLAPSE_CMAX_MIN, (beta * n / p) ** 0.5)
+    return max(PAIR_COLLAPSE_CMAX_MIN, (intercept + beta * n / p) ** 0.5)
 
 
 def _plan_parallelism(spark) -> int:
@@ -925,6 +946,7 @@ def _resolve_pair_collapse(
     beta: float = PAIR_COLLAPSE_BETA,
     stats: tuple[int, float, int] | None = None,
     id_col: str | None = None,
+    intercept: float = 0.0,
 ) -> bool:
     """``auto`` plan pick for the pair family (minhash LSH /
     dedup_against): collapse iff the largest exact-duplicate group
@@ -954,13 +976,13 @@ def _resolve_pair_collapse(
             lambda _n: (
                 cmax_threshold
                 if cmax_threshold is not None
-                else _pair_cmax_threshold(_n, p, beta)
+                else _pair_cmax_threshold(_n, p, beta, intercept)
             )
             / PROBE_GUARD_BAND,
         )
     if cmax_threshold is None:
         cmax_threshold = _pair_cmax_threshold(
-            n, _plan_parallelism(df.sparkSession), beta
+            n, _plan_parallelism(df.sparkSession), beta, intercept
         )
     if sampled:
         G = PROBE_GUARD_BAND
@@ -1458,7 +1480,8 @@ def embedding_neardup_pairs(
     all-zero group verifies NaN there and is correspondingly excluded
     from the closed form here. ``"auto"`` (default) probes the vector
     column (the same cached _dup_stats scan — xxhash64 hashes arrays)
-    against the scale-aware sqrt(EMBED_COLLAPSE_BETA·n/P) crossover,
+    against the measured affine crossover
+    sqrt(EMBED_COLLAPSE_INTERCEPT + EMBED_COLLAPSE_BETA·n/P),
     calibrated from a planted-group band on the sf0.1 embeddings (see
     the constant's derivation block); the exact brute-force mode never
     probes or collapses — it is the small-corpus oracle baseline."""
@@ -1476,7 +1499,7 @@ def embedding_neardup_pairs(
     )
     if not exact and _resolve_pair_collapse(
         base, vec_col, duplicate_collapse, beta=EMBED_COLLAPSE_BETA,
-        id_col=id_col,
+        id_col=id_col, intercept=EMBED_COLLAPSE_INTERCEPT,
     ):
         from datamine_v2_0_spark.operators.similarity import (
             vector_rep_groups,

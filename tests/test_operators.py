@@ -2250,17 +2250,29 @@ def test_embedding_neardup_duplicate_collapse_parity(spark):
         emb, "embedding", "vec_id", duplicate_collapse="auto", **kw
     ).collect()))
     assert auto == direct
-    # the calibrated crossover: the measured sf0.1 bracket (direct wins
-    # at g=400, collapse at 600; n=2000, P=32 -> threshold ~490)
-    thr = dd._pair_cmax_threshold(2000, 32, dd.EMBED_COLLAPSE_BETA)
-    assert 400 < thr < 600
+    # the calibrated affine crossover (round-11 three-n fit, see the
+    # EMBED_COLLAPSE_INTERCEPT block): the measured sf0.1 bracket is
+    # direct at g=300, collapse at 500 (n=2000, P=32 -> threshold ~358)
+    thr = dd._pair_cmax_threshold(
+        2000, 32, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
+    )
+    assert 300 < thr < 500
+    # and the other two measured brackets pin the affine form's n-shape
+    thr500 = dd._pair_cmax_threshold(
+        500, 32, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
+    )
+    assert 200 < thr500 < 300
+    thr8k = dd._pair_cmax_threshold(
+        8000, 32, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
+    )
+    assert 500 < thr8k < 800
     assert dd._resolve_pair_collapse(
         None, "embedding", "auto", cmax_threshold=thr,
         stats=(2000, 180.0, 600),
     )
     assert not dd._resolve_pair_collapse(
         None, "embedding", "auto", cmax_threshold=thr,
-        stats=(2000, 80.0, 400),
+        stats=(2000, 50.0, 300),
     )
     with pytest.raises(ValueError):
         dd.embedding_neardup_pairs(

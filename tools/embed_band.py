@@ -1,10 +1,12 @@
 """Planted-group band for the embedding near-dup collapse crossover.
 
-Round-10 calibrated EMBED_COLLAPSE_BETA = 3,841 from ONE (n=2000, P=32)
-band on the sf0.1 embeddings (g-crossover ~ 490); round-11 verdict task
-3 orders a second calibration point to test the sqrt(beta*n/P)
-functional form in n before trusting its extrapolation. This tool is
-the (previously ad-hoc) harness, now versioned: plant one g-strong
+Round-10 calibrated a single sqrt(beta*n/P) EMBED_COLLAPSE_BETA from
+ONE (n=2000, P=32) band; round-11 verdict task 3 ordered a second n
+point, which BROKE the single-beta form (brackets at n=500/2000/8000
+pinch it out — see the EMBED_COLLAPSE_INTERCEPT block in
+operators/dedup.py) and produced the affine replacement
+g*^2 = intercept + beta*n/P. This tool is the (previously ad-hoc)
+harness, now versioned: plant one g-strong
 identical-vector group into an embeddings corpus, time
 embedding_neardup_pairs on both physical plans with distributed
 parity, and report each cell against the formula's predicted
@@ -54,6 +56,15 @@ def main() -> None:
     ap.add_argument("--cells", default="400,600,800,1200,1600")
     ap.add_argument("--reps", type=int, default=2)
     ap.add_argument("--dim", type=int, default=64)
+    ap.add_argument(
+        "--uniquify",
+        action="store_true",
+        help="deterministically perturb embedding[0] by 1e-4*(vec_id mod "
+        "7919) BEFORE planting, so a make_scaled replica's 4x/16x vector "
+        "copies become distinct: without this the background's own "
+        "duplicate mass (trimmed blowup ~ replica factor) confounds the "
+        "planted-hotspot crossover the beta formula prices",
+    )
     args = ap.parse_args()
 
     from datamine_v2_0_spark.session import get_spark
@@ -61,11 +72,25 @@ def main() -> None:
 
     spark = get_spark("embed-band")
     base = spark.read.parquet(args.src)
+    if args.uniquify:
+        pert = 1e-4 * F.pmod(F.col("vec_id"), F.lit(7919)).cast("double")
+        base = base.withColumn(
+            "embedding",
+            F.transform(
+                "embedding",
+                lambda x, i: F.when(i == 0, x.cast("double") + pert).otherwise(
+                    x.cast("double")
+                ),
+            ),
+        )
     n = base.count()
     p = dd._plan_parallelism(spark)
-    predicted = (dd.EMBED_COLLAPSE_BETA * n / p) ** 0.5
+    predicted = dd._pair_cmax_threshold(
+        n, p, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
+    )
     print(
         f"src={args.src} n={n} P={p} beta={dd.EMBED_COLLAPSE_BETA} "
+        f"intercept={dd.EMBED_COLLAPSE_INTERCEPT} "
         f"predicted crossover g ~= {predicted:.0f}"
     )
 
@@ -102,6 +127,7 @@ def main() -> None:
         auto_collapse = dd._resolve_pair_collapse(
             df, "embedding", "auto", beta=dd.EMBED_COLLAPSE_BETA,
             stats=stats, id_col="vec_id",
+            intercept=dd.EMBED_COLLAPSE_INTERCEPT,
         )
         winner = "always" if times["always"] < times["never"] else "never"
         row = {
