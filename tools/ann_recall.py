@@ -144,9 +144,19 @@ def table(rows) -> str:
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_q = int(sys.argv[2]) if len(sys.argv) > 2 else 20
-    skew_dir = sys.argv[3] if len(sys.argv) > 3 else "/tmp/skewdata"
+    # --append LABEL: add a section to the existing ANN.md instead of
+    # regenerating it — the round-11 sf0.1-scale re-certification
+    # (uniform n=2000 + an sf0.1-built skew replica) lands as its own
+    # section under the sf0.01 tables.
+    argv = list(sys.argv[1:])
+    append_label = None
+    if "--append" in argv:
+        i = argv.index("--append")
+        append_label = argv[i + 1]
+        del argv[i : i + 2]
+    sf_dir = argv[0] if len(argv) > 0 else "/root/testdata/sf0.01"
+    n_q = int(argv[1]) if len(argv) > 1 else 20
+    skew_dir = argv[2] if len(argv) > 2 else "/tmp/skewdata"
     if skew_dir == "-" or not os.path.isdir(skew_dir):
         skew_dir = None
 
@@ -215,7 +225,14 @@ def main() -> None:
             "be wider than ANY affordable shortlist.",
         ]
 
-    with open("/root/repo/ANN.md", "w") as f:
+    if append_label is not None:
+        out = ["\n---\n", f"## {append_label}\n"] + [
+            line.replace("## ", "### ") for line in out[1:]
+        ]
+        mode = "a"
+    else:
+        mode = "w"
+    with open("/root/repo/ANN.md", mode) as f:
         f.write("\n".join(out) + "\n")
     n_pts = len(uni_rows)
     print(f"wrote ANN.md ({n_pts} operating points"
