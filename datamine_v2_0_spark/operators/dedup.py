@@ -905,16 +905,35 @@ def _resolve_posting_collapse(
     return trimmed >= blowup_threshold or cmax >= cmax_ceiling
 
 
+# The parallelism the pair-family betas were calibrated at. The
+# beta·n/P term models the CLUSTER regime — per-core fan-out work
+# dominating the collapse plan's cost, so more executors collapse
+# earlier. BELOW the calibration parallelism that premise inverts: a
+# P=8 embed band (SCALING.md round 11) measured collapse winning at
+# EVERY planted size down to g=400 while the n/P form predicts the
+# crossover should RISE to 632 — with few cores the DIRECT plan's
+# parallel candidate work slows as 1/P while the collapsed plan is
+# fixed-stage-overhead-bound and stays flat. Clamping P up to the
+# calibration point keeps the threshold at its measured-P level on
+# smaller sessions (collapse-leaning — the safe direction given the
+# unbounded hotspot cost vs the bounded collapse overhead; the clamp
+# reproduces all four measured P=8 cells) and leaves cluster-scale
+# behavior unchanged.
+PAIR_CALIBRATION_P = 32
+
+
 def _pair_cmax_threshold(
     n: int, parallelism: int, beta: float = PAIR_COLLAPSE_BETA,
     intercept: float = 0.0,
 ) -> float:
     """Scale-aware pair-family hotspot crossover (see the
-    PAIR_COLLAPSE_BETA block): sqrt(intercept + beta · n / P), floored.
-    The intercept is 0 for the text family; the embedding family's
+    PAIR_COLLAPSE_BETA block): sqrt(intercept + beta · n / P), floored,
+    with P clamped up to PAIR_CALIBRATION_P (the n/P model is for the
+    at-or-above-calibration regime; see that constant's block). The
+    intercept is 0 for the text family; the embedding family's
     measured fixed collapse overhead makes it affine (see the
     EMBED_COLLAPSE_INTERCEPT block)."""
-    p = max(parallelism, 1)
+    p = max(parallelism, PAIR_CALIBRATION_P)
     return max(PAIR_COLLAPSE_CMAX_MIN, (intercept + beta * n / p) ** 0.5)
 
 

@@ -2266,6 +2266,15 @@ def test_embedding_neardup_duplicate_collapse_parity(spark):
         8000, 32, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
     )
     assert 500 < thr8k < 800
+    # below the calibration parallelism the n/P premise inverts (the
+    # P=8 band measured collapse winning down to g=400 while n/P
+    # predicts 632): P clamps up to PAIR_CALIBRATION_P, so a P=8
+    # session keeps the P=32 threshold (~358) and all four measured
+    # P=8 cells (collapse wins at 400/600/800/1000) resolve correctly
+    thr_p8 = dd._pair_cmax_threshold(
+        2000, 8, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
+    )
+    assert thr_p8 == thr and thr_p8 < 400
     assert dd._resolve_pair_collapse(
         None, "embedding", "auto", cmax_threshold=thr,
         stats=(2000, 180.0, 600),
