@@ -93,7 +93,7 @@ _ALL: dict[str, tuple] = {
     "agg_having": (q_agg_having, SQL_AGG_HAVING),
     "agg_heavy_hitters": (q_agg_heavy_hitters, SQL_AGG_HEAVY_HITTERS),
     "agg_histogram": (q_agg_histogram, SQL_AGG_HISTOGRAM),
-    "agg_hll_rollup": (q_agg_hll_rollup, None),
+    "agg_hll_rollup": (q_agg_hll_rollup, SQL_AGG_HLL_ROLLUP),
     "agg_hopping": (q_agg_hopping, SQL_AGG_HOPPING),
     "agg_hourly_profile": (q_agg_hourly_profile, SQL_AGG_HOURLY_PROFILE),
     "agg_incremental": (q_agg_incremental, SQL_AGG_TUMBLING),

@@ -311,6 +311,102 @@ def hll_rollup(
     )
 
 
+def hll_portable_registers(
+    df: DataFrame,
+    ts: str,
+    id_col: str,
+    bucket_seconds: int = 86400,
+    lg_k: int = 8,
+) -> DataFrame:
+    """Engine-portable HLL register arrays per time bucket:
+    (bucket, register, rho_max) — Flajolet et al., "HyperLogLog" (2007),
+    materialized as plain integer rows instead of an opaque binary.
+
+    Unlike :func:`hll_bucket_sketches` (DataSketches binaries — the
+    production default at 100 TB), every piece is reproducible in ANY
+    SQL engine from the same md5 bytes, so the SKETCH CONTENT itself is
+    oracle-checkable bit-for-bit, not just its estimate: hash = the
+    md5-60 family (first 15 hex digits of md5 of the id rendered as
+    text — the cross-engine recipe sha-certified by scalar_hash_id),
+    register = low ``lg_k`` hash bits (bitwise AND — no float detour),
+    rho = leading-zero count of the remaining ``60 - lg_k``-bit window
+    + 1 via the integer-exact ``W + 1 - length(bin(x))`` formulation
+    (no floating log at rank boundaries). Per (bucket, register) the
+    MAX rho is kept — m·(6-bit) registers per bucket, mergeable to any
+    coarser period by re-MAXing (:func:`hll_portable_rollup`), never a
+    rescan."""
+    m = 1 << lg_k
+    w = 60 - lg_k
+    bsec = F.lit(int(bucket_seconds)).cast("long")
+    bucket = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(ts)) / bsec) * bsec).cast("long")
+    )
+    h = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+    )
+    rest = F.shiftright(h, lg_k)
+    rho = F.when(rest == 0, F.lit(w + 1)).otherwise(
+        F.lit(w + 1) - F.length(F.bin(rest))
+    )
+    return (
+        df.select(
+            bucket.alias("bucket"),
+            h.bitwiseAND(F.lit(m - 1)).cast("int").alias("register"),
+            rho.alias("__rho"),
+        )
+        .groupBy("bucket", "register")
+        .agg(F.max("__rho").cast("int").alias("rho_max"))
+    )
+
+
+def hll_portable_rollup(
+    registers: DataFrame,
+    period_seconds: int,
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Union portable HLL register arrays up to a coarser period:
+    per-register MAX — the HLL union — keeping the register rows
+    (period_start, register, rho_max). Estimate separately via
+    :func:`hll_portable_estimate`; rolling up the registers and
+    re-sketching the raw data agree exactly because MAX is
+    associative."""
+    psec = F.lit(int(period_seconds)).cast("long")
+    period = F.timestamp_seconds(
+        (F.floor(F.unix_timestamp(F.col(bucket_col)) / psec) * psec).cast("long")
+    )
+    return (
+        registers.groupBy(period.alias("period_start"), "register")
+        .agg(F.max("rho_max").alias("rho_max"))
+    )
+
+
+def hll_portable_estimate(
+    registers: DataFrame,
+    lg_k: int = 8,
+    group_col: str = "period_start",
+    round_to: int = 4,
+) -> DataFrame:
+    """(group, approx_distinct) from portable register rows, with the
+    standard HLL corrections: alpha_m bias factor and the small-range
+    linear-counting switch (E_raw <= 2.5m with empty registers →
+    m·ln(m/V)). The 2^-rho sum is exact in binary floating point;
+    missing register rows count as rho = 0 (2^0 = 1 each)."""
+    m = 1 << lg_k
+    alpha = 0.7213 / (1 + 1.079 / m)  # the m >= 128 constant
+    stats = registers.groupBy(group_col).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("__s"),
+        F.count(F.lit(1)).alias("__present"),
+    )
+    zeros = (F.lit(m) - F.col("__present")).cast("double")
+    raw = F.lit(float(alpha) * m * m) / (F.col("__s") + zeros)
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros)
+    est = F.when((raw <= F.lit(2.5 * m)) & (zeros > 0), lc).otherwise(raw)
+    return stats.select(
+        group_col, F.round(est, round_to).alias("approx_distinct")
+    )
+
+
 def grouped_mad(
     df: DataFrame, keys: Sequence[str], value: str, round_to: int = 6
 ) -> DataFrame:

@@ -478,6 +478,15 @@ def _dup_blowup(df: DataFrame, text_col: str) -> float:
 _DUP_STATS_CACHE: dict[tuple[int, int, str], tuple[int, float, int]] = {}
 _DUP_STATS_CACHE_MAX = 256
 
+# Sampled-probe results live in their own cache (same key) because the
+# value shape differs: (min_detect_cmax the draw was sized for,
+# (n, blowup_est, cmax_est)). A cached sampled entry is only reusable
+# by a caller whose detection requirement is no finer than the cached
+# draw's — _planning_stats checks that before sharing.
+_SAMPLED_STATS_CACHE: dict[
+    tuple[int, int, str], tuple[float, tuple[int, float, int]]
+] = {}
+
 # Number of probe scans actually EXECUTED this session (cache hits and
 # caller-supplied stats don't count) — instrumentation for the
 # probe-sharing contract (pytest asserts scan counts; the SCALING.md
@@ -489,6 +498,7 @@ def clear_dup_stats_cache() -> None:
     """Drop every cached probe result (e.g. after overwriting the files
     a live DataFrame reads, which the cache key cannot see)."""
     _DUP_STATS_CACHE.clear()
+    _SAMPLED_STATS_CACHE.clear()
 
 
 def dup_stats(df: DataFrame, text_col: str) -> tuple[int, float, int]:
@@ -695,6 +705,35 @@ def _dup_stats_sampled(
     return (n, blowup_est, cmax_est)
 
 
+# Plan-estimated input bytes below which the exact probe is run
+# outright, WITHOUT the standalone df.count() cutoff test (round-11
+# ADVICE: every first auto resolution on a sub-cutoff corpus paid a
+# count job whose answer the exact probe's own aggregation re-derives).
+# The exact probe's cost is the same column scan the count pays plus a
+# 16-byte/doc shuffle, so below this many scan bytes it is strictly
+# cheaper to fold n discovery into the probe. A mispredict
+# (pathologically compressible texts putting n > SAMPLED_PROBE_MIN_N
+# under the byte gate) costs one exact scan on a small-bytes corpus —
+# the round-10 price — and yields strictly MORE precise stats, never a
+# worse decision. Module constant so the cutoff-boundary pytest can
+# scale the whole mechanism down.
+EXACT_PROBE_CHEAP_BYTES = 128 * 1024 * 1024
+
+
+def _plan_scan_bytes(df: DataFrame) -> int | None:
+    """Catalyst's optimized-plan size estimate in bytes (for file-scan
+    frames: total input file size × the configured compression factor),
+    or None where plan statistics aren't reachable (e.g. Spark
+    Connect). Driver-side plan metadata only — launches no job."""
+    try:
+        return int(
+            df._jdf.queryExecution().optimizedPlan().stats()
+            .sizeInBytes().toString()
+        )
+    except Exception:  # pragma: no cover - Connect/analysis corner
+        return None
+
+
 def _planning_stats(
     df: DataFrame,
     text_col: str,
@@ -703,10 +742,12 @@ def _planning_stats(
 ) -> tuple[tuple[int, float, int], bool]:
     """(stats, sampled?) for an ``auto`` collapse resolution: the exact
     probe below SAMPLED_PROBE_MIN_N docs (or when a cached exact result
-    is already free, or when the caller has no id column to sample on),
-    else the sampled probe sized to detect the caller's thresholds.
-    ``min_detect_cmax`` is a callable n -> smallest cmax the caller's
-    rule must see (the lower guard-band edge of its ceiling)."""
+    is already free, when the plan-estimated input is small enough that
+    the exact probe costs no more than the count it would replace, or
+    when the caller has no id column to sample on), else the sampled
+    probe sized to detect the caller's thresholds. ``min_detect_cmax``
+    is a callable n -> smallest cmax the caller's rule must see (the
+    lower guard-band edge of its ceiling)."""
     if id_col is None:
         return _dup_stats(df, text_col), False
     key = None
@@ -716,6 +757,9 @@ def _planning_stats(
         pass
     if key is not None and key in _DUP_STATS_CACHE:
         return _DUP_STATS_CACHE[key], False
+    size = _plan_scan_bytes(df)
+    if size is not None and size <= EXACT_PROBE_CHEAP_BYTES:
+        return _dup_stats(df, text_col), False
     n = df.count()
     if n <= SAMPLED_PROBE_MIN_N:
         return _dup_stats(df, text_col), False
@@ -723,16 +767,15 @@ def _planning_stats(
     # Sampled results share across a composed flow too, but only when
     # the cached draw was at least as precise (smaller min_detect =
     # larger sample) as this caller needs.
-    skey = key + ("sampled",) if key is not None else None
-    if skey is not None and skey in _DUP_STATS_CACHE:
-        cached_detect, est = _DUP_STATS_CACHE[skey]
+    if key is not None and key in _SAMPLED_STATS_CACHE:
+        cached_detect, est = _SAMPLED_STATS_CACHE[key]
         if cached_detect <= detect:
             return est, True
     est = _dup_stats_sampled(df, text_col, id_col, n, detect)
-    if skey is not None:
-        if len(_DUP_STATS_CACHE) >= _DUP_STATS_CACHE_MAX:
-            _DUP_STATS_CACHE.clear()
-        _DUP_STATS_CACHE[skey] = (detect, est)
+    if key is not None:
+        if len(_SAMPLED_STATS_CACHE) >= _DUP_STATS_CACHE_MAX:
+            _SAMPLED_STATS_CACHE.clear()
+        _SAMPLED_STATS_CACHE[key] = (detect, est)
     return est, True
 
 
@@ -2327,15 +2370,30 @@ def dedup_against(
         raise ValueError(f"method must be 'exact' or 'near', got {method!r}")
     # ``dup_stats``, if supplied, must be the probe of the POOLED corpora
     # (new ∪ ref on the text column) — that is what auto probes here.
+    # The probe id is SIDE-TAGGED before pooling (round-11 ADVICE): the
+    # sampled probe selects members on a hash of the id, and the
+    # re-ingest shape this operator exists for puts the same (id, text)
+    # on both sides — untagged, such a doc's two copies enter the
+    # sample together or not at all, so its same-group collisions occur
+    # at rate s instead of s² and blowup_est/cmax_est inflate by up to
+    # the sampling factor (plan-choice only, but it defeats the
+    # calibrated decision parity). Distinct per-side prefixes
+    # decorrelate inclusion while staying deterministic and salt-free.
     if _resolve_pair_collapse(
-        new_df.select(F.col(id_col), F.col(text_col)).unionAll(
-            ref_df.select(F.col(id_col), F.col(text_col))
+        new_df.select(
+            F.concat(F.lit("n:"), F.col(id_col).cast("string")).alias("__pid"),
+            F.col(text_col),
+        ).unionAll(
+            ref_df.select(
+                F.concat(F.lit("r:"), F.col(id_col).cast("string")).alias("__pid"),
+                F.col(text_col),
+            )
         ),
         text_col,
         duplicate_collapse,
         beta=AGAINST_COLLAPSE_BETA,
         stats=dup_stats,
-        id_col=id_col,
+        id_col="__pid",
     ):
         return _dedup_against_collapsed(
             new_df, ref_df, text_col, id_col, threshold, num_hashes,

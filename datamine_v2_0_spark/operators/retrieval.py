@@ -132,43 +132,35 @@ def bm25_topk(
     built per Robertson et al., "Okapi at TREC-3" (1994).
     """
     from datamine_v2_0_spark.operators.dedup import (
-        BM25_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX, PROBE_GUARD_BAND,
-        _dup_stats, _planning_stats,
+        BM25_COLLAPSE_BLOWUP, POSTING_COLLAPSE_CMAX,
+        _dup_stats, _resolve_posting_collapse,
     )
 
     if duplicate_collapse == "auto":
         # Doc side is the 100 TB side: above dedup.SAMPLED_PROBE_MIN_N
-        # the probe runs sampled with an at-threshold exact fallback
-        # (guard band below); the query side is small by contract
-        # (probes/eval sets) and stays on the exact probe.
-        if doc_stats is not None:
-            (n_d, blow_d, cmax_d), sampled_d = doc_stats, False
-        else:
-            (n_d, blow_d, cmax_d), sampled_d = _planning_stats(
-                docs, text_col, id_col,
-                lambda _n: POSTING_COLLAPSE_CMAX / PROBE_GUARD_BAND,
-            )
+        # its probe runs sampled with the at-threshold exact fallback
+        # inside the shared resolver; the query side is small by
+        # contract (probes/eval sets) and stays on the exact probe.
         _, blow_q, _ = (
             query_stats if query_stats is not None
             else _dup_stats(queries, query_text_col)
         )
-        trimmed_d = (blow_d - cmax_d * cmax_d / n_d) if n_d else 0.0
-        if sampled_d:
-            G = PROBE_GUARD_BAND
-            near = (
-                BM25_COLLAPSE_BLOWUP / G
-                <= trimmed_d * blow_q
-                <= BM25_COLLAPSE_BLOWUP * G
-                or POSTING_COLLAPSE_CMAX / G
-                <= cmax_d
-                <= POSTING_COLLAPSE_CMAX * G
-            )
-            if near:  # at-threshold fallback: the exact probe decides
-                n_d, blow_d, cmax_d = _dup_stats(docs, text_col)
-                trimmed_d = (blow_d - cmax_d * cmax_d / n_d) if n_d else 0.0
-        collapse = (
-            trimmed_d * blow_q >= BM25_COLLAPSE_BLOWUP
-            or cmax_d >= POSTING_COLLAPSE_CMAX
+        # The product rule trimmed_d · blow_q >= BM25_COLLAPSE_BLOWUP
+        # is routed through the shared posting resolver as a doc-side
+        # trimmed threshold of BM25_COLLAPSE_BLOWUP / blow_q — the
+        # division form is the identical predicate through the
+        # resolver's ±guard band (near iff T/G <= trimmed·blow_q <=
+        # T·G), so the sampled-probe fallback logic lives in ONE place
+        # (round-11 ADVICE). blow_q = 0 only for an empty query corpus,
+        # where the result is empty under either plan: score direct.
+        collapse = blow_q > 0 and _resolve_posting_collapse(
+            docs,
+            text_col,
+            "auto",
+            stats=doc_stats,
+            cmax_ceiling=POSTING_COLLAPSE_CMAX,
+            id_col=id_col,
+            blowup_threshold=BM25_COLLAPSE_BLOWUP / blow_q,
         )
     elif duplicate_collapse in ("always", "never"):
         collapse = duplicate_collapse == "always"

@@ -360,13 +360,44 @@ def q_agg_approx(spark, sf_dir):
     )
 
 def q_agg_hll_rollup(spark, sf_dir):
-    """Mergeable-sketch rollup: daily HLL user sketches -> weekly
-    distinct-user estimates via sketch union (never a rescan). No SQL
-    oracle (sketch binaries are engine-specific); pytest pins
-    union-vs-direct equality and estimate accuracy vs exact."""
+    """Mergeable-sketch rollup, certified at the SKETCH-CONTENT level
+    (round-11 verdict task 6): daily PORTABLE HLL register arrays over
+    events.user_id, unioned (per-register MAX) to weekly sketches —
+    the returned rows ARE the weekly registers, bit-exact integers the
+    DuckDB oracle reproduces from the same md5-60 hash family, so the
+    sketch bytes, not just the estimate, hash-match. The
+    DataSketches-binary variant (hll_bucket_sketches/hll_rollup — the
+    production default) stays pytest-pinned: estimate parity between
+    the two paths and accuracy vs exact distinct."""
     ev = _t(spark, sf_dir, "events")
-    daily = agg.hll_bucket_sketches(ev, "ts", "user_id", 86400)
-    return agg.hll_rollup(daily, 7 * 86400)
+    daily = agg.hll_portable_registers(ev, "ts", "user_id", 86400, lg_k=8)
+    weekly = agg.hll_portable_rollup(daily, 7 * 86400)
+    return weekly.select(
+        F.col("period_start").cast("string").alias("period_start"),
+        "register",
+        F.col("rho_max").cast("int").alias("rho_max"),
+    )
+
+# Week bucket = floor(epoch/604800); daily->weekly register MAX equals
+# the direct weekly MAX (associativity), so the oracle sketches the
+# raw rows straight at week grain. hv = the md5-60 hash (60-bit
+# nonnegative), register = low 8 bits, rho = 53 - length(bin(hv >> 8))
+# over the remaining 52-bit window (53 when the window is all zeros) —
+# integer-exact both engines.
+SQL_AGG_HLL_ROLLUP = """
+WITH h AS (
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 604800) * 604800 * 1000000
+                             AS BIGINT)) AS period_start,
+         CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 15))
+              AS BIGINT) AS hv
+  FROM events
+)
+SELECT CAST(period_start AS VARCHAR) AS period_start,
+       CAST(hv & 255 AS INT) AS register,
+       CAST(MAX(CASE WHEN (hv >> 8) = 0 THEN 53
+                     ELSE 53 - length(bin(hv >> 8)) END) AS INT) AS rho_max
+FROM h GROUP BY 1, 2
+"""
 
 def q_agg_salted(spark, sf_dir):
     """Salted two-phase aggregation — must be bit-identical to the plain

@@ -130,11 +130,25 @@ def main() -> None:
             intercept=dd.EMBED_COLLAPSE_INTERCEPT,
         )
         winner = "always" if times["always"] < times["never"] else "never"
+        # rule stamp (round-11 verdict "What's wrong #2"): record WHICH
+        # decision rule the auto column was computed under, so a later
+        # re-derivation can tell live-rule evidence from pre-fix rows.
+        # Historical rows predate this field; their rules are
+        # reconstructed from predicted_crossover in
+        # tools/embed_band_report.py (rows 0-23 sqrt-form beta 3841.6,
+        # 24-27 affine without the P-clamp, 28-31 the shipped rule).
+        rule = (
+            f"affine(i={dd.EMBED_COLLAPSE_INTERCEPT},"
+            f"b={dd.EMBED_COLLAPSE_BETA})"
+            f"+clampP{dd.PAIR_CALIBRATION_P}"
+        )
         row = {
             "src": args.src,
             "n": n,
             "parallelism": p,
             "g": g,
+            "rule": rule,
+            "uniquified": bool(args.uniquify),
             "predicted_crossover": round(predicted, 1),
             "t_never": times["never"],
             "t_always": times["always"],
