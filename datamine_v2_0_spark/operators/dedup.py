@@ -726,10 +726,10 @@ def _plan_scan_bytes(df: DataFrame) -> int | None:
     or None where plan statistics aren't reachable (e.g. Spark
     Connect). Driver-side plan metadata only — launches no job."""
     try:
-        return int(
-            df._jdf.queryExecution().optimizedPlan().stats()
-            .sizeInBytes().toString()
-        )
+        size = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts scala.math.BigInt to a Python int when it fits;
+        # fall back to the string rendering for a boxed object
+        return size if isinstance(size, int) else int(size.toString())
     except Exception:  # pragma: no cover - Connect/analysis corner
         return None
 
