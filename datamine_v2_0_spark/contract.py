@@ -40,36 +40,43 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #
 #   _ALL        -- every query exactly once, alphabetical; the only place
 #                  an entry is defined.
-#   WINDOW_R11  -- the 50 names the driver certifies THIS round (it checks
+#   WINDOW_R12  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 7 queries whose round-11 changes touch executing
-#                  plans lead — filt_weighted_sample (exact-mode
-#                  fractional-weight guard + float-mode NaN exclusion
-#                  now IN the filter expression) and agg_cms_counts
-#                  (weight sign/NULL validation in the sketch plan),
-#                  then one representative per auto-collapse resolver
-#                  family rewired through the sampled planning probe
-#                  (_planning_stats): dedup_minhash_lsh + dedup_against
-#                  (pair family), dedup_jaccard_inverted +
-#                  dedup_containment (posting family), text_bm25
-#                  (doc/query product rule) — at driver scale the
-#                  probe stays exact (n << SAMPLED_PROBE_MIN_N) but the
-#                  code path is new, so the family representatives get
-#                  seats;
-#                  followed by _TAIL_R10's first 43 — per the round-10
-#                  construction that rung starts with the 6 entries the
-#                  continuation displaced (join_equi_revenue,
-#                  join_interval, sql_views, join_bloom, agg_tdigest,
-#                  ts_ewma) and then the stalest remaining evidence.
-#   _TAIL_R11   -- the remaining 109, oldest driver evidence first: the
-#                  2 stale-rung entries the 7 promotions displaced from
-#                  the next-50 (win_rank_family, win_sessionize — both
-#                  re-proven locally: the judge's round-10 out-of-window
-#                  replica covered win_rank_family, and the round-11
-#                  out-of-window run re-proves both) lead so round 12
-#                  re-proves them first, then _TAIL_R10's leftover
-#                  entries and round 10's re-certified window entries,
-#                  freshest last, so the round-12 window is simply the
+#                  the 7 queries whose round-12 changes touch executing
+#                  or plan-time code lead — agg_hll_rollup (rewritten on
+#                  the portable-register HLL and graduated from rows-only
+#                  to a hash-matched oracle), then one representative per
+#                  auto-collapse resolver family whose planning path
+#                  changed again this round (_planning_stats gained the
+#                  byte gate that folds n discovery into the exact probe;
+#                  sampled draws moved to their own cache; dedup_against
+#                  side-tags its pooled probe ids; bm25 routes its
+#                  product rule through the shared posting resolver):
+#                  dedup_minhash_lsh + dedup_against (pair family),
+#                  dedup_jaccard_inverted + dedup_containment (posting
+#                  family), text_bm25 (doc/query product rule),
+#                  dedup_embedding (embedding pair family);
+#                  followed by _TAIL_R11's first 43 — the round-11
+#                  construction put the 7 entries the round-11
+#                  promotions displaced (win_rank_family, win_sessionize,
+#                  agg_grouped_stats, agg_percentiles, agg_tumbling,
+#                  win_lag_delta, win_rolling = _TAIL_R10[43:50], all
+#                  re-proven out-of-window in round 11 by builder and
+#                  judge runs) at its head, so they are re-proven under
+#                  the driver first, then the stalest remaining rung.
+#   _TAIL_R12   -- the remaining 109, oldest driver evidence first: the
+#                  7 stale-rung entries the round-12 promotions displaced
+#                  from the next-50 (agg_cube, agg_describe,
+#                  agg_diversity, agg_global_stats, agg_histogram,
+#                  agg_incremental, agg_linreg = _TAIL_R11[43:50] — all
+#                  seven listed here, per the round-11 ADVICE on keeping
+#                  the displaced set fully enumerated; each re-proven in
+#                  this round's full local oracle sweeps) lead so round
+#                  13 re-proves them first, then _TAIL_R11's leftover
+#                  entries (minus the 2 promoted from within it:
+#                  agg_hll_rollup, dedup_embedding) and round 11's
+#                  re-certified window entries (minus the 5 promoted),
+#                  freshest last, so the round-13 window is simply the
 #                  next 50.
 #
 # Rotating the window next round = editing the two name lists; the
@@ -236,14 +243,126 @@ _ALL: dict[str, tuple] = {
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
 }
 
-WINDOW_R11: list[str] = [
-    "filt_weighted_sample",
-    "agg_cms_counts",
+WINDOW_R12: list[str] = [
+    "agg_hll_rollup",
     "dedup_minhash_lsh",
     "dedup_against",
     "dedup_jaccard_inverted",
     "dedup_containment",
     "text_bm25",
+    "dedup_embedding",
+    "win_rank_family",
+    "win_sessionize",
+    "agg_grouped_stats",
+    "agg_percentiles",
+    "agg_tumbling",
+    "win_lag_delta",
+    "win_rolling",
+    "agg_conditional",
+    "agg_date_distribution",
+    "agg_distinct",
+    "agg_fraction",
+    "agg_freq_topk",
+    "agg_having",
+    "agg_hourly_profile",
+    "agg_integrity",
+    "agg_ordered_array",
+    "agg_pivot",
+    "dedup_exact",
+    "filt_between_isin",
+    "filt_clamp",
+    "filt_project_range",
+    "filt_sample_mod",
+    "join_anti",
+    "join_semi",
+    "scalar_position",
+    "scalar_silver",
+    "graph_pagerank",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_topk",
+    "stat_kappa",
+    "text_decontaminate_embed",
+    "text_lang",
+    "text_lm_bigram",
+    "text_tokens",
+    "win_diff_shift",
+    "win_ffill",
+    "win_partition_stddev",
+    "win_running_sum",
+    "win_savgol",
+    "agg_ab_test",
+    "agg_corr_matrix",
+]
+
+_TAIL_R12: list[str] = [
+    "agg_cube",
+    "agg_describe",
+    "agg_diversity",
+    "agg_global_stats",
+    "agg_histogram",
+    "agg_incremental",
+    "agg_linreg",
+    "agg_mad",
+    "agg_mannwhitney",
+    "agg_outliers",
+    "agg_salted",
+    "agg_topk_group",
+    "agg_winsorize",
+    "dedup_exact_keep",
+    "dedup_simhash",
+    "dedup_substring",
+    "dedup_substring_strip",
+    "eda_movement",
+    "evt_transitions",
+    "filt_temperature_mix",
+    "filt_weighted_mix",
+    "geo_radius_join",
+    "join_fuzzy",
+    "text_retrieval_eval",
+    "stat_auc",
+    "stat_calibration",
+    "text_js_divergence",
+    "dedup_jaccard",
+    "text_rrf",
+    "dedup_groups",
+    "dedup_canonical",
+    "sim_pq_topk",
+    "join_lookup",
+    "join_salted",
+    "pipeline_features",
+    "pipeline_silver",
+    "qa_psi",
+    "scalar_binning",
+    "scalar_quantile_bins",
+    "scalar_wkt",
+    "stat_chi2",
+    "text_fingerprint",
+    "text_redact",
+    "ts_ohlc",
+    "ts_seasonal",
+    "win_hampel",
+    "win_minmax_flags",
+    "win_range_frame",
+    "join_upsert",
+    "scalar_hash_id",
+    "agg_heavy_hitters",
+    "dedup_semantic",
+    "filt_sample_exact_k",
+    "scd_type2",
+    "win_rolling_corr",
+    "cpd_candidates",
+    "agg_approx",
+    "text_packed",
+    "text_bpe",
+    "stat_ks",
+    "val_label_windows",
+    "val_candidate_clustering",
+    "join_asof",
+    "join_asof_backward",
+    "filt_weighted_sample",
+    "agg_cms_counts",
     "join_equi_revenue",
     "join_interval",
     "sql_views",
@@ -289,124 +408,12 @@ WINDOW_R11: list[str] = [
     "win_blocks",
 ]
 
-_TAIL_R11: list[str] = [
-    "win_rank_family",
-    "win_sessionize",
-    "agg_grouped_stats",
-    "agg_percentiles",
-    "agg_tumbling",
-    "win_lag_delta",
-    "win_rolling",
-    "agg_conditional",
-    "agg_date_distribution",
-    "agg_distinct",
-    "agg_fraction",
-    "agg_freq_topk",
-    "agg_having",
-    "agg_hourly_profile",
-    "agg_integrity",
-    "agg_ordered_array",
-    "agg_pivot",
-    "dedup_exact",
-    "filt_between_isin",
-    "filt_clamp",
-    "filt_project_range",
-    "filt_sample_mod",
-    "join_anti",
-    "join_semi",
-    "scalar_position",
-    "scalar_silver",
-    "graph_pagerank",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_topk",
-    "stat_kappa",
-    "text_decontaminate_embed",
-    "text_lang",
-    "text_lm_bigram",
-    "text_tokens",
-    "win_diff_shift",
-    "win_ffill",
-    "win_partition_stddev",
-    "win_running_sum",
-    "win_savgol",
-    "agg_ab_test",
-    "agg_corr_matrix",
-    "agg_cube",
-    "agg_describe",
-    "agg_diversity",
-    "agg_global_stats",
-    "agg_histogram",
-    "agg_incremental",
-    "agg_linreg",
-    "agg_mad",
-    "agg_mannwhitney",
-    "agg_outliers",
-    "agg_salted",
-    "agg_topk_group",
-    "agg_winsorize",
-    "dedup_exact_keep",
-    "dedup_simhash",
-    "dedup_substring",
-    "dedup_substring_strip",
-    "eda_movement",
-    "evt_transitions",
-    "filt_temperature_mix",
-    "filt_weighted_mix",
-    "geo_radius_join",
-    "join_fuzzy",
-    "text_retrieval_eval",
-    "stat_auc",
-    "stat_calibration",
-    "text_js_divergence",
-    "dedup_jaccard",
-    "text_rrf",
-    "dedup_groups",
-    "dedup_canonical",
-    "sim_pq_topk",
-    "dedup_embedding",
-    "join_lookup",
-    "join_salted",
-    "pipeline_features",
-    "pipeline_silver",
-    "qa_psi",
-    "scalar_binning",
-    "scalar_quantile_bins",
-    "scalar_wkt",
-    "stat_chi2",
-    "text_fingerprint",
-    "text_redact",
-    "ts_ohlc",
-    "ts_seasonal",
-    "win_hampel",
-    "win_minmax_flags",
-    "win_range_frame",
-    "join_upsert",
-    "scalar_hash_id",
-    "agg_heavy_hitters",
-    "dedup_semantic",
-    "filt_sample_exact_k",
-    "scd_type2",
-    "win_rolling_corr",
-    "cpd_candidates",
-    "agg_approx",
-    "text_packed",
-    "text_bpe",
-    "agg_hll_rollup",
-    "stat_ks",
-    "val_label_windows",
-    "val_candidate_clustering",
-    "join_asof",
-    "join_asof_backward",
-]
-
-assert len(WINDOW_R11) == 50, len(WINDOW_R11)
-assert len(WINDOW_R11) == len(set(WINDOW_R11))
-assert len(_TAIL_R11) == len(set(_TAIL_R11))
-assert not set(WINDOW_R11) & set(_TAIL_R11)
-assert set(WINDOW_R11) | set(_TAIL_R11) == set(_ALL), (
-    set(WINDOW_R11) ^ set(_TAIL_R11) ^ set(_ALL)
+assert len(WINDOW_R12) == 50, len(WINDOW_R12)
+assert len(WINDOW_R12) == len(set(WINDOW_R12))
+assert len(_TAIL_R12) == len(set(_TAIL_R12))
+assert not set(WINDOW_R12) & set(_TAIL_R12)
+assert set(WINDOW_R12) | set(_TAIL_R12) == set(_ALL), (
+    set(WINDOW_R12) ^ set(_TAIL_R12) ^ set(_ALL)
 )
 
-QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R11 + _TAIL_R11}
+QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R12 + _TAIL_R12}
