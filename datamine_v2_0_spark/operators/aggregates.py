@@ -364,13 +364,29 @@ def hll_portable_rollup(
     registers: DataFrame,
     period_seconds: int,
     bucket_col: str = "bucket",
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Union portable HLL register arrays up to a coarser period:
     per-register MAX — the HLL union — keeping the register rows
     (period_start, register, rho_max). Estimate separately via
-    :func:`hll_portable_estimate`; rolling up the registers and
-    re-sketching the raw data agree exactly because MAX is
-    associative."""
+    :func:`hll_portable_estimate`.
+
+    Rolling up the registers equals re-sketching the raw data ONLY
+    when the periods NEST the source buckets: both grids are
+    epoch-aligned floors, so every bucket maps wholly into one period
+    exactly when ``period_seconds`` is a whole multiple of the
+    registers' original ``bucket_seconds`` (MAX is associative across
+    whole buckets; a non-nesting period — e.g. 100000 s over 86400 s
+    buckets — splits a bucket's ids across two periods but credits its
+    register MAXes to only one, silently diverging from a direct
+    sketch). Pass ``bucket_seconds`` to have the nesting validated;
+    the registered query and tests do."""
+    if bucket_seconds is not None and period_seconds % bucket_seconds:
+        raise ValueError(
+            f"hll_portable_rollup: period_seconds={period_seconds} does "
+            f"not nest bucket_seconds={bucket_seconds} — the rollup "
+            f"would not equal re-sketching the raw data"
+        )
     psec = F.lit(int(period_seconds)).cast("long")
     period = F.timestamp_seconds(
         (F.floor(F.unix_timestamp(F.col(bucket_col)) / psec) * psec).cast("long")
@@ -391,9 +407,22 @@ def hll_portable_estimate(
     standard HLL corrections: alpha_m bias factor and the small-range
     linear-counting switch (E_raw <= 2.5m with empty registers →
     m·ln(m/V)). The 2^-rho sum is exact in binary floating point;
-    missing register rows count as rho = 0 (2^0 = 1 each)."""
+    missing register rows count as rho = 0 (2^0 = 1 each).
+
+    alpha_m uses the HLL paper's per-m constants for the small
+    register counts (0.673 / 0.697 / 0.709 for m = 16 / 32 / 64) and
+    the closed form 0.7213/(1 + 1.079/m) for m >= 128 — Flajolet et
+    al. (2007) §4 define the algorithm for m >= 16, so lg_k < 4
+    raises rather than estimating with a biased constant."""
+    if lg_k < 4:
+        raise ValueError(
+            f"hll_portable_estimate: lg_k={lg_k} < 4 — HLL's bias "
+            f"corrections are defined for m >= 16 registers"
+        )
     m = 1 << lg_k
-    alpha = 0.7213 / (1 + 1.079 / m)  # the m >= 128 constant
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1 + 1.079 / m)
+    )
     stats = registers.groupBy(group_col).agg(
         F.sum(F.pow(F.lit(2.0), -F.col("rho_max"))).alias("__s"),
         F.count(F.lit(1)).alias("__present"),

@@ -720,6 +720,36 @@ def _dup_stats_sampled(
 EXACT_PROBE_CHEAP_BYTES = 128 * 1024 * 1024
 
 
+def _plan_leaves_sized(df: DataFrame) -> bool:
+    """True when every leaf of the optimized plan is a relation whose
+    Catalyst sizeInBytes is grounded in real data (file scans: file
+    size × compression factor; local/cached relations: materialized
+    rows). Generated leaves (Range) report 8 bytes/row regardless of
+    what later projections synthesize — a spark.range-derived 6M-doc
+    text corpus estimates ~48 MB — so the byte gate must not trust
+    them (round-12 ADVICE: such a corpus above SAMPLED_PROBE_MIN_N was
+    routed to the full exact probe; bounded plan-time cost, never a
+    wrong result, but the gate should simply not fire there)."""
+    try:
+        leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+        k = leaves.size()
+        if k == 0:  # pragma: no cover - defensive
+            return False
+        for i in range(k):
+            name = leaves.apply(i).getClass().getSimpleName()
+            # Relations (file scan, local rows, cached) carry real sizes;
+            # LogicalRDD (createDataFrame) reports either computed stats
+            # or the defaultSizeInBytes MAX — which the <= cheap-bytes
+            # comparison rejects on its own, so trusting it is safe in
+            # both directions. Everything else (Range & friends) is
+            # generated: 8 bytes/row fantasy, ungated.
+            if "Relation" not in name and name != "LogicalRDD":
+                return False
+        return True
+    except Exception:  # pragma: no cover - Connect/analysis corner
+        return False
+
+
 def _plan_scan_bytes(df: DataFrame) -> int | None:
     """Catalyst's optimized-plan size estimate in bytes (for file-scan
     frames: total input file size × the configured compression factor),
@@ -758,7 +788,11 @@ def _planning_stats(
     if key is not None and key in _DUP_STATS_CACHE:
         return _DUP_STATS_CACHE[key], False
     size = _plan_scan_bytes(df)
-    if size is not None and size <= EXACT_PROBE_CHEAP_BYTES:
+    if (
+        size is not None
+        and size <= EXACT_PROBE_CHEAP_BYTES
+        and _plan_leaves_sized(df)
+    ):
         return _dup_stats(df, text_col), False
     n = df.count()
     if n <= SAMPLED_PROBE_MIN_N:

@@ -371,7 +371,7 @@ def q_agg_hll_rollup(spark, sf_dir):
     the two paths and accuracy vs exact distinct."""
     ev = _t(spark, sf_dir, "events")
     daily = agg.hll_portable_registers(ev, "ts", "user_id", 86400, lg_k=8)
-    weekly = agg.hll_portable_rollup(daily, 7 * 86400)
+    weekly = agg.hll_portable_rollup(daily, 7 * 86400, bucket_seconds=86400)
     return weekly.select(
         F.col("period_start").cast("string").alias("period_start"),
         "register",

@@ -1357,8 +1357,18 @@ def test_hll_portable_registers_exact_content_and_estimate(spark):
     # union-of-daily == direct weekly, register for register
     weekly = {
         (str(r["period_start"]), r["register"]): r["rho_max"]
-        for r in agg.hll_portable_rollup(daily, 7 * 86400).collect()
+        for r in agg.hll_portable_rollup(
+            daily, 7 * 86400, bucket_seconds=86400
+        ).collect()
     }
+    # nesting validation (round-12 ADVICE): a period that does not
+    # nest the source buckets would silently diverge from a direct
+    # sketch — the rollup refuses it when told the bucket grid
+    with pytest.raises(ValueError, match="nest"):
+        agg.hll_portable_rollup(daily, 100_000, bucket_seconds=86400)
+    # small-m alpha constants: lg_k < 4 is out of the paper's domain
+    with pytest.raises(ValueError, match="lg_k"):
+        agg.hll_portable_estimate(daily.limit(1), lg_k=3)
     direct = {
         (str(r["period_start"]), r["register"]): r["rho_max"]
         for r in agg.hll_portable_rollup(
@@ -2051,6 +2061,28 @@ def test_sampled_probe_cutoff_and_guard_band(spark, monkeypatch):
         hot, "text", "auto", cmax_threshold=1200.0, id_col="doc_id"
     )  # est ~400 outside [600, 2400] -> direct, no exact scan
     assert dd.DUP_STATS_PROBE_RUNS == e_runs
+
+
+def test_byte_gate_ignores_generated_plans(spark, tmp_path):
+    """Round-12 ADVICE: Catalyst sizeInBytes prices a Range leaf at 8
+    bytes/row no matter what later projections synthesize, so a
+    spark.range-derived 6M-doc corpus reads ~48 MB and would slip under
+    EXACT_PROBE_CHEAP_BYTES. The gate now requires every optimized-plan
+    leaf to be a relation (file scan / local / cached rows) before
+    trusting the estimate."""
+    from pyspark.sql import functions as F
+
+    gen = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.md5(F.col("id").cast("string")).alias("text")
+    )
+    assert not dd._plan_leaves_sized(gen)
+    p = str(tmp_path / "bg.parquet")
+    gen.write.mode("overwrite").parquet(p)
+    filed = spark.read.parquet(p)
+    assert dd._plan_leaves_sized(filed)
+    # local relations are materialized rows — also trustworthy
+    local = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+    assert dd._plan_leaves_sized(local)
 
 
 def test_auto_operators_share_one_probe_per_corpus(spark):
