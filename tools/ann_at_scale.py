@@ -1,0 +1,351 @@
+"""Execute the vector/embedding family at >= 1M vectors (round-13
+verdict task 1 / round-12 "What's missing #1").
+
+Rounds 9-12 certified the ANN tiers (ivf/lsh/pq) at 500-2,000 corpus
+vectors and calibrated the embedding collapse crossover at n <= 8,000;
+the text family meanwhile graduated to executed 6M-doc runs with exact
+planted oracles. This tool is the ANN analog: one deterministic
+>= 1M-vector corpus, measured recall vs the exact top-k at that scale,
+and ONE dedup (embedding_neardup_pairs) auto resolution where the
+affine+clamp crossover rule decides at n >= 10^6 — two decades above
+its calibration — with a closed-form planted-pair exact oracle (the
+minhash "450,000 == 450,000" pattern, here at 50,445,000 pairs).
+
+Corpus (deterministic, Spark expressions only — no Python RNG, no UDF):
+n = 1,050,000 vectors, dim 64, at /tmp/ann1m/embeddings.parquet
+  - vec_id 0..9,999: ONE viral embedding (identical vector, g = 10,000).
+    g is chosen to sit ABOVE the affine crossover at this n — g* =
+    sqrt(37,400 + 1,448 * 1,050,000 / 32) ~= 6,896 — so the rule
+    genuinely decides collapse, while C(10k,2) = 49,995,000 planted
+    pairs stay small enough to emit and fingerprint exactly. (The
+    verdict sketched g ~= 50k; C(50k,2) = 1.25e9 pairs would make the
+    exact-oracle compare infeasible, so the group is sized for the
+    oracle, not the other way round.)
+  - vec_id 10,000..109,999: 10,000 pocket vectors x 10 identical
+    copies (uniform near-dup pockets; 450,000 planted pairs).
+  - vec_id 110,000..1,049,999: unique pseudo-random vectors
+    (components are xxhash64-derived uniforms in [-1, 1]; a spurious
+    cosine >= 0.99 between two random 64-dim vectors has probability
+    ~(1 - 0.99^2)^31.5 ~= 1e-53 per pair — the background provably
+    contributes zero oracle pairs).
+
+Identical (not perturbed) planted vectors are what make the oracle
+EXACT: identical vectors share every LSH band key, so candidacy is
+guaranteed at any (planes, bands) and the emitted pair set is exactly
+the closed-form planted set — the same reason the 5.88M minhash run
+could assert 450,000 == 450,000.
+
+Part A (recall): exact cosine_topk baseline for 21 stratified queries
+(3 viral members, 3 pocket members, 15 unique), then ivf_topk /
+lsh_topk / pq_rerank_topk at production-shaped operating points,
+recall@10 = |approx ∩ exact| / |exact|, min-of-2 warm passes.
+Part B (oracle): embedding_neardup_pairs(duplicate_collapse="auto",
+threshold=0.99, planes=208/bands=16 — r=13 bits/band keeps rep-bucket
+sizes ~110 at 910,001 distinct vectors, so the per-bucket verify
+matmuls stay trivial while applyInPandas sees ~131k groups, not 14.6M
+one-row groups; genuine 0.99-cosine near-dup miss probability at this
+point is (1-(1-acos(.99)/pi)^13)^16 ~= 3e-6, and the planted pairs are
+identical vectors so their candidacy is guaranteed regardless) vs the
+closed-form expected
+pair set: exact count AND order-insensitive distributed xxhash64
+fingerprint over (id_a, id_b, cos_sim).
+
+Every JSON row is stamped with the git commit (round-12 verdict
+"What's wrong #1": artifacts must read alone).
+
+Usage: python tools/ann_at_scale.py [--out ANN_AT_SCALE_r13.json]
+       [--skip-recall] [--skip-oracle] [--direct-also]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import time
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+SRC = "/tmp/ann1m/embeddings.parquet"
+OUT = "/root/repo/ANN_AT_SCALE_r13.json"
+N = 1_050_000
+DIM = 64
+G_VIRAL = 10_000
+N_POCKETS = 10_000
+POCKET_COPIES = 10
+UNIQUE_START = G_VIRAL + N_POCKETS * POCKET_COPIES  # 110,000
+K = 10
+THRESHOLD = 0.99
+# 3 viral members, 3 pocket members (distinct pockets), 15 unique
+QUERY_IDS = (
+    [0, 1, 2]
+    + [10_000, 10_015, 55_557]
+    + [110_000 + 62_000 * i for i in range(15)]
+)
+
+
+def commit_sha() -> str:
+    return subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
+
+
+def emit(out_path: str, row: dict) -> None:
+    row = {"commit": commit_sha(), **row}
+    with open(out_path, "a") as f:
+        f.write(json.dumps(row) + "\n")
+    print(json.dumps(row), flush=True)
+
+
+def build_corpus(spark) -> float:
+    """Deterministic 1.05M x dim-64 corpus; returns build seconds."""
+    t0 = time.time()
+    ids = spark.range(N).select(F.col("id").alias("vec_id"))
+    pocket_id = ((F.col("vec_id") - G_VIRAL) / POCKET_COPIES).cast("long")
+    key = (
+        F.when(F.col("vec_id") < G_VIRAL, F.lit("V"))
+        .when(
+            F.col("vec_id") < UNIQUE_START,
+            F.concat(F.lit("P"), pocket_id.cast("string")),
+        )
+        .otherwise(F.concat(F.lit("U"), F.col("vec_id").cast("string")))
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(DIM - 1)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("__key"), j), F.lit(2_000_001)).cast(
+                "double"
+            )
+            / F.lit(1_000_000.0)
+            - 1.0
+        ).cast("float"),
+    )
+    (
+        ids.withColumn("__key", key)
+        .select("vec_id", vec.alias("embedding"))
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(SRC)
+    )
+    return time.time() - t0
+
+
+def pairs(df) -> set:
+    return {(r[0], r[1]) for r in df.select("query_id", "neighbor_id").collect()}
+
+
+def timed(fn, n_pass: int = 2):
+    best, out = float("inf"), None
+    for _ in range(n_pass):
+        t0 = time.time()
+        out = fn()
+        best = min(best, time.time() - t0)
+    return out, best
+
+
+def fingerprint(df):
+    """Order-insensitive distributed hash: (count, sum of row xxhash64)."""
+    cols = [F.col(c).cast("string") for c in sorted(df.columns)]
+    r = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.xxhash64(*cols).cast("decimal(38,0)")).alias("h"),
+    ).first()
+    return int(r["n"] or 0), int(r["h"] or 0)
+
+
+def expected_pairs(spark):
+    """Closed-form planted pair set: (id_a, id_b, cos_sim=1.0)."""
+    viral = (
+        spark.range(G_VIRAL).select(F.col("id").alias("id_a"))
+        .join(spark.range(G_VIRAL).select(F.col("id").alias("id_b")))
+        .filter(F.col("id_a") < F.col("id_b"))
+    )
+    copies = spark.range(POCKET_COPIES).select(F.col("id").alias("__c"))
+    pocket = (
+        spark.range(N_POCKETS).select(F.col("id").alias("__p"))
+        .join(copies.select(F.col("__c").alias("__c1")))
+        .join(copies.select(F.col("__c").alias("__c2")))
+        .filter(F.col("__c1") < F.col("__c2"))
+        .select(
+            (G_VIRAL + F.col("__p") * POCKET_COPIES + F.col("__c1")).alias("id_a"),
+            (G_VIRAL + F.col("__p") * POCKET_COPIES + F.col("__c2")).alias("id_b"),
+        )
+    )
+    return viral.unionByName(pocket).select(
+        "id_a", "id_b", F.lit(1.0).alias("cos_sim")
+    )
+
+
+def run_recall(spark, emb, out_path: str) -> None:
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    queries = emb.filter(F.col("vec_id").isin(QUERY_IDS)).cache()
+    n_q = queries.count()
+    exact, t_exact = timed(
+        lambda: pairs(sim.cosine_topk(emb, queries, "embedding", "vec_id", k=K))
+    )
+    denom = len(exact)
+    emit(out_path, {
+        "kind": "recall", "variant": f"exact cosine_topk (baseline, k={K})",
+        "n_corpus": N, "n_queries": n_q, "recall_at_k": 1.0,
+        "sec": round(t_exact, 2), "denom_pairs": denom,
+    })
+
+    def run(label, fn):
+        got, sec = timed(lambda: pairs(fn()))
+        rec = round(len(got & exact) / denom, 4)
+        emit(out_path, {
+            "kind": "recall", "variant": label, "n_corpus": N,
+            "n_queries": n_q, "recall_at_k": rec, "sec": round(sec, 2),
+        })
+
+    # IVF: production-shaped cell count for 1M (~sqrt(n)/4); the fit
+    # stays a bounded driver-side sample (256 cells x 256 samples/cell)
+    for nprobe in (1, 4, 16, 64, 256):
+        run(
+            f"ivf_topk n_cells=256 nprobe={nprobe} fit_cap=65536"
+            + (" (certified exact)" if nprobe == 256 else ""),
+            lambda np_=nprobe: sim.ivf_topk(
+                emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+                n_cells=256, nprobe=np_, fit_sample_cap=65_536,
+            ),
+        )
+    # LSH at the certified small-scale operating points, plus the
+    # duplicate-collapse variant (the 10k viral group loads every one
+    # of its band buckets with 10k rows on the direct plan)
+    for probe in (0, 1, 3):
+        run(
+            f"lsh_topk planes=24 bands=8 probe={probe}"
+            + (" (certified point)" if probe == 3 else ""),
+            lambda p_=probe: sim.lsh_topk(
+                emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+                num_planes=24, bands=8, probe=p_,
+            ),
+        )
+    # production-shaped LSH for 1M: 6 bits/band -> 64 keys/band ->
+    # ~16k-row buckets (the 24/8 points above keep the small-scale
+    # certified shape honest: 3 bits/band at 1M means 131k-row buckets
+    # and ~88M candidate cosines — measured, not hidden)
+    for probe in (0, 1, 3):
+        run(
+            f"lsh_topk planes=48 bands=8 probe={probe} (1M-shaped)",
+            lambda p_=probe: sim.lsh_topk(
+                emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+                num_planes=48, bands=8, probe=p_,
+            ),
+        )
+    run(
+        "lsh_topk planes=24 bands=8 probe=3 duplicate_collapse=always",
+        lambda: sim.lsh_topk(
+            emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+            num_planes=24, bands=8, probe=3, duplicate_collapse="always",
+        ),
+    )
+    # PQ: collapsed (production default) at two depths + the direct
+    # form at the certified depth (the skew-table composition, now with
+    # a 10,000-strong duplicate block vs a 100-deep shortlist)
+    for depth in (20, 100):
+        run(
+            f"pq_rerank_topk m=16 k_codes=32 rerank_from={depth}"
+            + (" (certified point)" if depth == 100 else ""),
+            lambda d_=depth: sim.pq_rerank_topk(
+                emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+                m=16, k_codes=32, rerank_from=d_,
+            ),
+        )
+    run(
+        "pq_rerank_topk rerank_from=100 duplicate_collapse=never (direct form)",
+        lambda: sim.pq_rerank_topk(
+            emb, queries, "embedding", "vec_id", dim=DIM, k=K,
+            m=16, k_codes=32, rerank_from=100, duplicate_collapse="never",
+        ),
+    )
+
+
+def run_oracle(spark, emb, out_path: str, direct_also: bool) -> None:
+    from datamine_v2_0_spark.operators import dedup as dd
+
+    p = dd._plan_parallelism(spark)
+    g_star = dd._pair_cmax_threshold(
+        N, p, dd.EMBED_COLLAPSE_BETA, dd.EMBED_COLLAPSE_INTERCEPT
+    )
+    # the probe the auto path will run, captured for the artifact
+    dd.clear_dup_stats_cache()
+    n_probe, blowup, cmax = dd._dup_stats(emb, "embedding")
+    t0 = time.time()
+    got = dd.embedding_neardup_pairs(
+        emb, "embedding", "vec_id", dim=DIM, threshold=THRESHOLD,
+        num_planes=208, bands=16, duplicate_collapse="auto",
+    )
+    n_got, h_got = fingerprint(got)
+    wall = time.time() - t0
+    n_exp, h_exp = fingerprint(expected_pairs(spark))
+    emit(out_path, {
+        "kind": "dedup_embedding_auto_oracle", "n_corpus": N,
+        "planted_viral_g": G_VIRAL, "planted_pockets": N_POCKETS,
+        "pocket_copies": POCKET_COPIES, "threshold": THRESHOLD,
+        "planes": 208, "bands": 16,
+        "probe_n": n_probe, "probe_cmax": cmax,
+        "probe_blowup": round(blowup, 3),
+        "crossover_g_star": round(g_star, 1), "parallelism": p,
+        "decision_collapse": bool(cmax >= g_star),
+        "out_pairs": n_got, "expected_pairs": n_exp,
+        "fingerprint_match": bool((n_got, h_got) == (n_exp, h_exp)),
+        "out_fp": str(h_got), "expected_fp": str(h_exp),
+        "wall_sec": round(wall, 2),
+    })
+    if direct_also:
+        t0 = time.time()
+        got_d = dd.embedding_neardup_pairs(
+            emb, "embedding", "vec_id", dim=DIM, threshold=THRESHOLD,
+            num_planes=208, bands=16, duplicate_collapse="never",
+        )
+        n_d, h_d = fingerprint(got_d)
+        emit(out_path, {
+            "kind": "dedup_embedding_direct_parity", "n_corpus": N,
+            "out_pairs": n_d,
+            "fingerprint_match": bool((n_d, h_d) == (n_exp, h_exp)),
+            "wall_sec": round(time.time() - t0, 2),
+        })
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=OUT)
+    ap.add_argument("--skip-recall", action="store_true")
+    ap.add_argument("--skip-oracle", action="store_true")
+    ap.add_argument(
+        "--direct-also", action="store_true",
+        help="also run the direct (never-collapse) plan for parity+timing "
+        "— the 10k viral group makes this the serial-hotspot plan: 16 "
+        "band buckets of 10k rows each run one 10k x 10k verify matmul",
+    )
+    args = ap.parse_args()
+
+    from datamine_v2_0_spark.session import get_spark
+
+    spark = get_spark("ann-at-scale")
+    if not os.path.isdir(SRC):
+        sec = build_corpus(spark)
+        emit(args.out, {
+            "kind": "corpus_build", "n": N, "dim": DIM, "path": SRC,
+            "viral_g": G_VIRAL, "pockets": N_POCKETS,
+            "pocket_copies": POCKET_COPIES, "sec": round(sec, 1),
+        })
+    emb = spark.read.parquet(SRC)
+    # one warm scan so the first timed point isn't charged cold IO
+    emb.write.format("noop").mode("overwrite").save()
+    if not args.skip_recall:
+        run_recall(spark, emb, args.out)
+    if not args.skip_oracle:
+        run_oracle(spark, emb, args.out, args.direct_also)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,7 +33,20 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F
 
 SRC = "/tmp/probe6m/documents.parquet"
-OUT = "/root/repo/OPS_AT_SCALE_r12.json"
+OUT = os.environ.get("OPS_AT_SCALE_OUT", "/root/repo/OPS_AT_SCALE_r13.json")
+
+
+def commit_sha() -> str:
+    """Stamp every emitted row with the code identity it ran under
+    (round-12 verdict "What's wrong #1": the r12 JSONL interleaved
+    pre- and post-regexp-fix readings with nothing in-row to tell
+    them apart — see tools/ops_at_scale_report.py)."""
+    import subprocess
+
+    return subprocess.run(
+        ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
+        capture_output=True, text=True,
+    ).stdout.strip()
 
 
 def timed(label, df, results):
@@ -107,6 +120,7 @@ def main() -> None:
 
     row = {
         "metric": "operators_at_6m_docs",
+        "commit": commit_sha(),
         "src": SRC,
         "n_full": 6_000_000,
         "n_no_viral": 5_880_000,
