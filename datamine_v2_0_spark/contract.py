@@ -40,44 +40,44 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #
 #   _ALL        -- every query exactly once, alphabetical; the only place
 #                  an entry is defined.
-#   WINDOW_R12  -- the 50 names the driver certifies THIS round (it checks
+#   WINDOW_R13  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 7 queries whose round-12 changes touch executing
-#                  or plan-time code lead — agg_hll_rollup (rewritten on
-#                  the portable-register HLL and graduated from rows-only
-#                  to a hash-matched oracle), then one representative per
-#                  auto-collapse resolver family whose planning path
-#                  changed again this round (_planning_stats gained the
-#                  byte gate that folds n discovery into the exact probe;
-#                  sampled draws moved to their own cache; dedup_against
-#                  side-tags its pooled probe ids; bm25 routes its
-#                  product rule through the shared posting resolver):
+#                  the 7 queries whose round-13 changes touch executing
+#                  or plan-time code lead — agg_hll_rollup
+#                  (hll_portable_rollup gained period-nesting
+#                  validation and the registered query now passes
+#                  bucket_seconds; hll_portable_estimate switched to
+#                  the per-m small-register alpha constants), then the
+#                  same six auto-collapse family representatives as
+#                  round 12, because _planning_stats changed again
+#                  (the byte gate now requires every optimized-plan
+#                  leaf to be a sized relation before trusting
+#                  Catalyst sizeInBytes — round-12 ADVICE):
 #                  dedup_minhash_lsh + dedup_against (pair family),
 #                  dedup_jaccard_inverted + dedup_containment (posting
 #                  family), text_bm25 (doc/query product rule),
 #                  dedup_embedding (embedding pair family);
-#                  followed by _TAIL_R11's first 43 — the round-11
-#                  construction put the 7 entries the round-11
-#                  promotions displaced (win_rank_family, win_sessionize,
-#                  agg_grouped_stats, agg_percentiles, agg_tumbling,
-#                  win_lag_delta, win_rolling = _TAIL_R10[43:50], all
-#                  re-proven out-of-window in round 11 by builder and
-#                  judge runs) at its head, so they are re-proven under
-#                  the driver first, then the stalest remaining rung.
-#   _TAIL_R12   -- the remaining 109, oldest driver evidence first: the
-#                  7 stale-rung entries the round-12 promotions displaced
-#                  from the next-50 (agg_cube, agg_describe,
-#                  agg_diversity, agg_global_stats, agg_histogram,
-#                  agg_incremental, agg_linreg = _TAIL_R11[43:50] — all
-#                  seven listed here, per the round-11 ADVICE on keeping
-#                  the displaced set fully enumerated; each re-proven in
-#                  this round's full local oracle sweeps) lead so round
-#                  13 re-proves them first, then _TAIL_R11's leftover
-#                  entries (minus the 2 promoted from within it:
-#                  agg_hll_rollup, dedup_embedding) and round 11's
-#                  re-certified window entries (minus the 5 promoted),
-#                  freshest last, so the round-13 window is simply the
-#                  next 50.
+#                  followed by _TAIL_R12's first 43, whose head is the
+#                  7 entries the round-12 promotions displaced
+#                  (agg_cube, agg_describe, agg_diversity,
+#                  agg_global_stats, agg_histogram, agg_incremental,
+#                  agg_linreg — the round-12 verdict's task-2 order:
+#                  put them back under the driver first), then the
+#                  stalest remaining rung (agg_mad .. text_redact).
+#   _TAIL_R13   -- the remaining 109, oldest driver evidence first: the
+#                  7 stale-rung entries the round-13 promotions
+#                  displaced from the next-50 (ts_ohlc, ts_seasonal,
+#                  win_hampel, win_minmax_flags, win_range_frame,
+#                  join_upsert, scalar_hash_id = _TAIL_R12[43:50] —
+#                  all seven enumerated per the round-11 ADVICE;
+#                  re-proven in this round's full local oracle
+#                  sweeps) lead so round 14 re-proves them first,
+#                  then _TAIL_R12's leftover entries (none were
+#                  promoted from within it this round) and round 12's
+#                  re-certified window entries minus the 7
+#                  re-promoted (win_rank_family .. agg_corr_matrix),
+#                  freshest last, so the round-14 window is simply
+#                  the next 50.
 #
 # Rotating the window next round = editing the two name lists; the
 # assertions below keep the partition exact.
@@ -243,7 +243,7 @@ _ALL: dict[str, tuple] = {
     "win_sessionize": (q_win_sessionize, SQL_WIN_SESSIONIZE),
 }
 
-WINDOW_R12: list[str] = [
+WINDOW_R13: list[str] = [
     "agg_hll_rollup",
     "dedup_minhash_lsh",
     "dedup_against",
@@ -251,52 +251,6 @@ WINDOW_R12: list[str] = [
     "dedup_containment",
     "text_bm25",
     "dedup_embedding",
-    "win_rank_family",
-    "win_sessionize",
-    "agg_grouped_stats",
-    "agg_percentiles",
-    "agg_tumbling",
-    "win_lag_delta",
-    "win_rolling",
-    "agg_conditional",
-    "agg_date_distribution",
-    "agg_distinct",
-    "agg_fraction",
-    "agg_freq_topk",
-    "agg_having",
-    "agg_hourly_profile",
-    "agg_integrity",
-    "agg_ordered_array",
-    "agg_pivot",
-    "dedup_exact",
-    "filt_between_isin",
-    "filt_clamp",
-    "filt_project_range",
-    "filt_sample_mod",
-    "join_anti",
-    "join_semi",
-    "scalar_position",
-    "scalar_silver",
-    "graph_pagerank",
-    "set_except",
-    "set_intersect",
-    "set_union",
-    "sort_topk",
-    "stat_kappa",
-    "text_decontaminate_embed",
-    "text_lang",
-    "text_lm_bigram",
-    "text_tokens",
-    "win_diff_shift",
-    "win_ffill",
-    "win_partition_stddev",
-    "win_running_sum",
-    "win_savgol",
-    "agg_ab_test",
-    "agg_corr_matrix",
-]
-
-_TAIL_R12: list[str] = [
     "agg_cube",
     "agg_describe",
     "agg_diversity",
@@ -340,6 +294,9 @@ _TAIL_R12: list[str] = [
     "stat_chi2",
     "text_fingerprint",
     "text_redact",
+]
+
+_TAIL_R13: list[str] = [
     "ts_ohlc",
     "ts_seasonal",
     "win_hampel",
@@ -406,14 +363,57 @@ _TAIL_R12: list[str] = [
     "text_tfidf",
     "ts_gapfill",
     "win_blocks",
+    "win_rank_family",
+    "win_sessionize",
+    "agg_grouped_stats",
+    "agg_percentiles",
+    "agg_tumbling",
+    "win_lag_delta",
+    "win_rolling",
+    "agg_conditional",
+    "agg_date_distribution",
+    "agg_distinct",
+    "agg_fraction",
+    "agg_freq_topk",
+    "agg_having",
+    "agg_hourly_profile",
+    "agg_integrity",
+    "agg_ordered_array",
+    "agg_pivot",
+    "dedup_exact",
+    "filt_between_isin",
+    "filt_clamp",
+    "filt_project_range",
+    "filt_sample_mod",
+    "join_anti",
+    "join_semi",
+    "scalar_position",
+    "scalar_silver",
+    "graph_pagerank",
+    "set_except",
+    "set_intersect",
+    "set_union",
+    "sort_topk",
+    "stat_kappa",
+    "text_decontaminate_embed",
+    "text_lang",
+    "text_lm_bigram",
+    "text_tokens",
+    "win_diff_shift",
+    "win_ffill",
+    "win_partition_stddev",
+    "win_running_sum",
+    "win_savgol",
+    "agg_ab_test",
+    "agg_corr_matrix",
 ]
 
-assert len(WINDOW_R12) == 50, len(WINDOW_R12)
-assert len(WINDOW_R12) == len(set(WINDOW_R12))
-assert len(_TAIL_R12) == len(set(_TAIL_R12))
-assert not set(WINDOW_R12) & set(_TAIL_R12)
-assert set(WINDOW_R12) | set(_TAIL_R12) == set(_ALL), (
-    set(WINDOW_R12) ^ set(_TAIL_R12) ^ set(_ALL)
+assert len(WINDOW_R13) == 50, len(WINDOW_R13)
+assert len(WINDOW_R13) == len(set(WINDOW_R13))
+assert len(_TAIL_R13) == len(set(_TAIL_R13))
+assert not set(WINDOW_R13) & set(_TAIL_R13)
+assert set(WINDOW_R13) | set(_TAIL_R13) == set(_ALL), (
+    set(WINDOW_R13) ^ set(_TAIL_R13) ^ set(_ALL)
 )
 
-QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R12 + _TAIL_R12}
+QUERIES: dict[str, tuple] = {k: _ALL[k] for k in WINDOW_R13 + _TAIL_R13}

@@ -43,14 +43,14 @@ def test_runtime_queries_matches_literal_count():
 
 
 def test_window_is_first_50_of_queries():
-    from datamine_v2_0_spark.contract import QUERIES, WINDOW_R12
+    from datamine_v2_0_spark.contract import QUERIES, WINDOW_R13
 
-    assert len(WINDOW_R12) == 50
-    assert list(QUERIES)[:50] == WINDOW_R12
+    assert len(WINDOW_R13) == 50
+    assert list(QUERIES)[:50] == WINDOW_R13
 
 
 def test_window_literal_lists_are_duplicate_free():
     nodes = _literal_nodes()
-    for name in ("WINDOW_R12", "_TAIL_R12"):
+    for name in ("WINDOW_R13", "_TAIL_R13"):
         names = [ast.literal_eval(e) for e in nodes[name].elts]
         assert len(names) == len(set(names)), f"duplicates in {name}"
