@@ -42,7 +42,7 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  an entry is defined.
 #   WINDOW_R13  -- the 50 names the driver certifies THIS round (it checks
 #                  the first 50 entries of QUERIES in insertion order):
-#                  the 7 queries whose round-13 changes touch executing
+#                  the 8 queries whose round-13 changes touch executing
 #                  or plan-time code lead — agg_hll_rollup
 #                  (hll_portable_rollup gained period-nesting
 #                  validation and the registered query now passes
@@ -56,21 +56,26 @@ from datamine_v2_0_spark.queries.pipelines import *  # noqa: F401,F403
 #                  dedup_minhash_lsh + dedup_against (pair family),
 #                  dedup_jaccard_inverted + dedup_containment (posting
 #                  family), text_bm25 (doc/query product rule),
-#                  dedup_embedding (embedding pair family);
-#                  followed by _TAIL_R12's first 43, whose head is the
+#                  dedup_embedding (embedding pair family), and
+#                  sim_ivf_topk (ivf_topk rebuilt as the composition
+#                  ivf_index + ivf_query — the build/query split the
+#                  1M-vector ANN_AT_SCALE_r13 runs motivated; result
+#                  contract unchanged, plan re-certified);
+#                  followed by _TAIL_R12's first 42, whose head is the
 #                  7 entries the round-12 promotions displaced
 #                  (agg_cube, agg_describe, agg_diversity,
 #                  agg_global_stats, agg_histogram, agg_incremental,
 #                  agg_linreg — the round-12 verdict's task-2 order:
 #                  put them back under the driver first), then the
-#                  stalest remaining rung (agg_mad .. text_redact).
+#                  stalest remaining rung (agg_mad .. text_fingerprint).
 #   _TAIL_R13   -- the remaining 109, oldest driver evidence first: the
-#                  7 stale-rung entries the round-13 promotions
-#                  displaced from the next-50 (ts_ohlc, ts_seasonal,
-#                  win_hampel, win_minmax_flags, win_range_frame,
-#                  join_upsert, scalar_hash_id = _TAIL_R12[43:50] —
-#                  all seven enumerated per the round-11 ADVICE;
-#                  re-proven in this round's full local oracle
+#                  8 stale-rung entries the round-13 promotions
+#                  displaced from the next-50 (text_redact — displaced
+#                  by the sim_ivf_topk promotion — then ts_ohlc,
+#                  ts_seasonal, win_hampel, win_minmax_flags,
+#                  win_range_frame, join_upsert, scalar_hash_id =
+#                  _TAIL_R12[43:50] — all enumerated per the round-11
+#                  ADVICE; re-proven in this round's full local oracle
 #                  sweeps) lead so round 14 re-proves them first,
 #                  then _TAIL_R12's leftover entries (none were
 #                  promoted from within it this round) and round 12's
@@ -251,6 +256,7 @@ WINDOW_R13: list[str] = [
     "dedup_containment",
     "text_bm25",
     "dedup_embedding",
+    "sim_ivf_topk",
     "agg_cube",
     "agg_describe",
     "agg_diversity",
@@ -293,10 +299,10 @@ WINDOW_R13: list[str] = [
     "scalar_wkt",
     "stat_chi2",
     "text_fingerprint",
-    "text_redact",
 ]
 
 _TAIL_R13: list[str] = [
+    "text_redact",
     "ts_ohlc",
     "ts_seasonal",
     "win_hampel",
@@ -349,7 +355,6 @@ _TAIL_R13: list[str] = [
     "sim_cosine_topk",
     "sim_lsh_topk",
     "text_chunks",
-    "sim_ivf_topk",
     "val_signal_context",
     "join_overlap",
     "join_interval_priority",

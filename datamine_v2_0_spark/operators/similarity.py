@@ -256,6 +256,235 @@ def _lloyd_fit(X: np.ndarray, k: int, max_iter: int) -> np.ndarray:
     return C
 
 
+def ivf_index(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    n_cells: int = 8,
+    seed: int = 42,
+    max_iter: int = 8,
+    fit_fraction: float | None = None,
+    fit_sample_cap: int = 4096,
+) -> tuple[DataFrame, np.ndarray]:
+    """BUILD phase of the IVF index: fit the coarse quantizer and assign
+    every corpus vector to its nearest cell. Returns ``(cells,
+    centroids)`` where ``cells`` has columns ``[id_col, vec_col,
+    "cell"]`` and ``centroids`` is the ``(n_cells, dim)`` float64 array
+    the quantizer learned.
+
+    This is the half of ``ivf_topk`` whose cost scales with the CORPUS
+    (one full pass to assign cells — the dominant term at 1M+ vectors,
+    measured 10-100x the per-batch query cost in ANN_AT_SCALE_r13), so
+    a pipeline that answers many query batches builds it ONCE —
+    ``save_ivf_index`` writes ``cells`` partitioned BY cell, after which
+    ``ivf_query`` over the loaded index scans only the probed cells'
+    partitions (Spark prunes cell directories via dynamic partition
+    pruning on the broadcast probe join). ``ivf_topk`` remains the
+    one-shot composition ``ivf_query(*ivf_index(...), ...)`` and is
+    unchanged result-wise.
+
+    The quantizer is fit DRIVER-SIDE on a deterministic hash-ordered
+    sample of at most ``fit_sample_cap`` vectors (a top-N over
+    xxhash64(id) — a bounded KB-scale collect, same budget discipline as
+    train_pq's codebook sample), with deterministic farthest-point init:
+    the cell assignment is reproducible for a fixed corpus, with no RNG
+    and no full-corpus fit job. ``fit_fraction`` optionally pre-thins
+    the sample pool before the cap (kept for API compatibility; the cap
+    already bounds the fit).
+
+    Vectors are L2-normalized before clustering and cell assignment
+    (spherical quantization): cosine ranking equals Euclidean ranking on
+    the unit sphere, so cells align with cosine neighborhoods — without
+    this, Euclidean cells on unnormalized data fragment each query's
+    cosine neighborhood across many cells and recall collapses.
+    Degenerate inputs degrade gracefully: an empty corpus returns an
+    empty frame with a ``(0, dim)`` centroid array, a 1-row corpus one
+    all-zero centroid and a single cell 0."""
+    # norm computed ONCE per row (not per element inside the transform
+    # lambda — that was O(dim^2) per row) and floored to 1 for all-zero
+    # vectors so normalization can't raise DIVIDE_BY_ZERO under ANSI
+    arr = F.col(vec_col).cast("array<double>")
+    norm_raw = F.sqrt(
+        F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
+    )
+    va = (
+        corpus.filter(F.col(vec_col).isNotNull()).select(
+            F.col(id_col).alias("__vid"),
+            F.col(vec_col).alias("__cvec"),
+            F.when(norm_raw > 0, norm_raw).otherwise(F.lit(1.0)).alias(
+                "__norm"
+            ),
+        )
+        .select(
+            "__vid",
+            "__cvec",
+            F.transform(
+                F.col("__cvec").cast("array<double>"),
+                lambda x: x / F.col("__norm"),
+            ).alias("__nvec"),
+        )
+    )
+    # tiny corpus: probe min(n, n_cells) with a bounded limit-count
+    # (never a full scan) and degrade gracefully (an empty/1-row ingest
+    # day is routine, not an error)
+    n_bounded = va.limit(n_cells).count()
+    if n_bounded == 0:
+        ct = dict(corpus.dtypes)
+        cells = corpus.sparkSession.createDataFrame(
+            [], f"`{id_col}` {ct[id_col]}, `{vec_col}` {ct[vec_col]}, cell int"
+        )
+        return cells, np.zeros((0, dim))
+    if n_bounded < 2:
+        # one cell holds everything, every query probes it — correct at
+        # any size (scoring always uses the real vectors)
+        cells = va.select(
+            F.col("__vid").alias(id_col),
+            F.col("__cvec").alias(vec_col),
+            F.lit(0).alias("cell"),
+        )
+        return cells, np.zeros((1, dim))
+    k_eff = min(n_cells, n_bounded)
+    pool = (
+        va.sample(fraction=fit_fraction, seed=seed)
+        if fit_fraction is not None
+        else va
+    )
+    # deterministic spread sample: top-N over a seeded id hash is a
+    # TakeOrdered (bounded heap per partition, k rows to the driver),
+    # independent of file layout and row order
+    samp = (
+        pool.select("__vid", "__nvec")
+        .orderBy(F.xxhash64(F.col("__vid"), F.lit(seed)))
+        .limit(fit_sample_cap)
+        .collect()
+    )
+    if len(samp) < k_eff:  # fit_fraction thinned below k: refill
+        samp = (
+            va.select("__vid", "__nvec")
+            .orderBy(F.xxhash64(F.col("__vid"), F.lit(seed)))
+            .limit(fit_sample_cap)
+            .collect()
+        )
+    X = np.array([r["__nvec"] for r in samp], dtype=np.float64)
+    C = _lloyd_fit(X, min(k_eff, len(X)), max_iter)
+
+    @pandas_udf("int")
+    def _assign_cell(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)  # (n, dim) normalized
+        d2 = (
+            (M * M).sum(axis=1, keepdims=True)
+            - 2.0 * (M @ C.T)
+            + (C * C).sum(axis=1)[None, :]
+        )
+        return pd.Series(d2.argmin(axis=1).astype(np.int32))
+
+    cells = va.select(
+        F.col("__vid").alias(id_col),
+        F.col("__cvec").alias(vec_col),
+        _assign_cell(F.col("__nvec")).alias("cell"),
+    )
+    return cells, C
+
+
+def ivf_query(
+    cells: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 5,
+    nprobe: int = 3,
+    round_to: int = 6,
+    cell_col: str = "cell",
+) -> DataFrame:
+    """QUERY phase of the IVF index: each query probes its ``nprobe``
+    nearest centroids and scores only same-cell candidates. ``cells``
+    and ``centroids`` come from ``ivf_index`` (or ``load_ivf_index``);
+    per-batch cost is ~``nprobe / n_cells`` of the corpus — independent
+    of how many batches reuse the index, which is the whole point of
+    the split (ANN_AT_SCALE_r13: 1.05M-vector index builds in ~100 s,
+    a 21-query batch then answers in seconds).
+
+    The probe join is an equi join on the cell id with the exploded
+    query probes broadcast: at scale ``cells`` is stored partitioned by
+    cell (``save_ivf_index``), so the scan prunes to the probed cells'
+    directories. ``nprobe >= n_cells`` probes every cell, which is
+    provably exact (the cells partition the corpus)."""
+    if len(centroids) == 0:
+        qt = dict(queries.dtypes)[id_col]
+        ct = dict(cells.dtypes)[id_col]
+        return cells.sparkSession.createDataFrame(
+            [], f"query_id {qt}, neighbor_id {ct}, cos_sim double"
+        )
+    C = np.asarray(centroids, dtype=np.float64)
+    probe = min(nprobe, len(C))
+
+    @pandas_udf("array<int>")
+    def _probe_cells(v: pd.Series) -> pd.Series:
+        M = np.array(v.tolist(), dtype=np.float64)          # (n, dim)
+        norms = np.linalg.norm(M, axis=1, keepdims=True)
+        M = M / np.where(norms == 0, 1.0, norms)
+        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        order = np.argsort(d2, axis=1)[:, :probe].astype(np.int32)
+        return pd.Series(list(order))
+
+    c = cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cvec"),
+        F.col(cell_col).alias("__cell"),
+    )
+    q = queries.filter(F.col(vec_col).isNotNull()).select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qvec"),
+        F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
+    )
+    pairs = c.join(F.broadcast(q), "__cell").filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def save_ivf_index(
+    cells: DataFrame, centroids: np.ndarray, path: str, mode: str = "overwrite"
+) -> None:
+    """Persist an ``ivf_index`` result: ``cells`` partitioned BY cell
+    (so a later ``ivf_query`` scan prunes to the probed cells'
+    directories — the query-cost-independent-of-corpus-size layout) and
+    the centroid matrix as a tiny ``(cell, centroid)`` parquet."""
+    spark = cells.sparkSession
+    cells.write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
+    cent = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(centroids)],
+        "cell int, centroid array<double>",
+    )
+    cent.coalesce(1).write.mode(mode).parquet(f"{path}/centroids")
+
+
+def load_ivf_index(spark, path: str) -> tuple[DataFrame, np.ndarray]:
+    """Load a ``save_ivf_index`` layout back as ``(cells, centroids)``."""
+    cells = spark.read.parquet(f"{path}/cells")
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    if not rows:
+        width = 0
+    else:
+        width = len(rows[0]["centroid"])
+    C = np.array([r["centroid"] for r in rows], dtype=np.float64).reshape(
+        len(rows), width
+    )
+    return cells, C
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -275,135 +504,38 @@ def ivf_topk(
     the corpus, each query probes its ``nprobe`` nearest centroids, and
     only same-cell candidates are scored — the canonical
     inverted-file layout (`bucketed_topk` is the same plan with a
-    user-supplied cell column). The probe join is an equi join on the
-    cell id: at scale the corpus is partitioned/bucketed by cell once
-    and queries broadcast, never all-pairs.
+    user-supplied cell column). One-shot composition of ``ivf_index``
+    (build: fit + full-corpus cell assignment) and ``ivf_query``
+    (probe: broadcast equi join on the cell id, never all-pairs);
+    pipelines that answer many query batches should call the two halves
+    directly and reuse (or ``save_ivf_index``) the index — at 1M+
+    vectors the build is 10-100x the per-batch query cost.
 
     ``nprobe = n_cells`` probes every cell, which is provably exact
     (the cells partition the corpus) while keeping the IVF plan shape;
     smaller nprobe trades recall for a ~nprobe/n_cells scan fraction.
-
-    The quantizer is fit DRIVER-SIDE on a deterministic hash-ordered
-    sample of at most ``fit_sample_cap`` vectors (a top-N over
-    xxhash64(id) — a bounded KB-scale collect, same budget discipline as
-    train_pq's codebook sample), with deterministic farthest-point init:
-    the cell assignment (and thus the result) is reproducible for a
-    fixed corpus, with no RNG and no full-corpus fit job.
-    ``fit_fraction`` optionally pre-thins the sample pool before the
-    cap (kept for API compatibility; the cap already bounds the fit).
-
-    Vectors are L2-normalized before clustering and probing (spherical
-    quantization): cosine ranking equals Euclidean ranking on the unit
-    sphere, so cells align with cosine neighborhoods — without this,
-    Euclidean cells on unnormalized data fragment each query's cosine
-    neighborhood across many cells and recall collapses."""
-    # norm computed ONCE per row (not per element inside the transform
-    # lambda — that was O(dim^2) per row) and floored to 1 for all-zero
-    # vectors so normalization can't raise DIVIDE_BY_ZERO under ANSI
-    arr = F.col(vec_col).cast("array<double>")
-    norm_raw = F.sqrt(
-        F.aggregate(arr, F.lit(0.0), lambda a, v: a + v * v)
+    See ``ivf_index`` for quantizer-fit determinism and the spherical
+    normalization argument."""
+    cells, C = ivf_index(
+        corpus,
+        vec_col,
+        id_col,
+        dim,
+        n_cells=n_cells,
+        seed=seed,
+        max_iter=max_iter,
+        fit_fraction=fit_fraction,
+        fit_sample_cap=fit_sample_cap,
     )
-    va = (
-        corpus.filter(F.col(vec_col).isNotNull()).select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cvec"),
-            F.when(norm_raw > 0, norm_raw).otherwise(F.lit(1.0)).alias(
-                "__norm"
-            ),
-        )
-        .select(
-            "neighbor_id",
-            "__cvec",
-            F.transform(
-                F.col("__cvec").cast("array<double>"),
-                lambda x: x / F.col("__norm"),
-            ).alias("__nvec"),
-        )
-    )
-    # tiny corpus: probe min(n, n_cells) with a bounded limit-count
-    # (never a full scan) and degrade gracefully (an empty/1-row ingest
-    # day is routine, not an error)
-    n_bounded = va.limit(n_cells).count()
-    if n_bounded == 0:
-        qt = dict(queries.dtypes)[id_col]
-        ct = dict(corpus.dtypes)[id_col]
-        return corpus.sparkSession.createDataFrame(
-            [], f"query_id {qt}, neighbor_id {ct}, cos_sim double"
-        )
-    if n_bounded < 2:
-        # one cell holds everything, every query probes it — correct at
-        # any size (scoring always uses the real vectors)
-        cells = va.select("neighbor_id", "__cvec", F.lit(0).alias("__cell"))
-        C = np.zeros((1, dim))
-    else:
-        k_eff = min(n_cells, n_bounded)
-        pool = (
-            va.sample(fraction=fit_fraction, seed=seed)
-            if fit_fraction is not None
-            else va
-        )
-        # deterministic spread sample: top-N over a seeded id hash is a
-        # TakeOrdered (bounded heap per partition, k rows to the driver),
-        # independent of file layout and row order
-        samp = (
-            pool.select("neighbor_id", "__nvec")
-            .orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-            .limit(fit_sample_cap)
-            .collect()
-        )
-        if len(samp) < k_eff:  # fit_fraction thinned below k: refill
-            samp = (
-                va.select("neighbor_id", "__nvec")
-                .orderBy(F.xxhash64(F.col("neighbor_id"), F.lit(seed)))
-                .limit(fit_sample_cap)
-                .collect()
-            )
-        X = np.array([r["__nvec"] for r in samp], dtype=np.float64)
-        C = _lloyd_fit(X, min(k_eff, len(X)), max_iter)
-
-        @pandas_udf("int")
-        def _assign_cell(v: pd.Series) -> pd.Series:
-            M = np.array(v.tolist(), dtype=np.float64)  # (n, dim) normalized
-            d2 = (
-                (M * M).sum(axis=1, keepdims=True)
-                - 2.0 * (M @ C.T)
-                + (C * C).sum(axis=1)[None, :]
-            )
-            return pd.Series(d2.argmin(axis=1).astype(np.int32))
-
-        cells = va.select(
-            "neighbor_id", "__cvec", _assign_cell(F.col("__nvec")).alias("__cell")
-        )
-    probe = min(nprobe, len(C))
-
-    @pandas_udf("array<int>")
-    def _probe_cells(v: pd.Series) -> pd.Series:
-        M = np.array(v.tolist(), dtype=np.float64)          # (n, dim)
-        norms = np.linalg.norm(M, axis=1, keepdims=True)
-        M = M / np.where(norms == 0, 1.0, norms)
-        d2 = ((M[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-        order = np.argsort(d2, axis=1)[:, :probe].astype(np.int32)
-        return pd.Series(list(order))
-
-    q = queries.filter(F.col(vec_col).isNotNull()).select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qvec"),
-        F.explode(_probe_cells(F.col(vec_col))).alias("__cell"),
-    )
-    pairs = cells.join(F.broadcast(q), "__cell").filter(
-        F.col("neighbor_id") != F.col("query_id")
-    )
-    scored = pairs.select(
-        "query_id",
-        "neighbor_id",
-        F.round(cosine(F.col("__cvec"), F.col("__qvec")), round_to).alias("cos_sim"),
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.col("neighbor_id"))
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") <= k)
-        .drop("__rn")
+    return ivf_query(
+        cells,
+        C,
+        queries,
+        vec_col,
+        id_col,
+        k=k,
+        nprobe=nprobe,
+        round_to=round_to,
     )
 
 

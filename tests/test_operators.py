@@ -2461,3 +2461,89 @@ def test_cosine_collapse_randomized_cross_validation(spark):
             emb, q, "embedding", "vec_id", k=k, duplicate_collapse="always"
         ).collect()))
         assert coll == direct, (seed, k, qids)
+
+
+def test_ivf_index_query_split_matches_one_shot(spark):
+    """ivf_topk is (by construction) ivf_index + ivf_query; this pins
+    the contract so the halves can't drift apart, and proves the index
+    REUSE story: two different query batches answered from one build
+    each match their own one-shot run (the one-shot would have re-fit
+    and re-assigned the corpus per batch — the 10-100x term at 1M+
+    vectors that motivated the split, ANN_AT_SCALE_r13)."""
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cells, C = sim.ivf_index(emb, "embedding", "vec_id", dim=64, n_cells=8)
+    assert cells.columns == ["vec_id", "embedding", "cell"]
+    assert C.shape == (8, 64)
+    cells = cells.cache()
+    for batch in (emb.orderBy("vec_id").limit(5),
+                  emb.orderBy(F.desc("vec_id")).limit(7)):
+        split = sorted(map(tuple, sim.ivf_query(
+            cells, C, batch, "embedding", "vec_id", k=5, nprobe=4
+        ).collect()))
+        one_shot = sorted(map(tuple, sim.ivf_topk(
+            emb, batch, "embedding", "vec_id", dim=64, k=5,
+            n_cells=8, nprobe=4,
+        ).collect()))
+        assert split == one_shot
+    cells.unpersist()
+
+
+def test_ivf_index_save_load_roundtrip(spark, tmp_path):
+    """save_ivf_index writes cells partitioned BY cell (probe-time
+    partition pruning at scale) and the centroids as data, not driver
+    state; load_ivf_index must reconstruct both exactly — same cell
+    assignment, same query results."""
+    import os
+
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    sf = "/root/testdata/sf0.001"
+    if not os.path.isdir(sf):
+        pytest.skip("driver testdata absent")
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    cells, C = sim.ivf_index(emb, "embedding", "vec_id", dim=64, n_cells=8)
+    path = str(tmp_path / "ivf")
+    sim.save_ivf_index(cells, C, path)
+    # the on-disk layout is one directory per cell — the physical
+    # property the split exists to buy
+    assert sorted(
+        d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")
+    ) == [f"cell={i}" for i in sorted(range(8))]
+    import numpy as np
+
+    cells2, C2 = sim.load_ivf_index(spark, path)
+    assert np.allclose(C, C2)
+    q = emb.orderBy("vec_id").limit(5)
+    before = sorted(map(tuple, sim.ivf_query(
+        cells, C, q, "embedding", "vec_id", k=5, nprobe=4).collect()))
+    after = sorted(map(tuple, sim.ivf_query(
+        cells2, C2, q, "embedding", "vec_id", k=5, nprobe=4).collect()))
+    assert after == before
+
+
+def test_ivf_index_empty_and_single_row_corpus(spark):
+    """Degenerate ingests stay graceful through the split: an empty
+    corpus yields a typed empty index and typed empty query results; a
+    1-row corpus one zero centroid and a single cell holding the row."""
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    schema = "vec_id long, embedding array<float>"
+    empty = spark.createDataFrame([], schema)
+    cells, C = sim.ivf_index(empty, "embedding", "vec_id", dim=4)
+    assert C.shape == (0, 4) and cells.count() == 0
+    q = spark.createDataFrame([(1, [1.0, 0.0, 0.0, 0.0])], schema)
+    out = sim.ivf_query(cells, C, q, "embedding", "vec_id", k=3)
+    assert out.columns == ["query_id", "neighbor_id", "cos_sim"]
+    assert out.count() == 0
+    one = spark.createDataFrame([(7, [1.0, 0.0, 0.0, 0.0])], schema)
+    cells1, C1 = sim.ivf_index(one, "embedding", "vec_id", dim=4)
+    assert C1.shape == (1, 4) and not C1.any()
+    got = sim.ivf_query(cells1, C1, q, "embedding", "vec_id", k=3).collect()
+    assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(1, 7)]
