@@ -96,8 +96,16 @@ def commit_sha() -> str:
     ).stdout.strip()
 
 
+# pinned at IMPORT so a commit landing mid-run can't stamp rows with a
+# sha the executing module image never saw (r13: rows emitted after
+# 66060af landed were stamped with it while the process still ran
+# 240e207's import — the two differ only by the result-identical
+# ivf_index/ivf_query refactor, but the stamp must mean "code that ran")
+_COMMIT_AT_START = commit_sha()
+
+
 def emit(out_path: str, row: dict) -> None:
-    row = {"commit": commit_sha(), **row}
+    row = {"commit": _COMMIT_AT_START, **row}
     with open(out_path, "a") as f:
         f.write(json.dumps(row) + "\n")
     print(json.dumps(row), flush=True)

@@ -40,13 +40,23 @@ def commit_sha() -> str:
     """Stamp every emitted row with the code identity it ran under
     (round-12 verdict "What's wrong #1": the r12 JSONL interleaved
     pre- and post-regexp-fix readings with nothing in-row to tell
-    them apart — see tools/ops_at_scale_report.py)."""
+    them apart — see tools/ops_at_scale_report.py). Pinned at import:
+    a commit landing mid-run must not change what later rows claim."""
+    return _COMMIT_AT_START
+
+
+def _read_commit_sha() -> str:
     import subprocess
 
     return subprocess.run(
         ["git", "-C", "/root/repo", "rev-parse", "--short", "HEAD"],
         capture_output=True, text=True,
     ).stdout.strip()
+
+
+# pinned at IMPORT so a commit landing mid-run can't stamp rows with a
+# sha the executing module image never saw
+_COMMIT_AT_START = _read_commit_sha()
 
 
 def timed(label, df, results):
