@@ -603,6 +603,16 @@ def lsh_topk(
     recall@5 on the sf0.01 embeddings fixture; with multi-probe
     ``probe=3`` recall is 1.0 there (see test_lsh_topk_recall).
 
+    SCALE THE BITS WITH THE CORPUS: expected bucket size is
+    ~n / 2^(planes/bands) per band, so keep ``planes/bands`` near
+    ``log2(n / target_bucket_rows)`` (target a few thousand rows).
+    Measured at 1.05M vectors (ANN_AT_SCALE_r13): the small-scale
+    3-bit/band shape degenerates into ~131k-row buckets — 27-79 s per
+    21-query batch — while 6 bits/band answers in 4-12 s at 0.70-0.93
+    recall@10 (probe 0/1/3). The certified exactness points are
+    bit-count-independent (identical vectors share every band at any
+    shape).
+
     ``probe``: multi-probe depth — additionally look up each query band
     key with bit j flipped, for j < probe (the classic multi-probe LSH
     trick: a near He miss usually differs by exactly one close-to-margin
@@ -907,6 +917,15 @@ def pq_rerank_topk(
     point the shortlist provably contains the exact top-k (verified by
     the exact-SQL oracle), the same candidates→exact-verify
     certification pattern as the LSH and IVF tiers.
+
+    SCALE THE DEPTH WITH THE CORPUS: the shortlist is a fixed-size
+    window over an ADC ranking whose noise floor grows with n, so
+    recall at a given ``rerank_from`` decays as the corpus grows.
+    Measured at 1.05M vectors (ANN_AT_SCALE_r13): rerank_from=100 —
+    which certifies recall 1.0 at 2k vectors — reads 0.80;
+    depth-scaling to 400/1000 restores 0.92/0.99. Keep
+    ``rerank_from ≈ n / 1000`` (and >= 100) as the measured rule of
+    thumb; exact cost stays rerank_from × n_queries either way.
 
     ``duplicate_collapse="always"`` (default): the index is built over
     DISTINCT vectors and the shortlist fans out to duplicate members at

@@ -85,6 +85,7 @@ def flatten(base: str, i: int, row: dict):
         for op, v in res.items():
             reason = row_reason or SUPERSEDED_OPS.get((base, op))
             yield op, {**v, "row": f"{base}:{i}",
+                       "out_rows": v.get("out_rows", v.get("survivors")),
                        "commit": row.get("commit", "unstamped-r12")}, reason
     else:
         # single-measurement rows (e.g. dedup_against_at_scale)
