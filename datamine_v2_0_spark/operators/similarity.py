@@ -84,6 +84,54 @@ def vector_rep_groups(df: DataFrame, vec_col: str, id_col: str):
     return rep_corpus, members
 
 
+def ann_operating_point(
+    n_corpus: int,
+    *,
+    bands: int = 8,
+    target_bucket_rows: int = 16384,
+    target_cell_rows: int = 4096,
+) -> dict:
+    """Corpus-size-aware parameter shapes for the ANN tiers.
+
+    The round-13 scale finding (ANN_AT_SCALE_r13.json; ANN.md
+    "1.05M-vector execution") is that every tier's knobs must GROW with
+    the corpus or recall/latency silently degrades — the certified
+    small-scale defaults are fixture shapes, not production shapes.
+    This pure helper encodes the measured rules; it reduces to the
+    certified defaults at fixture sizes and to the measured good
+    operating points at 1.05M vectors:
+
+    - **LSH**: expected rows per band bucket is ``n / 2^(planes/bands)``,
+      so bits-per-band tracks ``log2(n / target_bucket_rows)``. At
+      1.05M the 3-bit fixture shape degenerates to ~131k-row buckets
+      (27-79 s per 21-query batch) while 6 bits answers in 4-12 s at
+      0.70-0.93 recall@10; at n=2,000 the rule returns the certified
+      24-plane/8-band shape.
+    - **PQ**: ``rerank_from = max(100, n // 1000)`` — the ADC
+      shortlist's noise floor grows with n (measured at 1.05M:
+      depth 100 reads 0.80 recall@10, 400 reads 0.92, 1000 reads 0.99).
+    - **IVF**: cells sized to ~``target_cell_rows`` rows
+      (``n_cells = clamp(n / 4096, 8, 4096)``); ``nprobe = n_cells/4``
+      read 0.90 recall@10 at the measured 1.05M point (64 of 256
+      cells); ``nprobe = n_cells`` stays the certified-exact point.
+
+    Callers pass ``n_corpus`` explicitly (a known table size or a cheap
+    ``count()``) — the helper runs no Spark job itself.
+    """
+    import math
+
+    n = max(1, int(n_corpus))
+    bits = 3
+    if n > target_bucket_rows:
+        bits = max(3, int(round(math.log2(n / target_bucket_rows))))
+    n_cells = int(min(4096, max(8, round(n / target_cell_rows))))
+    return {
+        "lsh": {"num_planes": bands * bits, "bands": bands, "probe": 1},
+        "pq": {"rerank_from": max(100, n // 1000)},
+        "ivf": {"n_cells": n_cells, "nprobe": max(1, n_cells // 4)},
+    }
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

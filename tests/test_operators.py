@@ -802,6 +802,30 @@ def test_pq_rerank_recall(spark):
     assert len(starved & exact) < len(exact)
 
 
+def test_ann_operating_point_anchors():
+    """The shaping rules reproduce both the certified fixture defaults
+    (n=2,000: 24-plane/8-band LSH, rerank 100, 8 IVF cells) and the
+    measured-good 1.05M points from ANN_AT_SCALE_r13 (48 planes,
+    rerank ~1000, 256 cells / nprobe 64 = the 0.90-recall@10 row)."""
+    from datamine_v2_0_spark.operators import similarity as sim
+
+    small = sim.ann_operating_point(2000)
+    assert small["lsh"] == {"num_planes": 24, "bands": 8, "probe": 1}
+    assert small["pq"]["rerank_from"] == 100
+    assert small["ivf"] == {"n_cells": 8, "nprobe": 2}
+
+    big = sim.ann_operating_point(1_050_000)
+    assert big["lsh"]["num_planes"] == 48 and big["lsh"]["bands"] == 8
+    assert big["pq"]["rerank_from"] == 1050
+    assert big["ivf"] == {"n_cells": 256, "nprobe": 64}
+
+    # monotone in n, and cells are clamped at the extremes
+    tiny, huge = sim.ann_operating_point(1), sim.ann_operating_point(10**10)
+    assert tiny["ivf"]["n_cells"] == 8 and huge["ivf"]["n_cells"] == 4096
+    assert tiny["lsh"]["num_planes"] == 24
+    assert huge["lsh"]["num_planes"] > big["lsh"]["num_planes"]
+
+
 def test_dedup_against_exact(spark):
     new = spark.createDataFrame(
         [
