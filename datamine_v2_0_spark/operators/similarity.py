@@ -451,8 +451,10 @@ def ivf_query(
     and ``centroids`` come from ``ivf_index`` (or ``load_ivf_index``);
     per-batch cost is ~``nprobe / n_cells`` of the corpus — independent
     of how many batches reuse the index, which is the whole point of
-    the split (ANN_AT_SCALE_r13: 1.05M-vector index builds in ~100 s,
-    a 21-query batch then answers in seconds).
+    the split (ANN_AT_SCALE_r13: the 1.05M-vector index builds+persists
+    once — 398 s in the round-13 run, of which the write is ~10 s after
+    the one-file-per-cell compaction — and a 21-query batch then
+    answers in 5-8 s).
 
     The probe join is an equi join on the cell id with the exploded
     query probes broadcast: at scale ``cells`` is stored partitioned by
@@ -509,9 +511,20 @@ def save_ivf_index(
     """Persist an ``ivf_index`` result: ``cells`` partitioned BY cell
     (so a later ``ivf_query`` scan prunes to the probed cells'
     directories — the query-cost-independent-of-corpus-size layout) and
-    the centroid matrix as a tiny ``(cell, centroid)`` parquet."""
+    the centroid matrix as a tiny ``(cell, centroid)`` parquet.
+
+    The write repartitions by cell first: a partitionBy over the raw
+    assignment output writes (upstream tasks x cells) files — measured
+    8,192 files / ~39 KB each for the 317 MB, 256-cell index at 1.05M
+    vectors (ANN_AT_SCALE_r13), and at production scale
+    (thousands of tasks x thousands of cells) a small-files explosion
+    that throttles both the namenode and every later probe scan. One
+    hash shuffle on the cell id lands each cell in exactly one task →
+    exactly one file per cell."""
     spark = cells.sparkSession
-    cells.write.mode(mode).partitionBy("cell").parquet(f"{path}/cells")
+    cells.repartition(F.col("cell")).write.mode(mode).partitionBy(
+        "cell"
+    ).parquet(f"{path}/cells")
     cent = spark.createDataFrame(
         [(i, [float(v) for v in row]) for i, row in enumerate(centroids)],
         "cell int, centroid array<double>",

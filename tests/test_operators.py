@@ -2540,6 +2540,14 @@ def test_ivf_index_save_load_roundtrip(spark, tmp_path):
     assert sorted(
         d for d in os.listdir(f"{path}/cells") if d.startswith("cell=")
     ) == [f"cell={i}" for i in sorted(range(8))]
+    # ...and exactly ONE parquet file per cell: the write repartitions
+    # by cell first, so file count tracks cells, not upstream-tasks x
+    # cells (the 8,192-file / 39-KB-each explosion measured at 1.05M
+    # vectors before the fix — ANN_AT_SCALE_r13)
+    import glob
+
+    for i in range(8):
+        assert len(glob.glob(f"{path}/cells/cell={i}/*.parquet")) == 1
     import numpy as np
 
     cells2, C2 = sim.load_ivf_index(spark, path)
