@@ -59,6 +59,21 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes post-shuffle partitions by shuffle INPUT
+        # bytes, which under-parallelizes explosive operators (posting
+        # self-joins, shingle fan-outs): a sub-MB shuffle that feeds a
+        # row-multiplying join coalesces to ONE task and serializes the
+        # blowup on one core (measured: the sf0.1 pair-graph stage ran
+        # 3.6 s single-task; 64k floor spreads it, dedup_groups −34%).
+        # At production shuffle sizes (partitions ≫ 1 MB) the floor is
+        # inert — it only bites when total shuffle < cores × 1 MB, i.e.
+        # exactly the small-input/explosive-join shape. Parameterized:
+        # raise via env on clusters where tiny-stage task overhead
+        # outweighs single-core blowup risk.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
