@@ -76,16 +76,33 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
-def word_shingles(col: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string>, JVM-side:
-    split → sliding windows via transform(sequence(...))."""
-    words = F.split(normalize_text(col), " ")
+def word_shingles_from_words(words: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from a MATERIALIZED words-array
+    column: sliding windows via transform(sequence(...)).
+
+    ``words`` MUST be a projected column (same contract as
+    :func:`hashed_shingles_from_words` / :func:`minhash_signature`):
+    the transform lambda references ``words`` per gram index, and an
+    inline expression there re-evaluates its whole subtree — for the
+    normalize+split pipeline that measured ~28 ms/doc (one regexp +
+    split per shingle) vs ~0.4 ms/doc through a projected column."""
     k = F.size(words) - F.lit(n - 1)
     idx = F.when(k > 0, F.sequence(F.lit(0), k - 1)).otherwise(
         F.array().cast("array<int>")
     )
     grams = F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, n), " "))
     return F.array_distinct(grams)
+
+
+def word_shingles(col: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string>, JVM-side.
+
+    Convenience one-expression form. HOT PATHS must not use this:
+    the split+normalize lands inside the transform lambda and is
+    re-evaluated once per gram (O(words) regexp passes per doc) —
+    project the words array first and call
+    :func:`word_shingles_from_words` on the column."""
+    return word_shingles_from_words(F.split(normalize_text(col), " "), n)
 
 
 def _rehash(i: int):
@@ -409,10 +426,12 @@ def _minhash_near_dup_collapsed(
     # within-group pairs: identical texts, exact Jaccard 1.0 — emitted
     # only when the group's text produces >=1 shingle (the direct path's
     # all-null-signature filter drops shingle-less docs from banding)
+    # shingle-eligibility without building grams: >=1 n-gram shingle
+    # exists iff the normalized words array has >= n elements
     elig = reps.select(
         F.col(id_col).alias("__rep"),
-        word_shingles(F.col(text_col), shingle_n).alias("__g"),
-    ).filter(F.size("__g") > 0).select("__rep")
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).filter(F.size("__w") >= shingle_n).select("__rep")
     m1 = members.join(elig, "__rep").select(
         "__rep", F.col("__m").alias("id_a")
     )
@@ -1160,9 +1179,19 @@ def jaccard_pairs_inverted(
             df, text_col, id_col, shingle_n, threshold,
             max_shingle_freq, round_to, reliable,
         )
+    # two-step projection: words materialize once, shingles build from
+    # the column (word_shingles_from_words contract). No size(__g) > 0
+    # filter — explode already emits nothing for empty/null arrays, and
+    # the filter predicate was pushdown-duplicated below the _spread
+    # exchange, re-running the whole shingle pipeline per doc in the
+    # (single-task at small inputs) scan stage.
     sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
-    ).filter(F.size("__g") > 0)
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).select(
+        F.col(id_col),
+        word_shingles_from_words(F.col("__w"), shingle_n).alias("__g"),
+    )
     if max_shingle_freq is None:
         ex = sh.select(
             F.col(id_col), F.size("__g").alias("__sz"), F.explode("__g").alias("__s")
@@ -1226,16 +1255,24 @@ def _jaccard_pairs_collapsed(
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col), "__cnt"), id_col
     )
-    sh = reps.select(
+    base = reps.select(
         F.col(id_col), "__cnt",
-        word_shingles(F.col(text_col), shingle_n).alias("__g"),
-    ).filter(F.size("__g") > 0)
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    sh = base.select(
+        F.col(id_col), "__cnt",
+        word_shingles_from_words(F.col("__w"), shingle_n).alias("__g"),
+    )
     if max_shingle_freq is None:
         ex = sh.select(
             F.col(id_col), F.size("__g").alias("__sz"),
             F.explode("__g").alias("__s"),
         )
-        eligible = sh.select(F.col(id_col).alias("__rep"))
+        # shingle-eligibility without building grams: >=1 n-gram shingle
+        # exists iff the words array has >= n elements
+        eligible = base.filter(F.size("__w") >= shingle_n).select(
+            F.col(id_col).alias("__rep")
+        )
     else:
         ex0 = sh.select(F.col(id_col), "__cnt", F.explode("__g").alias("__s"))
         # document frequency counts DOCUMENTS, so weight by multiplicity
@@ -1345,9 +1382,15 @@ def containment_pairs_inverted(
             df, text_col, id_col, shingle_n, threshold,
             max_shingle_freq, round_to, reliable,
         )
+    # two-step words → shingles projection, no redundant size filter:
+    # same rationale as jaccard_pairs_inverted
     sh = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__g")
-    ).filter(F.size("__g") > 0)
+        F.col(id_col),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    ).select(
+        F.col(id_col),
+        word_shingles_from_words(F.col("__w"), shingle_n).alias("__g"),
+    )
     if max_shingle_freq is None:
         ex = sh.select(
             F.col(id_col), F.size("__g").alias("__sz"), F.explode("__g").alias("__s")
@@ -1412,17 +1455,22 @@ def _containment_pairs_collapsed(
     reps = df.join(
         groups.select(F.col("__rep").alias(id_col), "__cnt"), id_col
     )
-    sh = reps.select(
+    base = reps.select(
         F.col(id_col), "__cnt",
-        word_shingles(F.col(text_col), shingle_n).alias("__g"),
-    ).filter(F.size("__g") > 0)
+        F.split(normalize_text(F.col(text_col)), " ").alias("__w"),
+    )
+    sh = base.select(
+        F.col(id_col), "__cnt",
+        word_shingles_from_words(F.col("__w"), shingle_n).alias("__g"),
+    )
     if max_shingle_freq is None:
         ex = sh.select(
             F.col(id_col), F.size("__g").alias("__sz"),
             F.explode("__g").alias("__s"),
         )
-        # identical docs: intersection == true size in both directions
-        within_rep = sh.select(
+        # identical docs: intersection == true size in both directions;
+        # shingle-eligibility via the words array (>= n words)
+        within_rep = base.filter(F.size("__w") >= shingle_n).select(
             F.col(id_col).alias("__rep"), F.lit(1.0).alias("__wscore")
         )
     else:

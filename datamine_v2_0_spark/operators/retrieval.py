@@ -191,12 +191,36 @@ def _bm25_direct(
         .agg(F.count(F.lit(1)).alias("tf"))
         .localCheckpoint(eager=False)
     )
-    # doc length = sum of term frequencies; re-agg of tf, not a new scan
-    dl = tf.groupBy(id_col).agg(F.sum("tf").alias("dl"))
-    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # doc length = sum of term frequencies; re-agg of tf, not a new scan.
+    # Materialized because BOTH the corpus stats and the scoring join
+    # consume it — unmaterialized, each consumer re-aggregates the full
+    # posting table (plan-audited: two O(postings) passes for one
+    # O(docs) relation).
+    dl = (
+        tf.groupBy(id_col)
+        .agg(F.sum("tf").alias("dl"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.avg(F.col("dl").cast("double")).alias("avgdl"),
+    )
+    # distinct query terms (BM25 query-side tf saturates to presence here)
+    qterms = (
+        _tokens(queries, query_text_col, query_id_col, "term")
+        .select(F.col(query_id_col).alias("query_id"), "term")
+        .distinct()
+    )
+    # document frequency is only ever consumed for query-matching terms
+    # (inner join on term downstream), so pre-filter the posting table
+    # with the broadcast term set BEFORE the df aggregation: the term
+    # shuffle carries the touched slice of the vocabulary, not all of
+    # it. df per surviving term is counted over the FULL corpus —
+    # result-exact.
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
     )
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -205,12 +229,6 @@ def _bm25_direct(
             + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
         ).alias("idf"),
         "avgdl",
-    )
-    # distinct query terms (BM25 query-side tf saturates to presence here)
-    qterms = (
-        _tokens(queries, query_text_col, query_id_col, "term")
-        .select(F.col(query_id_col).alias("query_id"), "term")
-        .distinct()
     )
     # broadcast-semi the postings FIRST: everything downstream sees only
     # the query-matching slice of the inverted index
@@ -278,23 +296,20 @@ def _bm25_collapsed(
         .localCheckpoint(eager=False)
     )
     # corpus stats weight each representative by its multiplicity so
-    # n_docs / avgdl / df still describe the FULL corpus
-    dl = tf.groupBy("__fp").agg(F.sum("tf").alias("dl"), F.first("cnt").alias("cnt"))
-    dfreq = tf.groupBy("term").agg(F.sum("cnt").alias("df"))
+    # n_docs / avgdl / df still describe the FULL corpus. dl is
+    # materialized for the same reason as the direct path: stats and
+    # the scoring join both consume it.
+    dl = (
+        tf.groupBy("__fp")
+        .agg(F.sum("tf").alias("dl"), F.first("cnt").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
     stats = dl.agg(
         F.sum("cnt").alias("n_docs"),
         (
             F.sum(F.col("dl").cast("double") * F.col("cnt"))
             / F.sum(F.col("cnt").cast("double"))
         ).alias("avgdl"),
-    )
-    idf = dfreq.crossJoin(F.broadcast(stats)).select(
-        "term",
-        F.log(
-            F.lit(1.0)
-            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-        ).alias("idf"),
-        "avgdl",
     )
     # query side: duplicate probes collapse to distinct fingerprints,
     # scored once; qids re-attach after the per-rep prune
@@ -310,6 +325,22 @@ def _bm25_collapsed(
         .select("__qfp", F.explode(F.split(F.col("__qnorm"), " ")).alias("term"))
         .filter(F.col("term") != "")
         .distinct()
+    )
+    # document frequency only for query-matching terms (same pre-filter
+    # rationale as the direct path; multiplicity-weighted df per
+    # surviving term still counts the FULL corpus — result-exact)
+    dfreq = (
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("term")
+        .agg(F.sum("cnt").alias("df"))
+    )
+    idf = dfreq.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ).alias("idf"),
+        "avgdl",
     )
     # broadcast-semi the postings FIRST: everything downstream sees only
     # the query-matching slice of the collapsed inverted index

@@ -75,6 +75,27 @@ def get_spark(
             os.environ.get("SPARK_AQE_MIN_PARTITION_SIZE", "64k"),
         )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # InferFiltersFromGenerate synthesizes `size(e)>0 AND
+        # isnotnull(e)` above every explode; predicate pushdown then
+        # substitutes the generator's FULL defining expression into the
+        # filter and sinks it below exchanges — for computed inputs
+        # (shingle/tokenize pipelines) the whole normalize+split subtree
+        # re-runs per row in the scan stage, and any per-element lambda
+        # reference inside it re-runs per ELEMENT (measured: the sf0.1
+        # pair graph spent 6 s single-task in that inferred filter;
+        # excluded, jaccard_pairs 5.4 s -> 1.6 s, bit-identical output).
+        # Explode itself already emits nothing for empty/null arrays, so
+        # the rule only ever helps when the generator input is a stored
+        # column AND empties are common enough to prune below a join —
+        # no such path exists in this engine. Env-overridable.
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            os.environ.get(
+                "SPARK_EXCLUDED_OPT_RULES",
+                "org.apache.spark.sql.catalyst.optimizer."
+                "InferFiltersFromGenerate",
+            ),
+        )
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "65536")
