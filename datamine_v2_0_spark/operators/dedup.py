@@ -211,7 +211,13 @@ def minhash_text_udf(num_hashes: int = 64, shingle_n: int = 3):
                 out.append(z.min(axis=0).view(np.int64).tolist())
         return pd.Series(out)
 
-    return _sig
+    # asNondeterministic: the callers filter on the signature column
+    # (all-null → unshingleable), and filter pushdown re-evaluates a
+    # deterministic UDF below the exchange — one ArrowEvalPython for the
+    # pushed filter, a second for the projection (guide §4.4 shape;
+    # plan-audited: dedup_minhash_lsh ran the signature kernel TWICE per
+    # doc). The kernel is pure; the marker only pins a single evaluation.
+    return _sig.asNondeterministic()
 
 
 def lsh_bands(signature: Column, bands: int, rows_per_band: int) -> Column:
@@ -2145,7 +2151,10 @@ def simhash_text_udf(shingle_n: int = 2, portable: bool = False):
                 out.append(sig - (1 << 64) if sig >= (1 << 63) else sig)
         return pd.Series(out, dtype="object")
 
-    return _sig
+    # same single-evaluation pin as minhash_text_udf: drop_empty filters
+    # on the signature column and pushdown would re-run the kernel below
+    # the exchange (guide §4.4)
+    return _sig.asNondeterministic()
 
 
 def simhash_candidates(
@@ -2663,7 +2672,13 @@ def duplicate_substring_spans(
 
     if scope not in ("cross", "any"):
         raise ValueError(f"scope must be cross/any, got {scope!r}")
-    ex = _token_kgrams(df, text_col, id_col, k)
+    # the posting table feeds TWO consumers (the shared-gram aggregate
+    # and the join back) with different downstream shapes, so Catalyst
+    # gets no exchange reuse and the scan+normalize+k-gram explode ran
+    # twice (plan-audited: two Generate nodes over the corpus scan).
+    # Materialize once — the same recipe as the jaccard posting table
+    # and the BM25 inverted index.
+    ex = iter_checkpoint(_token_kgrams(df, text_col, id_col, k), False)
     if scope == "cross":
         shared = (
             ex.groupBy("h")
@@ -2676,7 +2691,12 @@ def duplicate_substring_spans(
             .agg(F.count(F.lit(1)).alias("__nd"))
             .filter(F.col("__nd") >= 2)
         )
-    marked = ex.join(shared.select("h"), "h")
+    # left_semi, not inner: identical rows (shared has one row per h),
+    # but the semi join pins the BUILD side to the aggregated gram set —
+    # as a plain inner join the planner built the hash relation from the
+    # FULL posting table (24 MB broadcast at sf0.1, plan-audited) because
+    # the post-filter aggregate side carries no usable size estimate.
+    marked = ex.join(shared.select("h"), "h", "left_semi")
     # islands must merge OVERLAPPING/adjacent covered regions, not only
     # CONSECUTIVE gram positions: shared grams at positions p and p+2
     # (gap < k) cover one contiguous token range, and pos - row_number

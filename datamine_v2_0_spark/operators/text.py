@@ -372,7 +372,15 @@ def tfidf_top_terms(
         df.select(F.col(id_col), F.explode(F.split(norm, " ")).alias("term"))
         .filter(F.col("term") != "")
     )
-    tf = tokens.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # the TF table feeds BOTH the df aggregation and the scoring join,
+    # and Catalyst gives the two branches no exchange reuse (different
+    # downstream groupings; plan-audited: the corpus scan+tokenize ran
+    # twice) — materialize the inverted index once, the BM25 recipe.
+    tf = (
+        tokens.groupBy(id_col, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     total = df.select(F.countDistinct(id_col).alias("n_docs"))
     idf = dfreq.crossJoin(F.broadcast(total)).select(
