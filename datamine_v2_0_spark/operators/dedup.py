@@ -1756,24 +1756,28 @@ def _cc_hop(edges: DataFrame, lab: DataFrame) -> DataFrame:
     checkpoint + changed-count (fixed-overhead JOBS per cycle) amortized
     — an extra in-lineage hop is just one more join+groupBy in the same
     job, and a block that changes nothing still proves convergence."""
-    nbr_min = (
-        edges.join(
-            lab.select(
-                F.col("node").alias("dst"), F.col("comp").alias("dcomp")
-            ),
-            "dst",
+    # neighbor labels UNIONed with each node's own row, then ONE min
+    # aggregate: min over (own ∪ neighborhood) == least(own,
+    # min(neighbors)) exactly, so this folds the old `lab LEFT JOIN
+    # nbr_min` (a second label-sized exchange + join per hop) into the
+    # same exchange as the neighborhood aggregation (guide §2.4).
+    # old_comp rides as max-ignoring-nulls: each node has exactly one
+    # own row carrying it; neighbor rows contribute null.
+    has_old = "old_comp" in lab.columns
+    comp_t = dict(lab.dtypes)["comp"]
+    nbr = edges.join(
+        lab.select(F.col("node").alias("dst"), F.col("comp").alias("__c")),
+        "dst",
+    ).select(F.col("src").alias("node"), "__c")
+    if not has_old:
+        own = lab.select("node", F.col("comp").alias("__c"))
+        return nbr.unionAll(own).groupBy("node").agg(
+            F.min("__c").alias("comp")
         )
-        .groupBy("src")
-        .agg(F.min("dcomp").alias("nbr_min"))
-    )
-    return lab.join(
-        nbr_min, lab["node"] == nbr_min["src"], "left"
-    ).select(
-        lab["node"],
-        F.least(
-            lab["comp"], F.coalesce(F.col("nbr_min"), lab["comp"])
-        ).alias("comp"),
-        *([F.col("old_comp")] if "old_comp" in lab.columns else []),
+    own = lab.select("node", F.col("comp").alias("__c"), "old_comp")
+    u = nbr.withColumn("old_comp", F.lit(None).cast(comp_t)).unionByName(own)
+    return u.groupBy("node").agg(
+        F.min("__c").alias("comp"), F.max("old_comp").alias("old_comp")
     )
 
 

@@ -82,20 +82,32 @@ def co_purchase_edges(
         F.col(group_col).alias("__g"), F.col(item_col).alias("__i")
     )
     if max_basket is not None:
-        ok = (
+        # anti-join the WHALE set (groups over the cap) instead of
+        # inner-joining the keep set: whales are few by definition (the
+        # guard exists for pathological outliers), so the join's build
+        # side is the tiny exclusion list rather than an aggregate the
+        # size of the whole group universe. Identical surviving rows.
+        whales = (
             pairs.groupBy("__g")
             .agg(F.count(F.lit(1)).alias("__bs"))
-            .filter(F.col("__bs") <= max_basket)
+            .filter(F.col("__bs") > max_basket)
             .select("__g")
         )
-        pairs = pairs.join(ok, "__g")
+        pairs = pairs.join(whales, "__g", "left_anti")
     a = pairs.alias("a")
     b = pairs.alias("b")
-    return (
+    # emit each undirected edge ONCE (src < dst), dedup, then mirror:
+    # the distinct — the widest exchange here — carries half the rows,
+    # and the union doubles them back without a shuffle. Same edge set
+    # as the old i != j form (symmetrized distinct co-occurrence).
+    half = (
         a.join(b, "__g")
-        .filter(F.col("a.__i") != F.col("b.__i"))
+        .filter(F.col("a.__i") < F.col("b.__i"))
         .select(F.col("a.__i").alias("src"), F.col("b.__i").alias("dst"))
         .distinct()
+    )
+    return half.unionAll(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
 
 
@@ -192,25 +204,42 @@ def pagerank(
         nodes = iter_checkpoint(nodes, reliable)
         ed = iter_checkpoint(ed, reliable)
 
-    n_row = nodes.agg(F.count(F.lit(1)).alias("__n"))
+    # n is ONE bounded driver scalar (count of the checkpointed node
+    # table — the same class of 1-row collect the probe family is
+    # allowlisted for). As a literal it replaces a per-iteration
+    # crossJoin(broadcast(agg)) subtree: one fewer broadcast exchange
+    # and aggregate per iteration, identical double arithmetic.
+    n = float(nodes.count())
+    if n == 0.0:
+        # empty edge list → no nodes: return the empty (node, rank)
+        # frame directly (the literal 1/n below would divide by zero
+        # at plan time; the old crossJoin form produced zero rows)
+        return nodes.select("node", F.lit(0.0).alias("rank"))
     d = F.lit(float(damping))
-    ranks = nodes.crossJoin(F.broadcast(n_row)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank")
-    )
+    ranks = nodes.select("node", (F.lit(1.0) / F.lit(n)).alias("rank"))
+    zero = nodes.select("node", F.lit(0.0).alias("__c"))
     for i in range(n_iter):
+        # contributions UNIONed with a 0.0 row per node, then ONE
+        # aggregate: folds the old `nodes LEFT JOIN contrib` (a second
+        # node-sized exchange + join per iteration) into the same
+        # exchange as the contribution sum (guide §2.4). Bit-identical:
+        # IEEE x + 0.0 == x, so the extra zero term never moves the sum,
+        # and dangling nodes get exactly the 0.0 the coalesce supplied.
         contrib = (
             ed.join(ranks.withColumnRenamed("node", "src"), "src")
-            .groupBy(F.col("dst").alias("node"))
-            .agg(F.sum(F.col("rank") / F.col("__deg")).alias("__in"))
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("rank") / F.col("__deg")).alias("__c"),
+            )
         )
         ranks = (
-            nodes.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(n_row))
+            contrib.unionAll(zero)
+            .groupBy("node")
+            .agg(F.sum("__c").alias("__in"))
             .select(
                 "node",
                 _q(
-                    (F.lit(1.0) - d) / F.col("__n")
-                    + d * F.coalesce(F.col("__in"), F.lit(0.0)),
+                    F.lit((1.0 - float(damping)) / n) + d * F.col("__in"),
                     quantize_dp,
                 ).alias("rank"),
             )

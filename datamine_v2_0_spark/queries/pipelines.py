@@ -234,6 +234,15 @@ def q_pipeline_curation(spark, sf_dir):
     # min_stopwords=1: the synthetic corpus draws from a tech vocabulary
     # where only ~half the docs contain a Gopher-required stopword at
     # all; 1 keeps the rule live without making the gate vacuous.
+    # barrier stays None here: the decontamination branch re-derives the
+    # scan→gate→dedup prefix (plan: 3 corpus scans), but an interleaved
+    # in-JVM A/B measured the checkpoint barrier SLOWER at this scale
+    # (min-of-4: 1.59 s None vs 2.11 s checkpoint — materializing the
+    # survivors-with-text outweighs one cheap duplicated gate pass).
+    # On a live cluster where the gate is the dominant full-corpus
+    # regexp pass, pass barrier='checkpoint'/'table' (the operator
+    # docstring prescribes exactly that); results are identical either
+    # way — the barrier is a physical-plan choice.
     return curate_corpus(
         tr, ev, "text", "doc_id", min_words=10, ngram=4, min_stopwords=1
     )
