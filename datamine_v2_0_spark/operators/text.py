@@ -835,6 +835,10 @@ def bigram_logprob(
         )
         .groupBy(id_col, "__w1", "__w2")
         .agg(F.count(F.lit(1)).cast("double").alias("__n"))
+        # consumed by BOTH the six-window pass and the (N, V) totals —
+        # materialize the aggregated bigram table once (no exchange
+        # reuse across the branches; same recipe as the BM25/tfidf index)
+        .localCheckpoint(eager=False)
     )
 
     def wsum(*cols: str):
