@@ -1059,6 +1059,61 @@ def _plan_parallelism(spark) -> int:
     return max(conf_p, sc.defaultParallelism, 1)
 
 
+_BYTE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+}
+
+
+def _broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (Spark renders
+    it as a plain count or with a b/k/m/g suffix; -1 = disabled → 0)."""
+    import re
+
+    try:
+        raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold"))
+        m = re.fullmatch(r"\s*(-?\d+)\s*([a-zA-Z]*)\s*", raw)
+        if not m:
+            return 0
+        n = int(m.group(1))
+        if n < 0:
+            return 0
+        return n * _BYTE_SUFFIX.get(m.group(2).lower(), 1)
+    except Exception:  # pragma: no cover - Connect/conf corner
+        return 0
+
+
+def _cluster_pair_stream(ex: DataFrame, id_col: str) -> DataFrame:
+    """Hash-partition the STREAM side of the posting self-join by doc id
+    — exactly when the planner will broadcast the build side.
+
+    In the broadcast regime the join preserves the stream side's
+    partitioning, and ``HashPartitioning(id)`` satisfies the pair
+    aggregation's ``ClusteredDistribution([id_a, id_b])`` — so the pair
+    exchange (69 MiB / 1.13 M rows at sf0.1, and the largest shuffle
+    left in the posting family; partial agg combines <11% because most
+    candidate pairs share exactly one shingle) disappears outright,
+    replaced by one much narrower posting shuffle. The repartition must
+    come AFTER the checkpoint: a localCheckpoint leaf reports
+    UnknownPartitioning under AQE, so partitioning established upstream
+    does not survive it.
+
+    Gated on the SAME statistic the planner's broadcast decision reads
+    (optimized-plan sizeInBytes vs autoBroadcastJoinThreshold): when the
+    posting table is too big to broadcast the join is SMJ/SHJ keyed on
+    the shingle, the join output is shingle-partitioned regardless, and
+    a doc-keyed repartition would be a pure extra corpus-sized shuffle —
+    at scale this helper is a no-op by construction."""
+    spark = ex.sparkSession
+    size = _plan_scan_bytes(ex)
+    if size is not None and 0 < size <= _broadcast_threshold_bytes(spark):
+        return ex.repartition(F.col(id_col))
+    return ex
+
+
 def _resolve_pair_collapse(
     df,
     text_col,
@@ -1218,7 +1273,9 @@ def jaccard_pairs_inverted(
     # shingle + explode the corpus TWICE (plan-audited). Materialize the
     # posting table once — same recipe as the BM25 inverted index.
     ex = iter_checkpoint(ex, reliable)
-    a = ex.select(
+    # stream side doc-clustered in the broadcast regime: the pair
+    # aggregation below then needs NO exchange (see _cluster_pair_stream)
+    a = _cluster_pair_stream(ex, id_col).select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
     b = ex.select(
@@ -1227,12 +1284,11 @@ def jaccard_pairs_inverted(
     inter = (
         a.join(b, "__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("__i"),
-            F.first("__sza").alias("__sza"),
-            F.first("__szb").alias("__szb"),
-        )
+        # sizes ride as grouping keys (functionally dependent on the ids,
+        # so groups are unchanged): no first() agg buffers, and in the
+        # SMJ regime the pair-exchange row narrows 7 -> 5 fields
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
     j = F.col("__i") / (F.col("__sza") + F.col("__szb") - F.col("__i"))
     return (
@@ -1292,17 +1348,17 @@ def _jaccard_pairs_collapsed(
             F.col(id_col).alias("__rep")
         )
     ex = iter_checkpoint(ex, reliable)
-    a = ex.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s")
+    # same stream-side clustering + sizes-as-keys layout as the direct
+    # path (see jaccard_pairs_inverted / _cluster_pair_stream)
+    a = _cluster_pair_stream(ex, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
+    )
     b = ex.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s")
     inter = (
         a.join(b, "__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("__i"),
-            F.first("__sza").alias("__sza"),
-            F.first("__szb").alias("__szb"),
-        )
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
     j = F.col("__i") / (F.col("__sza") + F.col("__szb") - F.col("__i"))
     rep_pairs = (
@@ -1413,7 +1469,9 @@ def containment_pairs_inverted(
     # scan+shingle+explode per branch (no ReusedExchange; see
     # jaccard_pairs_inverted)
     ex = iter_checkpoint(ex, reliable)
-    a = ex.select(
+    # stream side doc-clustered in the broadcast regime: the pair
+    # aggregation below then needs NO exchange (see _cluster_pair_stream)
+    a = _cluster_pair_stream(ex, id_col).select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
     )
     b = ex.select(
@@ -1422,12 +1480,11 @@ def containment_pairs_inverted(
     inter = (
         a.join(b, "__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("__i"),
-            F.first("__sza").alias("__sza"),
-            F.first("__szb").alias("__szb"),
-        )
+        # sizes ride as grouping keys (functionally dependent on the ids,
+        # so groups are unchanged): no first() agg buffers, and in the
+        # SMJ regime the pair-exchange row narrows 7 -> 5 fields
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
     ca = F.col("__i") / F.col("__sza")
     cb = F.col("__i") / F.col("__szb")
@@ -1499,17 +1556,17 @@ def _containment_pairs_collapsed(
             (F.col("__csz").cast("double") / F.col("__tsz")).alias("__wscore"),
         )
     ex = iter_checkpoint(ex, reliable)
-    a = ex.select(F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s")
+    # same stream-side clustering + sizes-as-keys layout as the direct
+    # path (see jaccard_pairs_inverted / _cluster_pair_stream)
+    a = _cluster_pair_stream(ex, id_col).select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sza"), "__s"
+    )
     b = ex.select(F.col(id_col).alias("id_b"), F.col("__sz").alias("__szb"), "__s")
     inter = (
         a.join(b, "__s")
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(
-            F.count(F.lit(1)).alias("__i"),
-            F.first("__sza").alias("__sza"),
-            F.first("__szb").alias("__szb"),
-        )
+        .groupBy("id_a", "id_b", "__sza", "__szb")
+        .agg(F.count(F.lit(1)).alias("__i"))
     )
     ca = F.col("__i") / F.col("__sza")
     cb = F.col("__i") / F.col("__szb")

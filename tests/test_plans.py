@@ -326,3 +326,61 @@ def test_curation_barrier_single_prefix(spark, tmp_path):
         curate_corpus(tr, ev, "text", "doc_id", barrier="table")
     with _pytest.raises(ValueError, match="barrier"):
         curate_corpus(tr, ev, "text", "doc_id", barrier="persist")
+
+
+def test_pair_stream_clustering_removes_pair_exchange(spark):
+    """In the broadcast regime the posting self-join's stream side is
+    hash-partitioned by doc id (_cluster_pair_stream), so the pair
+    aggregation runs exchange-free: HashPartitioning(id_a) satisfies
+    ClusteredDistribution([id_a, id_b, ...]). The only shuffle keyed on
+    the pair columns would be the old 69-MiB-at-sf0.1 pair exchange —
+    assert it is gone, and that results are identical to the
+    no-broadcast (SMJ) regime where the clustering must not fire."""
+    from datamine_v2_0_spark.operators import dedup as dd
+    from datamine_v2_0_spark.plans import executed_plan
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    pairs = dd.jaccard_pairs_inverted(docs, "text", "doc_id", threshold=0.2)
+    plan = executed_plan(pairs)
+    # the stream-side repartition is the ONLY hashpartitioning exchange,
+    # keyed on the doc id — no exchange keyed on the pair alias columns
+    assert "Exchange hashpartitioning(doc_id" in plan, plan
+    assert "Exchange hashpartitioning(id_a" not in plan, plan
+    expect = {tuple(r) for r in pairs.collect()}
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        smj_pairs = dd.jaccard_pairs_inverted(
+            docs, "text", "doc_id", threshold=0.2
+        )
+        smj_plan = executed_plan(smj_pairs)
+        # no broadcast -> the gate must not add the doc-keyed shuffle
+        assert "Exchange hashpartitioning(doc_id" not in smj_plan, smj_plan
+        assert {tuple(r) for r in smj_pairs.collect()} == expect
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)
+
+    cont = dd.containment_pairs_inverted(docs, "text", "doc_id", threshold=0.3)
+    cplan = executed_plan(cont)
+    assert "Exchange hashpartitioning(id_a" not in cplan, cplan
+
+
+def test_broadcast_threshold_bytes_parsing(spark):
+    from datamine_v2_0_spark.operators.dedup import _broadcast_threshold_bytes
+
+    thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in [
+            ("10485760", 10485760),
+            ("10MB", 10 * 1024 * 1024),
+            ("64m", 64 * 1024 * 1024),
+            ("1g", 1 << 30),
+            ("512k", 512 * 1024),
+            ("123b", 123),
+            ("-1", 0),
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_threshold_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresh)

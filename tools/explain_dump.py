@@ -1,10 +1,11 @@
-"""Dump ``explain('formatted')`` for headline queries to plans/r13/.
+"""Dump ``explain('formatted')`` for headline queries to a plans dir.
 
 Usage: python tools/explain_dump.py <tag> [query ...]
 
-Writes plans/r13/<query>_<tag>.txt for each query (default: the bench
-headline set). The judge reads these files to check plan claims, so the
-output is the raw formatted plan, nothing else.
+Writes $SPARK_GRAFT_PLANS_DIR/<query>_<tag>.txt (default plans/r14) for
+each query (default: the bench headline set). The judge reads these
+files to check plan claims, so the output is the raw formatted plan,
+nothing else.
 """
 
 from __future__ import annotations
@@ -25,7 +26,7 @@ def main() -> None:
 
     names = sys.argv[2:] or HEADLINE
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = "/root/repo/plans/r13"
+    out_dir = os.environ.get("SPARK_GRAFT_PLANS_DIR", "/root/repo/plans/r14")
     os.makedirs(out_dir, exist_ok=True)
     spark = get_spark("explain_dump")
     for name in names:
