@@ -178,7 +178,7 @@ def _bm25_direct(
     k, k1, b, round_to,
 ) -> DataFrame:
     """Direct per-document scoring (unique-content fast path)."""
-    from datamine_v2_0_spark.operators.dedup import _spread
+    from datamine_v2_0_spark.operators.dedup import _cluster_pair_stream, _spread
 
     tok = _tokens(_spread(docs), text_col, id_col, "term")
     # the TF table is the inverted index: dl, dfreq, corpus stats, and the
@@ -213,14 +213,26 @@ def _bm25_direct(
     )
     # document frequency is only ever consumed for query-matching terms
     # (inner join on term downstream), so pre-filter the posting table
-    # with the broadcast term set BEFORE the df aggregation: the term
-    # shuffle carries the touched slice of the vocabulary, not all of
-    # it. df per surviving term is counted over the FULL corpus —
+    # with the broadcast DISTINCT term set ONCE (no query fan-out yet):
+    # the term shuffle carries the touched slice of the vocabulary, not
+    # all of it. df per surviving term is counted over the FULL corpus —
     # result-exact.
     dfreq = (
         tf.join(F.broadcast(qterms.select("term").distinct()), "term")
         .groupBy("term")
         .agg(F.count(F.lit(1)).alias("df"))
+    )
+    # the SCORING slice is additionally doc-clustered in the broadcast
+    # regime (dedup._cluster_pair_stream): the (query_id, doc_id) score
+    # aggregation below then needs NO exchange, because the per-query
+    # fan-out join multiplies rows AFTER this shuffle — ~4 MB of matched
+    # postings move instead of the 80 MiB / 2.6M-record per-term score
+    # exchange measured at sf0.1. dfreq deliberately stays on the direct
+    # tf probe: its term aggregation gains nothing from doc clustering,
+    # and the branches' different column pruning defeats exchange reuse.
+    pruned = _cluster_pair_stream(
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term"),
+        id_col,
     )
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
@@ -230,9 +242,8 @@ def _bm25_direct(
         ).alias("idf"),
         "avgdl",
     )
-    # broadcast-semi the postings FIRST: everything downstream sees only
-    # the query-matching slice of the inverted index
-    matched = tf.join(F.broadcast(qterms), "term")
+    # fan out per query AFTER the prune/cluster (see pruned above)
+    matched = pruned.join(F.broadcast(qterms), "term")
     scored = (
         matched.join(idf, "term")
         .join(dl, id_col)
@@ -334,6 +345,16 @@ def _bm25_collapsed(
         .groupBy("term")
         .agg(F.sum("cnt").alias("df"))
     )
+    # the SCORING slice is rep-clustered in the broadcast regime so the
+    # (__qfp, __fp) score aggregation runs exchange-free — same layout
+    # as the direct path, keyed on the fingerprint (dfreq stays on the
+    # direct tf probe: see the direct path).
+    from datamine_v2_0_spark.operators.dedup import _cluster_pair_stream
+
+    pruned = _cluster_pair_stream(
+        tf.join(F.broadcast(qterms.select("term").distinct()), "term"),
+        "__fp",
+    )
     idf = dfreq.crossJoin(F.broadcast(stats)).select(
         "term",
         F.log(
@@ -342,18 +363,17 @@ def _bm25_collapsed(
         ).alias("idf"),
         "avgdl",
     )
-    # broadcast-semi the postings FIRST: everything downstream sees only
-    # the query-matching slice of the collapsed inverted index
-    matched = tf.join(F.broadcast(qterms), "term")
+    # fan out per query AFTER the prune/cluster (see pruned above)
+    matched = pruned.join(F.broadcast(qterms), "term")
     scored = (
         matched.join(idf, "term")
         .join(dl.select("__fp", "dl"), "__fp")
         .select("__qfp", "__fp", "cnt", _bm25_score(k1, b).alias("score"))
-        .groupBy("__qfp", "__fp")
-        .agg(
-            F.round(F.sum("score"), round_to).alias("score"),
-            F.first("cnt").alias("cnt"),
-        )
+        # cnt rides as a grouping key (functionally dependent on __fp,
+        # so groups are unchanged): no first() agg buffer
+        .groupBy("__qfp", "__fp", "cnt")
+        .agg(F.round(F.sum("score"), round_to).alias("score"))
+        .select("__qfp", "__fp", "score", "cnt")
     )
     # exact per-rep prune before fan-out: a representative can only reach
     # the final top-k if its score ties or beats the score at cumulative
