@@ -2741,10 +2741,16 @@ def duplicate_substring_spans(
     # and the BM25 inverted index.
     ex = iter_checkpoint(_token_kgrams(df, text_col, id_col, k), False)
     if scope == "cross":
+        # "gram appears in >= 2 DISTINCT docs" == min(id) != max(id):
+        # count_distinct plans as TWO aggregation exchanges (a (h, id)
+        # dedup pass, then the count by h — 2 x 5.4 MiB / 235k records
+        # at sf0.1, the operator's dominant shuffles); min/max is one
+        # exchange with perfect map-side combining. Result-identical,
+        # null-identical (min/max and count_distinct both ignore nulls).
         shared = (
             ex.groupBy("h")
-            .agg(F.count_distinct(F.col(id_col)).alias("__nd"))
-            .filter(F.col("__nd") >= 2)
+            .agg(F.min(F.col(id_col)).alias("__lo"), F.max(F.col(id_col)).alias("__hi"))
+            .filter(F.col("__lo") != F.col("__hi"))
         )
     else:
         shared = (
