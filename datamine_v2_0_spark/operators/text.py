@@ -844,15 +844,28 @@ def bigram_logprob(
     def wsum(*cols: str):
         return F.sum("__n").over(Window.partitionBy(*cols))
 
-    counted = bg.select(
-        F.col(id_col),
-        F.col("__n"),
-        wsum("__w1", "__w2").alias("__c12"),
-        wsum("__w1").alias("__c1"),
-        wsum("__w2").alias("__c2"),
-        wsum(id_col, "__w1").alias("__n1d"),
-        wsum(id_col, "__w2").alias("__n2d"),
-        wsum(id_col).alias("__nd"),
+    # Window ORDER: a window whose partition keys are a SUPERSET of the
+    # established hash partitioning needs no new exchange
+    # (HashPartitioning(w1) satisfies ClusteredDistribution([w1, w2]),
+    # same for the id-keyed trio), so the six windows run on THREE
+    # exchanges, and ending with the id-keyed group leaves the table
+    # hash(id)-partitioned for the final groupBy(id) (no fourth
+    # exchange). Catalyst's TransposeWindow happens to derive this
+    # layout from the unordered select too (plan-audited: the r14
+    # before/after plans are shape-identical) — the explicit prefix
+    # stacking just stops depending on that rule firing.
+    counted = (
+        bg
+        .withColumn("__c1", wsum("__w1"))
+        .withColumn("__c12", wsum("__w1", "__w2"))
+        .withColumn("__c2", wsum("__w2"))
+        .withColumn("__nd", wsum(id_col))
+        .withColumn("__n1d", wsum(id_col, "__w1"))
+        .withColumn("__n2d", wsum(id_col, "__w2"))
+        .select(
+            F.col(id_col), "__n", "__c12", "__c1", "__c2",
+            "__n1d", "__n2d", "__nd",
+        )
     )
     totals = bg.agg(
         F.sum("__n").alias("__ctot"),
