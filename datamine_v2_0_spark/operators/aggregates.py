@@ -108,27 +108,101 @@ def exact_percentiles(
     return df.groupBy(*keys).agg(*aggs)
 
 
+# Plan-estimated input bytes above which exact_percentiles_sorted
+# switches from the one-sort layout (one task per group — optimal at
+# small inputs: 5 jobs, one narrow exchange) to the histogram-pruned
+# two-pass (parallel INSIDE groups, ~12 jobs of driver latency that a
+# small input never amortizes; measured at sf0.1: two-pass 2.19 s vs
+# sort 1.68 s, while the serialized sort stage only costs 0.4 s there).
+# The crossover is where one group's sort stops fitting a single task's
+# time budget: at ~50 MB/s of single-core sort throughput, 256 MB of
+# input means multi-second stragglers even split over a handful of
+# groups — exactly when paying ~1 s of extra scheduling buys
+# buckets-way parallelism. Env-overridable for cluster tuning; 0 forces
+# two-pass (the skew test pins both paths bit-identical).
+PCT_SORT_MAX_BYTES = 256 * 1024 * 1024
+
+
 def exact_percentiles_sorted(
     df: DataFrame, keys: Sequence[str], value: str,
     quantiles: Sequence[float] = (0.25, 0.5, 0.75, 0.95),
+    buckets: int = 64,
+    two_pass: str = "auto",
 ) -> DataFrame:
-    """A4 (exact, sort-based): PERCENTILE_CONT via row_number over a
-    per-group sort + linear interpolation between the two straddling
-    ranks.
+    """A4 (exact, adaptive): PERCENTILE_CONT via exact order statistics
+    + linear interpolation between the two straddling ranks — same
+    results as :func:`exact_percentiles`, different physical plan for
+    few/large groups where the per-partition value-count hashmap
+    degenerates (high-cardinality values).
 
-    Same results as :func:`exact_percentiles`, different physical plan:
-    one narrow shuffle sort (key + 8-byte value) instead of merging
-    per-partition value-count hashmaps — ~5× faster when the value column
-    is high-cardinality (the hashmap degenerates to all distinct values).
-    Parallelism is one task per group, so use this when groups are few
-    and large; `approx_percentile` remains the 100 TB default.
+    Two result-identical layouts, chosen by plan-estimated input size
+    (``two_pass='auto'``; 'always'/'never' pin a layout):
+
+    - **sort** (small inputs): one narrow shuffle + per-group
+      row_number — one task per group, minimal job count. Optimal
+      exactly while a group sorts in well under a task's time budget.
+    - **two-pass** (above PCT_SORT_MAX_BYTES, or a
+      SPARK_PCT_SORT_MAX_BYTES override): a giant group must not
+      serialize onto one core, so (1) per-group (min, max, count) —
+      map-side combinable, skew-immune; (2) histogram pass: values map
+      to ``buckets`` monotone buckets of [min, max], per-(group, bucket)
+      counts + a cumulative sum over the ≤``buckets`` histogram rows
+      locate each target rank floor/ceil(1 + (n-1)q) in its bucket with
+      its LOCAL rank; (3) pick pass: only located buckets survive
+      (≲ 2·|q|/buckets of the group), ranked per (group, bucket) — each
+      task holds ~n/buckets rows, no single-task-per-group stage
+      remains. Monotone bucketing (same double-cast affine map for
+      every row of a group) means bucket-local rank + preceding-bucket
+      count equals the global rank exactly; the interpolation
+      expression is shared, so outputs are bit-identical (pinned by
+      test_exact_percentiles_sorted_skewed_parallel_shape). All-equal
+      groups (min == max, incl. n == 1) resolve from the stats row
+      alone — the identical-value mega-group costs nothing.
+
+    `approx_percentile` remains the 100 TB default.
     """
-    from pyspark.sql import Window
-
     keys = list(keys)
+    if not keys:
+        # grouped-only operator (the final NULL-group right-join needs a
+        # key; this has always been the contract — the empty-keys call
+        # crashed in the join before too). Global percentiles:
+        # exact_percentiles / approx_percentiles.
+        raise ValueError(
+            "exact_percentiles_sorted needs at least one key; "
+            "use exact_percentiles for global quantiles"
+        )
+    if two_pass not in ("auto", "always", "never"):
+        raise ValueError(f"two_pass must be auto/always/never, got {two_pass!r}")
     src = df.select(*keys, F.col(value).alias("__v")).filter(
         F.col("__v").isNotNull()
     )
+    if two_pass == "auto":
+        import os
+
+        from datamine_v2_0_spark.operators.dedup import _plan_scan_bytes
+
+        limit = int(
+            os.environ.get("SPARK_PCT_SORT_MAX_BYTES", PCT_SORT_MAX_BYTES)
+        )
+        size = _plan_scan_bytes(src)
+        use_two_pass = size is None or size > limit
+    else:
+        use_two_pass = two_pass == "always"
+    if use_two_pass:
+        out = _percentiles_two_pass(src, keys, quantiles, buckets)
+    else:
+        out = _percentiles_one_sort(src, keys, quantiles)
+    # groups whose value column is entirely NULL vanished at the
+    # isNotNull pre-filter; re-attach them with NULL percentiles to match
+    # exact_percentiles / PERCENTILE_CONT semantics
+    all_keys = df.select(*keys).distinct()
+    return out.join(all_keys, keys, "right")
+
+
+def _percentiles_one_sort(src, keys, quantiles) -> DataFrame:
+    """One narrow shuffle sort + row_number per group (small inputs)."""
+    from pyspark.sql import Window
+
     w = Window.partitionBy(*keys).orderBy("__v")
     # group size via an unbounded window over the SAME shuffle — no
     # separate aggregate + broadcast join stage
@@ -139,27 +213,119 @@ def exact_percentiles_sorted(
     # target rank pos = 1 + (n-1)q; keep only rows at floor/ceil of any
     # target, then one tiny groupBy interpolates
     keeps = []
+    for q in quantiles:
+        pos = 1 + (F.col("__n") - 1) * F.lit(q)
+        keeps.append(
+            (F.col("__rn") == F.floor(pos)) | (F.col("__rn") == F.ceil(pos))
+        )
+    kept = ranked.filter(sum_or(keeps))
+    return kept.groupBy(*keys).agg(
+        *_pct_interp_aggs(quantiles, rank_col="__rn")
+    )
+
+
+def _pct_interp_aggs(quantiles, rank_col: str):
+    """The shared interpolation aggregates: v at floor/ceil of
+    pos = 1 + (n-1)q, linearly interpolated. Shared by both layouts so
+    type coercion and float rounding are identical by construction."""
     aggs = []
     for q in quantiles:
         pos = 1 + (F.col("__n") - 1) * F.lit(q)
         lo, hi = F.floor(pos), F.ceil(pos)
-        keeps.append((F.col("__rn") == lo) | (F.col("__rn") == hi))
-        v_lo = F.max(F.when(F.col("__rn") == lo, F.col("__v")))
-        v_hi = F.max(F.when(F.col("__rn") == hi, F.col("__v")))
+        v_lo = F.max(F.when(F.col(rank_col) == lo, F.col("__v")))
+        v_hi = F.max(F.when(F.col(rank_col) == hi, F.col("__v")))
         # __n is constant per group; re-derive pos from max(__n) so the
         # interpolation fraction is a valid aggregate expression
         agg_pos = 1 + (F.max("__n") - 1) * F.lit(q)
         frac = agg_pos - F.floor(agg_pos)
-        aggs.append(
-            (v_lo + (v_hi - v_lo) * frac).alias(_pct_name(q))
-        )
-    kept = ranked.filter(sum_or(keeps))
-    out = kept.groupBy(*keys).agg(*aggs)
-    # groups whose value column is entirely NULL vanished at the
-    # isNotNull pre-filter; re-attach them with NULL percentiles to match
-    # exact_percentiles / PERCENTILE_CONT semantics
-    all_keys = df.select(*keys).distinct()
-    return out.join(all_keys, keys, "right")
+        aggs.append((v_lo + (v_hi - v_lo) * frac).alias(_pct_name(q)))
+    return aggs
+
+
+def _percentiles_two_pass(src, keys, quantiles, buckets) -> DataFrame:
+    """Histogram-pruned two-pass (see exact_percentiles_sorted)."""
+    from pyspark.sql import Window
+
+    stats = src.groupBy(*keys).agg(
+        F.min("__v").alias("__lo"),
+        F.max("__v").alias("__hi"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+
+    # constant groups: every rank picks the same value; keep the exact
+    # interpolation expression shape (v_lo + (v_hi - v_lo) * frac with
+    # v_hi == v_lo) so type coercion and rounding match the main path
+    const_out = stats.filter(F.col("__lo") == F.col("__hi")).select(
+        *keys,
+        *[
+            (F.col("__lo") + (F.col("__lo") - F.col("__lo")) * F.lit(0.0))
+            .alias(_pct_name(q))
+            for q in quantiles
+        ],
+    )
+    var = stats.filter(F.col("__lo") != F.col("__hi"))
+
+    # monotone bucket id over the group's value range (double-cast affine
+    # map; IEEE subtraction/division-by-positive and decimal->double
+    # casts are monotone, so bucket order agrees with value order and
+    # preceding-bucket counts compose into exact global ranks)
+    nb = F.lit(int(buckets))
+    b_expr = F.greatest(
+        F.lit(0),
+        F.least(
+            F.floor(
+                (F.col("__v").cast("double") - F.col("__lo").cast("double"))
+                / (F.col("__hi").cast("double") - F.col("__lo").cast("double"))
+                * nb
+            ).cast("int"),
+            nb.cast("int") - F.lit(1),
+        ),
+    )
+    srcb = src.join(var.select(*keys, "__lo", "__hi"), keys).select(
+        *keys, "__v", b_expr.alias("__b")
+    )
+    hist = srcb.groupBy(*keys, "__b").agg(F.count(F.lit(1)).alias("__nb"))
+    w_cum = Window.partitionBy(*keys).orderBy("__b")
+    cum = hist.withColumn(
+        "__cb",
+        F.coalesce(
+            F.sum("__nb").over(
+                w_cum.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    # needed global ranks per group: floor/ceil of every target position
+    rank_exprs = []
+    for q in quantiles:
+        pos = 1 + (F.col("__n") - 1) * F.lit(q)
+        rank_exprs += [F.floor(pos), F.ceil(pos)]
+    targets = var.select(
+        *keys, "__n",
+        F.explode(F.array_distinct(F.array(*rank_exprs))).alias("__r"),
+    )
+    # locate each target rank's bucket: preceding count < r <= through
+    located = targets.join(cum, keys).filter(
+        (F.col("__r") > F.col("__cb"))
+        & (F.col("__r") <= F.col("__cb") + F.col("__nb"))
+    ).select(*keys, "__b", "__n", "__r", (F.col("__r") - F.col("__cb")).alias("__lr"))
+
+    # pick pass: only located buckets survive; ranking is per
+    # (group, bucket) — parallel across and INSIDE groups
+    needed = located.select(*keys, "__b").distinct()
+    cands = srcb.join(needed, keys + ["__b"], "left_semi")
+    w_loc = Window.partitionBy(*(keys + ["__b"])).orderBy("__v")
+    ranked = cands.withColumn("__lrn", F.row_number().over(w_loc))
+    picked = ranked.join(located, keys + ["__b"]).filter(
+        F.col("__lrn") == F.col("__lr")
+    )
+
+    # same interpolation expressions as the sort form, keyed on the
+    # global rank __r instead of a global row_number
+    out_var = picked.groupBy(*keys).agg(
+        *_pct_interp_aggs(quantiles, rank_col="__r")
+    )
+    return out_var.unionByName(const_out)
 
 
 def sum_or(conds: Sequence[Column]) -> Column:

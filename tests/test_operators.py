@@ -2579,3 +2579,84 @@ def test_ivf_index_empty_and_single_row_corpus(spark):
     assert C1.shape == (1, 4) and not C1.any()
     got = sim.ivf_query(cells1, C1, q, "embedding", "vec_id", k=3).collect()
     assert [(r["query_id"], r["neighbor_id"]) for r in got] == [(1, 7)]
+
+
+def test_exact_percentiles_sorted_skewed_parallel_shape(spark):
+    """The histogram-pruned two-pass must (a) match the hashmap variant
+    bit-for-bit on a skewed fixture — one giant group, one tiny group,
+    one all-equal group, duplicates straddling bucket boundaries — and
+    (b) contain NO per-group global sort window: the only row_number
+    runs per (group, bucket), so a mega group parallelizes
+    ~buckets-ways instead of serializing onto one task."""
+    from datamine_v2_0_spark.operators import aggregates as agg
+    from datamine_v2_0_spark.plans import executed_plan
+
+    rows = [Row(g="big", v=float((i * 37) % 5000) / 7.0) for i in range(20000)]
+    rows += [Row(g="big", v=123.456)] * 50          # heavy duplicate run
+    rows += [Row(g="tiny", v=float(v)) for v in (3, 1, 2)]
+    rows += [Row(g="const", v=42.0)] * 9            # min == max shortcut
+    rows += [Row(g="nul", v=None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    qs = (0.25, 0.5, 0.75, 0.95, 0.999)
+    # reference = the operator's own documented 1-based interpolation
+    # (pos = 1 + (n-1)q) over a python sort; Spark's percentile() uses
+    # the 0-based form of the same math, which can differ by one ulp at
+    # extreme q (pre-existing, both forms are PERCENTILE_CONT)
+    import math
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in rows:
+        if r.v is not None:
+            vals[r.g].append(r.v)
+    expect = {}
+    for g, vs in vals.items():
+        vs.sort()
+        row = {}
+        for q in qs:
+            pos = 1 + (len(vs) - 1) * q
+            lo, hi = math.floor(pos), math.ceil(pos)
+            frac = pos - lo
+            row[agg._pct_name(q)] = vs[lo - 1] + (vs[hi - 1] - vs[lo - 1]) * frac
+        expect[g] = row
+    out = agg.exact_percentiles_sorted(
+        df, ["g"], "v", qs, buckets=16, two_pass="always"
+    )
+    got = {r["g"]: r for r in out.collect()}
+    assert set(got) == {"big", "tiny", "const", "nul"}
+    for g in got:
+        for q in qs:
+            c = agg._pct_name(q)
+            if g == "nul":
+                assert got[g][c] is None, (g, c)
+            else:
+                assert got[g][c] == expect[g][c], (g, c)
+    # bit-equality BETWEEN the two layouts at every tested quantile —
+    # the adaptive switch must be invisible in results
+    one = {
+        r["g"]: r
+        for r in agg.exact_percentiles_sorted(
+            df, ["g"], "v", qs, two_pass="never"
+        ).collect()
+    }
+    for g in one:
+        for q in qs:
+            c = agg._pct_name(q)
+            assert (got[g][c] is None) if one[g][c] is None else (
+                got[g][c] == one[g][c]
+            ), (g, c)
+    # plan shape: every row_number window partitions by (keys..., __b) —
+    # a window keyed on the group alone would re-serialize the group
+    plan = executed_plan(out)
+    import re
+
+    for m in re.finditer(r"row_number\(\).*?windowspecdefinition\(([^,]+),\s*([^,]+),", plan):
+        assert "__b" in m.group(2), plan[:2000]
+
+    # empty keys have never been supported here (the NULL-group
+    # right-join needs a key); the error must be loud, not an
+    # IndexError from join(on=[])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one key"):
+        agg.exact_percentiles_sorted(df, [], "v", qs)
