@@ -168,7 +168,17 @@ def minhash_text_udf(num_hashes: int = 64, shingle_n: int = 3):
     an enormous interpreted/codegen expression tree into one Python
     eval node: ~2× faster steady-state and much cheaper to plan/compile,
     which dominates one-shot query latency. Same API contract, different
-    (still deterministic, seed-free) hash family."""
+    (still deterministic, seed-free) hash family.
+
+    The returned UDF is marked ``asNondeterministic()`` — the kernel is
+    pure, but the marker pins ONE evaluation per row (filter pushdown
+    otherwise re-evaluates the UDF below the exchange: two
+    ArrowEvalPython nodes, the kernel run twice per doc). Consequence
+    for callers: Spark only allows nondeterministic expressions in
+    Project / Filter / Aggregate / Window, so use the UDF in a
+    projection and reference the result column in joins or grouping
+    keys — embedding the call directly in a join condition raises
+    AnalysisException."""
     import zlib
 
     C1 = np.uint64(0x9E3779B97F4A7C15)
@@ -1812,7 +1822,15 @@ def _cc_hop(edges: DataFrame, lab: DataFrame) -> DataFrame:
     Batching several hops between convergence checks keeps the eager
     checkpoint + changed-count (fixed-overhead JOBS per cycle) amortized
     — an extra in-lineage hop is just one more join+groupBy in the same
-    job, and a block that changes nothing still proves convergence."""
+    job, and a block that changes nothing still proves convergence.
+
+    PRECONDITION: every ``edges.src`` must appear in ``lab.node``
+    (src ⊆ lab). The union-based fold keys the output on nbr ∪ own
+    rather than lab alone, so an edge whose src is absent from lab
+    would inject a new node with a NULL old_comp row that evades the
+    ``comp < old_comp`` convergence check. True by construction for the
+    one caller (:func:`connected_components` symmetrizes edges and
+    derives labels from src); any new caller must guarantee it."""
     # neighbor labels UNIONed with each node's own row, then ONE min
     # aggregate: min over (own ∪ neighborhood) == least(own,
     # min(neighbors)) exactly, so this folds the old `lab LEFT JOIN
@@ -2154,7 +2172,13 @@ def simhash_text_udf(shingle_n: int = 2, portable: bool = False):
     family); the default uses the kernel's own deterministic crc32/
     splitmix shingle family (fast scale path — families are not
     comparable to each other). Docs too short to shingle return NULL;
-    callers decide whether that means "drop" or "signature 0"."""
+    callers decide whether that means "drop" or "signature 0".
+
+    Like :func:`minhash_text_udf`, the returned UDF is marked
+    ``asNondeterministic()`` to pin one evaluation per row (the kernel
+    itself is pure) — use it in a projection, not directly inside a
+    join condition or grouping key (Spark restricts nondeterministic
+    expressions to Project/Filter/Aggregate/Window)."""
     import hashlib
     import zlib
 

@@ -160,6 +160,13 @@ def pagerank(
     job loudly and needs a re-run); pass ``reliable=True`` for durable
     ``checkpoint``-based truncation that survives executor loss
     (requires ``setCheckpointDir``; see operators/ckpt).
+
+    NOT LAZY: construction runs Spark jobs (the edge materialization
+    and a bounded ``nodes.count()`` for the 1/n seed — one driver-side
+    scalar replacing a per-iteration broadcast crossJoin), so building
+    the DataFrame without executing it still pays the edge-derivation
+    cost, and re-building the plan pays it again. Build once, reuse the
+    returned DataFrame.
     """
     if n_iter < 1:
         raise ValueError("n_iter must be >= 1")

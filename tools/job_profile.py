@@ -29,11 +29,37 @@ def _get(url: str):
         return json.loads(r.read())
 
 
+def _parse_ts(ts: str):
+    """REST timestamps look like 2026-08-18T04:40:55.123GMT; tolerate a
+    missing zone suffix rather than crashing the whole profile."""
+    from datetime import datetime
+
+    for fmt in ("%Y-%m-%dT%H:%M:%S.%f%Z", "%Y-%m-%dT%H:%M:%S.%f"):
+        try:
+            return datetime.strptime(ts, fmt)
+        except ValueError:
+            continue
+    raise ValueError(f"unrecognized REST timestamp: {ts!r}")
+
+
 def main() -> None:
+    if len(sys.argv) < 2 or sys.argv[1] not in QUERIES:
+        known = ", ".join(sorted(QUERIES)[:8])
+        sys.exit(
+            f"usage: python tools/job_profile.py <query> [n_passes]\n"
+            f"known queries include: {known}, ..."
+        )
     name = sys.argv[1]
     n_passes = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("job_profile", extra_conf={"spark.ui.enabled": "true"})
+    try:
+        _profile(spark, name, n_passes, sf_dir)
+    finally:
+        spark.stop()
+
+
+def _profile(spark, name: str, n_passes: int, sf_dir: str) -> None:
     spark.range(1000).count()
     fn, _sql = QUERIES[name]
     sc = spark.sparkContext
@@ -64,12 +90,8 @@ def main() -> None:
     }
     total = 0.0
     for j in jobs:
-        from datetime import datetime
-
-        fmt = "%Y-%m-%dT%H:%M:%S.%f%Z"
         dur = (
-            datetime.strptime(j["completionTime"], fmt)
-            - datetime.strptime(j["submissionTime"], fmt)
+            _parse_ts(j["completionTime"]) - _parse_ts(j["submissionTime"])
         ).total_seconds()
         total += dur
         print(f"job {j['jobId']:4d} {dur:8.3f}s tasks={j['numCompletedTasks']:5d}")
